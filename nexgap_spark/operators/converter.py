@@ -1,0 +1,189 @@
+"""Span-tree → ChatCompletion converter pipeline (the reference's core
+workload, convert_spans_to_chatcompletion.py:1511-1820, re-planned for Spark).
+
+Relational stages (filters, window dedup, agent-resolution joins) run JVM-side
+via operators.span_tree; the document transform (XML extraction, prompt
+cleanup, tool pairing) is row-local and runs as one Arrow-batched
+mapInPandas stage over the narrowed span set — mirroring the reference's
+order (narrow first, transform last) so the expensive Python stage sees the
+minimum row count.
+
+The per-span pure core (`convert_span_record`) is shared by the Spark stage,
+golden-file tests, and the driver's rows-only pipeline query.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nexgap_spark.functions.prompts import clean_system_prompt
+from nexgap_spark.functions.xml_tools import deterministic_id_gen, extract_tool_calls
+from nexgap_spark.operators import span_tree
+from nexgap_spark.operators.pairing import pair_tool_results
+from nexgap_spark.schemas import CHATCOMPLETION_SCHEMA
+
+DEFAULT_MODEL = "nex"
+
+
+def _normalize_output(output: Any) -> dict | None:
+    """Union-typed output (dict OR list, reference :1527-1532) → first dict."""
+    if isinstance(output, dict):
+        return output
+    if isinstance(output, (list, tuple)) and len(output) > 0:
+        first = output[0]
+        return first if isinstance(first, dict) else None
+    return None
+
+
+def _tools_to_schema(tools: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Tool definitions with `parameters` JSON-encoded (schemas store the
+    free-form JSON-Schema object as a string)."""
+    out = []
+    for t in tools:
+        fn = t.get("function", {})
+        params = fn.get("parameters")
+        out.append(
+            {
+                "type": t.get("type", "function"),
+                "function": {
+                    "name": fn.get("name"),
+                    "description": fn.get("description"),
+                    "parameters": params
+                    if isinstance(params, str) or params is None
+                    else json.dumps(params, ensure_ascii=False),
+                },
+            }
+        )
+    return out
+
+
+def convert_span_record(
+    span: dict[str, Any],
+    *,
+    agent_name: str | None,
+    agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+) -> dict[str, Any] | None:
+    """Pure per-span conversion (reference :1511-1635 + the :1689-1759
+    flatten, minus the relational stages which run in Spark):
+
+    system messages    → F9 cleanup + J5 tool attach
+    assistant messages → F3/F4/F5 XML extraction → tool_calls
+    user tool results  → J4 ordered pairing → tool-role messages
+    output             → F3 extraction → final assistant message
+    """
+    input_data = span.get("input") or []
+    if not input_data:
+        return None
+    next_id = deterministic_id_gen(str(span.get("span_id", "span")))
+    tools: list[dict[str, Any]] = []
+    messages: list[dict[str, Any]] = []
+
+    for message in input_data:
+        msg = dict(message or {})
+        role = msg.get("role")
+        if role == "system":
+            messages.append({"role": "system", "content": clean_system_prompt(msg.get("content") or "")})
+            if agent_tools and agent_name and agent_name in agent_tools:
+                tools.extend(agent_tools[agent_name])
+        elif role == "assistant":
+            cleaned, calls = extract_tool_calls(msg.get("content") or "", next_id)
+            msg["content"] = cleaned
+            if calls:
+                msg["tool_calls"] = calls
+            messages.append(msg)
+        else:
+            messages.append(msg)
+
+    messages = pair_tool_results(messages, next_id)
+
+    response_content, response_calls = "", []
+    output_data = _normalize_output(span.get("output"))
+    if output_data and output_data.get("role") == "assistant":
+        response_content, response_calls = extract_tool_calls(
+            output_data.get("content") or "", next_id
+        )
+    response_msg: dict[str, Any] = {
+        "role": "assistant",
+        "content": response_content if response_content else None,
+    }
+    if response_calls:
+        response_msg["tool_calls"] = response_calls
+    messages.append(response_msg)
+
+    return {
+        "messages": messages,
+        "tools": _tools_to_schema(tools),
+        "agent_name": agent_name,
+        "trace_id": span.get("trace_id"),
+        "span_id": span.get("span_id"),
+        "query": span.get("query"),
+        "framework": span.get("framework"),
+        "langfuse_trace_id": span.get("langfuse_trace_id"),
+        "stop": span.get("stop", ""),
+    }
+
+
+def _message_to_schema(msg: dict[str, Any]) -> dict[str, Any]:
+    calls = msg.get("tool_calls")
+    return {
+        "role": msg.get("role"),
+        "content": msg.get("content"),
+        "tool_calls": [
+            {
+                "id": c.get("id"),
+                "type": c.get("type"),
+                "function": {
+                    "name": (c.get("function") or {}).get("name"),
+                    "arguments": (c.get("function") or {}).get("arguments"),
+                },
+            }
+            for c in calls
+        ]
+        if calls
+        else None,
+        "tool_call_id": msg.get("tool_call_id"),
+        "name": msg.get("name"),
+    }
+
+
+def convert_spans(
+    spans: DataFrame,
+    *,
+    config_agents: list[str],
+    agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+    generation_marker: str = span_tree.GENERATION_MARKERS[0],
+) -> DataFrame:
+    """Full converter pipeline: P2 → P10 → A1 window dedup → J3 agent
+    resolution → P3 → per-row document transform (mapInPandas).
+
+    `agent_tools` is captured in the UDF closure; Spark broadcasts it with
+    the serialized task (keep it ≤ a few MB, as the reference's MCP cache is,
+    docs/converter.md:184-185).
+    """
+    narrowed = span_tree.filter_generation_spans(spans, generation_marker)
+    narrowed = span_tree.filter_nonempty_input(narrowed)
+    narrowed = span_tree.last_generation_per_group(narrowed)
+    resolved = span_tree.resolve_agent_name(narrowed, config_agents)
+    resolved = span_tree.exclude_meta(resolved)
+
+    out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for span in pdf.to_dict("records"):
+                rec = convert_span_record(
+                    span, agent_name=span.get("agent_name"), agent_tools=agent_tools
+                )
+                if rec is None:
+                    continue
+                rec["messages"] = [_message_to_schema(m) for m in rec["messages"]]
+                rows.append({k: rec.get(k) for k in out_fields})
+            yield pd.DataFrame(rows, columns=out_fields)
+
+    return resolved.mapInPandas(transform, schema=CHATCOMPLETION_SCHEMA)

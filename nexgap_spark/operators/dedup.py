@@ -1,0 +1,289 @@
+"""Deduplication operators for LLM training-data pipelines (scale extension):
+exact hash dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  * exact dedup = one shuffle on a 128-bit digest (never on the raw text);
+  * MinHash: signatures are computed with a single explode + groupBy
+    (map-side partial min per hash function), then LSH banding turns the
+    quadratic pair search into an equi-join on (band, bucket);
+  * hash functions are md5-derived so results are engine-portable and
+    deterministic (Spark's murmur `hash()` has no DuckDB twin);
+  * candidate pairs are verified with exact Jaccard on shingle sets only for
+    the (tiny) candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators.text import tokenize, word_shingles
+
+# Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
+# offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
+MINHASH_PRIME = 4_294_967_311
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (22_695_477, 1),
+    (134_775_813, 1_013_904_223),
+    (1_664_525, 1_013_904_223),
+    (69_069, 362_437),
+    (48_271, 11_213),
+    (16_807, 987_654_321),
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def hexint(col: Column, chars: int = 8) -> Column:
+    """Engine-portable integer hash: first ``chars`` hex digits of md5 as a
+    long (chars ≤ 15 keeps it in signed-64 range)."""
+    return F.conv(F.substring(F.md5(col), 1, chars), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+    Shuffle key is the md5 digest, not the document body — at 100 TB the
+    shuffle carries 16 bytes + id per row."""
+    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    return (
+        df.withColumn("_h", key)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+
+
+def dup_stats(df: DataFrame, *, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """One-row dedup summary: docs, distinct digests, duplicate groups,
+    largest group."""
+    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    groups = df.select(key.alias("h")).groupBy("h").agg(F.count("*").alias("c"))
+    return groups.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_groups"),
+        F.max("c").alias("max_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per document."""
+    toks = tokenize(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(toks, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: one column ``mh0..mh{k-1}`` per hash
+    function. Single groupBy — partial mins combine map-side, so the shuffle
+    carries k longs per document regardless of document size."""
+    if num_hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"at most {len(MINHASH_PARAMS)} hash functions built in")
+    h = hexint(F.col("shingle"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = MINHASH_PARAMS[j]
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{j}"))
+    # min() of the hashed expression aggregates directly — no intermediate
+    # projection, Catalyst fuses the hash computation into the partial agg.
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature and equi-join on (band, bucket) to produce candidate
+    pairs (a < b). The join key is an md5 of the band slice, so bucket
+    collisions across bands are impossible to conflate (band id is in the
+    key). This is the step that makes near-dup linear-ish instead of O(n²)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| via a join through the shingle
+    table restricted to candidate ids, |A|,|B| from per-doc counts."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates → exact-Jaccard verify →
+    drop the higher id of each confirmed pair (connected-components-lite:
+    repeated application converges; one pass removes direct dups)."""
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
+    )
+    dups = (
+        verify_jaccard(cand, sh, id_col=id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over term-frequency-weighted token hashes.
+
+    Explode tokens once; per bit, sum ±1 contributions; reassemble the
+    fingerprint. The explode is the cost driver — at scale prefer
+    ``bits`` ≤ 32 and pre-filtered docs. Hamming-close fingerprints ⇒
+    near-duplicates."""
+    toks = tokenize(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "h", hexint(F.col("tok"))
+    )
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, for modest corpora / verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle equi-join (no LSH shortcut).
+    Quadratic in colliding docs — the verification path and the small-corpus
+    baseline; MinHash+LSH above is the 100 TB path."""
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    pairs = (
+        sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

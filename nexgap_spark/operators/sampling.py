@@ -1,0 +1,150 @@
+"""Stochastic-selection operators (SURVEY §2.10, R1-R6) — seeded and
+round-based so results are reproducible and oracle-comparable.
+
+The reference samples one row at a time with in-memory histograms guarded by
+file locks (sampling_manager.py:192-228, file_lock.py:109-160). Spark-first:
+counts are frozen per round (the reference itself only flushes every 10
+samples, tree_manager.py:390-392), sampling is a cumulative-weight
+inverse-CDF window, and the histogram merge is a shuffle aggregation —
+no locks at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def inverse_frequency_weights(
+    counts: DataFrame,
+    *,
+    cnt_col: str = "cnt",
+    out_col: str = "prob",
+    exponent: float = 1.5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """R2: weight = 1/(count+1)^exponent, normalized to probabilities
+    (reference sampling_manager.py:192-220)."""
+    w = F.lit(1.0) / F.pow(F.col(cnt_col) + 1, exponent)
+    total = F.sum(w).over(W.partitionBy())
+    prob = w / total
+    if round_to is not None:
+        prob = F.round(prob, round_to)
+    return counts.withColumn(out_col, prob)
+
+
+def weighted_sample(
+    weighted: DataFrame,
+    *,
+    n: int,
+    key_col: str,
+    prob_col: str = "prob",
+    seed: int = 42,
+) -> DataFrame:
+    """R2+W4: draw ``n`` independent weighted picks via inverse-CDF.
+
+    Build the cumulative distribution once (window over the weights table,
+    small by construction — it is a histogram), generate ``n`` seeded uniform
+    draws, and range-join each draw to the first CDF row covering it.
+    Returns (draw_id, key). Deterministic for a fixed seed.
+
+    Scale: the CDF table is tiny (one row per distinct key) → broadcast;
+    draws are generated distributed via ``spark.range``.
+    """
+    spark = weighted.sparkSession
+    w_cum = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = (
+        weighted.select(key_col, prob_col)
+        .withColumn("cum_hi", F.sum(prob_col).over(w_cum))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col(prob_col))
+    )
+    draws = spark.range(n).select(
+        F.col("id").alias("draw_id"), F.rand(seed).alias("u")
+    )
+    return (
+        draws.join(
+            F.broadcast(cdf),
+            (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
+            "left",
+        )
+        .select("draw_id", key_col)
+    )
+
+
+def merge_histogram(prior: DataFrame, delta: DataFrame, *, key_cols: list[str], cnt_col: str = "cnt") -> DataFrame:
+    """A3: delta-merge of sampling histograms. The reference does
+    flock → reload → add → write (sampling_manager.py:124-129); here the
+    commutative sum makes the shuffle aggregation the merge."""
+    return (
+        prior.select(*key_cols, cnt_col)
+        .unionByName(delta.select(*key_cols, cnt_col))
+        .groupBy(*key_cols)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+    )
+
+
+def truncate_trace(
+    paths: DataFrame,
+    *,
+    nodes_col: str = "node_ids",
+    seed: int = 42,
+    min_nodes: int = 3,
+) -> DataFrame:
+    """R3: random trace truncation (reference tree_manager.py:488-527):
+    keep a random prefix of length in [2, len-1] (min 3 nodes enforced on the
+    input), last kept node becomes the problem type."""
+    size = F.size(F.col(nodes_col))
+    keep = (F.lit(2) + F.floor(F.rand(seed) * (size - F.lit(2)))).cast("int")
+    truncated = F.slice(F.col(nodes_col), 1, keep)
+    return (
+        paths.filter(size >= min_nodes)
+        .withColumn("truncated_nodes", truncated)
+        .withColumn("problem_type", F.element_at("truncated_nodes", -1))
+    )
+
+
+def pick_by_distribution(
+    df: DataFrame,
+    *,
+    distribution: dict[str, float],
+    out_col: str = "difficulty",
+    seed: int = 42,
+) -> DataFrame:
+    """R4: difficulty-weighted selection (reference
+    query_synthesis_agent.py:155-186, default {easy .2, medium .5, hard .3}).
+    Validates the distribution at plan time like the reference's CLI
+    (main.py:58-124), then assigns per row by inverse-CDF on rand(seed)."""
+    if abs(sum(distribution.values()) - 1.0) > 1e-9:
+        raise ValueError(f"distribution must sum to 1, got {distribution}")
+    expr = None
+    cum = 0.0
+    u = F.rand(seed)
+    for key, p in distribution.items():
+        cum += p
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(key)) if expr is None else expr.when(cond, F.lit(key))
+    # float-edge fallback: last key
+    expr = expr.otherwise(F.lit(list(distribution)[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def uniform_pick(df: DataFrame, *, n: int = 1, seed: int = 42) -> DataFrame:
+    """R1: uniform sample of n rows (reference random.choice of personas,
+    pipeline.py:714-716). orderBy(rand(seed)).limit(n) — the sort is on the
+    sampled key only; for large inputs prefer df.sample() upstream."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def random_template_choice(
+    df: DataFrame,
+    templates: list[str],
+    *,
+    out_col: str = "template",
+    seed: int = 42,
+) -> DataFrame:
+    """R6: random detail-level template choice (reference
+    query_generator.py:568-598)."""
+    arr = F.array(*[F.lit(t) for t in templates])
+    idx = (F.floor(F.rand(seed) * len(templates)) + 1).cast("int")
+    return df.withColumn(out_col, F.element_at(arr, idx))

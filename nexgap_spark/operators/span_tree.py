@@ -1,0 +1,195 @@
+"""Span-tree relational core (SURVEY §2.2-§2.4: P1-P3/P10, J1-J3, A1, A2, O1).
+
+The reference walks parent-pointer dicts one span at a time
+(convert_spans_to_chatcompletion.py:454-526, 1637-1687). Spark-first:
+the span index becomes the build side of a broadcast hash join, the
+"last generation per group" dedup becomes one window, and multi-hop agent
+resolution is an iterative self-join to a bounded fixpoint (tree depth ≤ ~5).
+
+Scale: spans-per-trace is small but trace count is huge; every operator here
+shuffles at most once on trace-local keys, and the parent join broadcasts the
+projected (span_id, span_name, parent) columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+GENERATION_MARKERS = ("OpenAI-generation", "anthropic.chat")
+EPOCH_FLOOR = "1970-01-01T00:00:00"
+SUBAGENT_PREFIX = "Sub-agent: "
+
+
+def filter_generation_spans(spans: DataFrame, marker: str = GENERATION_MARKERS[0]) -> DataFrame:
+    """P2 (reference convert_spans_to_chatcompletion.py:1517-1521):
+    span_type == GENERATION and span_name contains the generation marker."""
+    return spans.filter(
+        (F.col("span_type") == "GENERATION") & F.col("span_name").contains(marker)
+    )
+
+
+def filter_nonempty_input(spans: DataFrame) -> DataFrame:
+    """P10 (reference :1534-1535): drop spans with empty/missing input."""
+    return spans.filter(F.size(F.coalesce(F.col("input"), F.array())) > 0)
+
+
+def exclude_meta(df: DataFrame, col: str = "agent_name") -> DataFrame:
+    """P3 (reference :1801): drop rows resolved to the 'meta' agent."""
+    return df.filter((F.col(col).isNull()) | (F.col(col) != "meta"))
+
+
+def enrich(df: DataFrame, *, query: str, framework: str, langfuse_trace_id: str) -> DataFrame:
+    """P1 (reference run_end_to_end.py:366-379): literal enrichment columns."""
+    return (
+        df.withColumn("query", F.lit(query))
+        .withColumn("framework", F.lit(framework))
+        .withColumn("langfuse_trace_id", F.lit(langfuse_trace_id))
+        .withColumn("stop", F.lit(""))
+    )
+
+
+def last_generation_per_group(spans: DataFrame, *, tiebreak: str = "span_id") -> DataFrame:
+    """A1 (reference :1637-1687): group generation spans by
+    coalesce(parentObservationId, span_id); keep the chronologically last by
+    startTime, nulls treated as the epoch floor. One window, one shuffle.
+
+    The reference relies on input order for ties; we pin ``tiebreak`` so the
+    result is deterministic under any partitioning.
+    """
+    group_key = F.coalesce(F.col("parentObservationId"), F.col("span_id"))
+    ts = F.coalesce(
+        F.to_timestamp("startTime"), F.lit(EPOCH_FLOOR).cast("timestamp")
+    )
+    w = W.partitionBy(group_key).orderBy(ts.desc(), F.col(tiebreak).desc())
+    return (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def join_parent(spans: DataFrame, *, broadcast_parents: bool = True) -> DataFrame:
+    """J1+J2 (reference :454-458, :511-526): attach the parent span's name as
+    ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
+    the reference's whole-file span_id→span dict."""
+    parents = spans.select(
+        F.col("span_id").alias("_p_id"), F.col("span_name").alias("parent_span_name")
+    )
+    if broadcast_parents:
+        parents = F.broadcast(parents)
+    return spans.join(
+        parents, spans["parentObservationId"] == parents["_p_id"], "left"
+    ).drop("_p_id")
+
+
+def _strip_subagent(col: F.Column) -> F.Column:
+    return F.regexp_replace(col, f"^{SUBAGENT_PREFIX}", "")
+
+
+def resolve_agent_name(
+    spans: DataFrame,
+    config_agents: list[str],
+    *,
+    max_hops: int = 6,
+) -> DataFrame:
+    """J3 (reference :460-509): walk each span's parent chain; the agent name
+    is the first ancestor whose span_name (case-insensitively, after
+    stripping the 'Sub-agent: ' prefix) matches a configured agent; falls
+    back to the immediate parent's stripped name (J2 behavior) when no
+    ancestor matches.
+
+    Iterative broadcast self-join to a bounded fixpoint — tree depth is ≤ ~5
+    in the reference data, so ``max_hops`` caps the loop; each hop joins only
+    the still-unresolved rows against the projected parent table.
+    """
+    agents_lc = [a.lower() for a in config_agents]
+    parents = F.broadcast(
+        spans.select(
+            F.col("span_id").alias("_p_id"),
+            F.col("span_name").alias("_p_name"),
+            F.col("parentObservationId").alias("_p_parent"),
+        )
+    )
+
+    out = spans.withColumn("_cursor", F.col("parentObservationId")).withColumn(
+        "agent_name", F.lit(None).cast("string")
+    ).withColumn("_fallback", F.lit(None).cast("string"))
+
+    for hop in range(max_hops):
+        out = out.join(parents, out["_cursor"] == parents["_p_id"], "left")
+        stripped = _strip_subagent(F.col("_p_name"))
+        matched = F.lower(stripped).isin(agents_lc)
+        out = (
+            out.withColumn(
+                "agent_name",
+                F.when(F.col("agent_name").isNotNull(), F.col("agent_name")).when(
+                    F.col("_p_name").isNotNull() & matched, stripped
+                ),
+            )
+            .withColumn(
+                "_fallback",
+                F.when(hop == 0, stripped).otherwise(F.col("_fallback")),
+            )
+            .withColumn(
+                "_cursor",
+                F.when(F.col("agent_name").isNotNull(), F.lit(None)).otherwise(
+                    F.col("_p_parent")
+                ),
+            )
+            .drop("_p_id", "_p_name", "_p_parent")
+        )
+    return out.withColumn(
+        "agent_name", F.coalesce(F.col("agent_name"), F.col("_fallback"))
+    ).drop("_cursor", "_fallback")
+
+
+def resolve_root(
+    spans: DataFrame,
+    *,
+    id_col: str = "span_id",
+    parent_col: str = "parentObservationId",
+    max_hops: int = 6,
+    out_col: str = "root_id",
+) -> DataFrame:
+    """J3 companion: resolve each span's root ancestor by iterative broadcast
+    self-join (bounded depth). Rows whose parent is null are their own root."""
+    parents = F.broadcast(
+        spans.select(
+            F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
+        )
+    )
+    out = spans.withColumn(out_col, F.col(id_col)).withColumn(
+        "_cursor", F.col(parent_col)
+    )
+    for _ in range(max_hops):
+        out = (
+            out.join(parents, out["_cursor"] == parents["_p_id"], "left")
+            .withColumn(
+                out_col, F.coalesce(F.col("_p_id"), F.col(out_col))
+            )
+            .withColumn("_cursor", F.col("_p_parent"))
+            .drop("_p_id", "_p_parent")
+        )
+    return out.drop("_cursor")
+
+
+def agent_distribution(spans: DataFrame) -> DataFrame:
+    """A2 (reference :1857-1877): agent_name → count."""
+    return spans.groupBy("agent_name").agg(F.count("*").alias("n"))
+
+
+def sort_chronologically(spans: DataFrame) -> DataFrame:
+    """O1 (reference langfuse_utils.py:102): global order by startTime.
+    Total order via range partitioning — only use on bounded outputs."""
+    return spans.orderBy(F.to_timestamp("startTime"), F.col("span_id"))
+
+
+def number_rows(df: DataFrame, *, order_col: str, out_col: str = "seq") -> DataFrame:
+    """W2/W3 (reference get_trace.py:44-56, pipeline.py:796-804): sequential
+    numbering. Single-partition window — apply only to small/pre-aggregated
+    frames (the reference numbers per-trace files, which are tiny)."""
+    return df.withColumn(
+        out_col, F.row_number().over(W.orderBy(F.col(order_col)))
+    )

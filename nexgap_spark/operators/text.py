@@ -1,0 +1,145 @@
+"""Text-analysis operators for LLM training-data pipelines (scale extension
+per BASELINE.json north star): tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side (built-in functions over arrays) — no Python in the hot path, so
+plans stay inside whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+# Small marker lexicons for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization, deterministic across engines:
+    trim then split on runs of whitespace."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting with a BPE-ish regex: split on word/number/punct-run
+    boundaries — a cheap, deterministic proxy for subword token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (JVM-side transform over a
+    sequence of start indices; element_at is 1-based). Empty array for
+    documents shorter than n tokens (sequence() would descend otherwise)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    parts = lambda i: [F.element_at(tokens, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        F.size(tokens) >= n, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(tokens: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(tokens, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def quality_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Quality-scoring features per document: token count, mean token length,
+    punctuation ratio, stopword ratio, and a keep/drop flag — the standard
+    pre-training filter set, fully codegen'd."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    sw_ratio = stopword_ratio(toks, stopwords)
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_tok_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn(
+            "quality_ok",
+            (n_tokens >= min_tokens) & (n_tokens <= max_tokens) & (sw_ratio > 0),
+        )
+    )
+
+
+def language_id(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] | None = None,
+    out_col: str = "pred_lang",
+) -> DataFrame:
+    """Marker-lexicon language ID: count marker-token hits per language and
+    take the argmax (ties broken by language-code order, deterministic).
+    A real deployment swaps the lexicons for char-n-gram profiles; the
+    dataflow (per-row scoring, no shuffle) is identical."""
+    markers = markers or LANG_MARKERS
+    toks = tokenize(text_col)
+    langs = sorted(markers)
+    score_cols = []
+    for lang in langs:
+        arr = F.array(*[F.lit(m) for m in markers[lang]])
+        score_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: sort by (hits desc, lang asc) → first. array_sort on structs
+    # sorts ascending by field order, so negate hits.
+    scored = F.transform(
+        F.array(*score_cols),
+        lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return df.withColumn(out_col, best["lang"]).withColumn(
+        out_col + "_hits", -best["neg"]
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Document fingerprint: the minimum md5 over word n-gram shingles of the
+    normalized text (winnowing-style min-hash selection). Near-identical
+    documents collide; robust to local edits away from the minimal shingle."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    sh = word_shingles(toks, shingle_n)
+    fp = F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))).otherwise(
+        F.md5(norm)
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,141 @@
+"""Embedding similarity-search queries over the ``embeddings`` table
+(operators in nexgap_spark.operators.similarity).
+
+Cross-engine float discipline: both sides compute dot products as an ordered
+left-to-right fold over double-cast elements, so cosine values are
+bit-comparable; outputs are additionally rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import similarity as sim
+from nexgap_spark.plans.registry import query
+from nexgap_spark.session import load_table as t
+
+# Ordered-fold dot product / norm in DuckDB (matches operators.similarity).
+_DOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_NORM = (
+    "sqrt(list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+# ---------------------------------------------------------------------------
+# q34 — brute-force cosine top-3 for a deterministic query subset
+# (vec_id % 50 == 0). The exact baseline every ANN variant is judged against.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_cos('q.embedding', 'c.embedding')} AS cos
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.brute_force_topk(queries, emb, k=3)
+    return topk.select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+# ---------------------------------------------------------------------------
+# q35 — IVF top-3 (coarse-quantizer routing, nprobe=1): centroids are the
+# first 8 vectors (deterministic), search restricted to the query's cluster.
+# The scale path — cost drops from |Q|·|C| to |Q|·|C|/k_clusters.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_cos('q.embedding', 'c.embedding')} AS cos
+      FROM clusters q
+      JOIN clusters c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+      WHERE q.vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.ivf_topk(queries, emb, centroids, k=3)
+    return topk.select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+# ---------------------------------------------------------------------------
+# q36 — blocked embedding near-dup scan: per label (the blocking key),
+# pair count above threshold + the maximum cosine observed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_embedding_near_dup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.label AS blk, a.vec_id AS a, b.vec_id AS b,
+             {_cos('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT blk AS label,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cos >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           ROUND(MAX(cos), 6) AS max_cos
+    FROM pairs
+    GROUP BY blk
+    """,
+)
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = sim.blocked_near_dup(emb, threshold=-1.0)  # keep all; aggregate below
+    return pairs.groupBy(F.col("blk").alias("label")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("cos") >= 0.25).cast("long")).alias("n_near"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )

@@ -1,0 +1,401 @@
+"""Text-analysis + deduplication queries over the ``documents`` table
+(scale extensions per BASELINE.json; operators live in
+nexgap_spark.operators.{text,dedup}).
+
+Every oracle reproduces the operator's exact arithmetic in DuckDB SQL —
+including the md5-derived portable hashes — so the value-hash compare is
+meaningful, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import dedup, text
+from nexgap_spark.plans.registry import query
+from nexgap_spark.session import load_table as t
+
+# Shared SQL fragments (tokenization must match operators.text.tokenize).
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_HEXINT = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+_SHINGLES3 = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] "
+    "ELSE [] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# q24 — corpus stats per language (token counting / doc statistics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_text_stats",
+    oracle=f"""
+    WITH toks AS (SELECT lang, n_chars, {_TOKS} AS t FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(len(t) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           CAST(MAX(len(t)) AS INT) AS max_tokens
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(text.tokenize("text"))
+    return (
+        docs.select("lang", "n_chars", n_tokens.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg(F.col("nt").cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.max("nt").cast("int").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — per-document quality features (pre-training filter set).
+# ---------------------------------------------------------------------------
+
+_SW_LIST = "', '".join(text.DEFAULT_STOPWORDS)
+
+
+@query(
+    "q25_quality_features",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           ROUND(list_aggregate(list_transform(t, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / GREATEST(len(t), 1), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(t, x -> list_contains(['{_SW_LIST}'], x))) AS DOUBLE)
+                 / GREATEST(len(t), 1), 6) AS stopword_ratio,
+           (len(t) >= 10 AND len(t) <= 100000
+            AND len(list_filter(t, x -> list_contains(['{_SW_LIST}'], x))) > 0) AS quality_ok
+    FROM toks
+    """,
+)
+def q25_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feat = text.quality_features(docs)
+    return feat.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — language-ID heuristic (marker lexicon argmax, deterministic ties).
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    unions = []
+    for lang in sorted(text.LANG_MARKERS):
+        markers = "', '".join(text.LANG_MARKERS[lang])
+        unions.append(
+            f"SELECT doc_id, lang, '{lang}' AS cand, "
+            f"len(list_filter(t, x -> list_contains(['{markers}'], x))) AS hits FROM toks"
+        )
+    u = "\n      UNION ALL\n      ".join(unions)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scores AS (
+      {u}
+    ),
+    ranked AS (
+      SELECT doc_id, lang, cand, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lang, cand AS pred_lang, CAST(hits AS INT) AS pred_hits,
+           (cand = lang) AS lang_match
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("q26_language_id", oracle=_langid_oracle())
+def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pred = text.language_id(docs)
+    return pred.select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        F.col("pred_lang_hits").cast("int").alias("pred_hits"),
+        (F.col("pred_lang") == F.col("lang")).alias("lang_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — exact-dedup summary (hash-groupBy dedup; shuffle carries digests).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_exact_dedup_stats",
+    oracle=f"""
+    WITH groups AS (
+      SELECT md5({_NORM}) AS h, COUNT(*) AS c FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(MAX(c) AS BIGINT) AS max_group_size
+    FROM groups
+    """,
+)
+def q27_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.dup_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# q28 — document fingerprint (min-md5 over 3-gram shingles of normalized
+# text; winnowing-style).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_doc_fingerprints",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm)
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_aggregate(
+                       [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        for i in range(1, len(t) - 1)], 'min')
+                ELSE md5(nt) END AS fingerprint
+    FROM toks
+    """,
+)
+def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# q29 — n-gram Jaccard near-dup: top-20 most-similar pairs (all-pairs
+# baseline; the LSH path is q30/q31).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_ngram_jaccard_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST({_SHINGLES3}) AS u(s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.a = sa.doc_id
+    JOIN sizes sb ON pairs.b = sb.doc_id
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+    """,
+)
+def q29_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — MinHash signatures (8 portable affine hashes over 3-gram shingles).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN((hv * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    sig = " || '-' || ".join(f"mh{j}::VARCHAR" for j in range(8))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST({_SHINGLES3}) AS u(s)
+    ),
+    h AS (SELECT doc_id, {_HEXINT.format(expr='s')} AS hv FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS signature FROM sig
+    """
+
+
+@query("q30_minhash_signatures", oracle=_minhash_oracle())
+def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    sig_str = F.concat_ws("-", *[F.col(f"mh{j}").cast("string") for j in range(8)])
+    return sigs.select("doc_id", sig_str.alias("signature"))
+
+
+# ---------------------------------------------------------------------------
+# q31 — MinHash-LSH candidate pairs + exact-Jaccard verification summary
+# (the 100 TB near-dup path: banding join instead of all-pairs).
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN((hv * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b}::VARCHAR || '-' || mh{2 * b + 1}::VARCHAR) AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST({_SHINGLES3}) AS u(s)
+    ),
+    h AS (SELECT doc_id, {_HEXINT.format(expr='s')} AS hv FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT cand.a, cand.b, COUNT(*) AS common
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.a
+      JOIN sh y ON y.doc_id = cand.b AND y.s = x.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT v.a, v.b, CAST(v.common AS DOUBLE) / (sa.sz + sb.sz - v.common) AS j
+      FROM verified v
+      JOIN sizes sa ON v.a = sa.doc_id
+      JOIN sizes sb ON v.b = sb.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups,
+           ROUND(COALESCE(MAX(j), 0.0), 6) AS max_jaccard
+    FROM jac
+    """
+
+
+@query("q31_minhash_lsh_pairs", oracle=_lsh_oracle())
+def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    jac = dedup.verify_jaccard(cand, sh)
+    return jac.agg(
+        F.count("*").alias("n_candidates"),
+        F.coalesce(F.sum((F.col("jaccard") >= 0.2).cast("long")), F.lit(0)).alias(
+            "n_near_dups"
+        ),
+        F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias("max_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — SimHash fingerprints (32-bit, TF-weighted token hashes).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, {_HEXINT.format(expr='u.tok')} AS hv
+           FROM toks, UNNEST(t) AS u(tok)),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q32_simhash", oracle=_simhash_oracle())
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# q33 — multimodal binary plumbing: documents as opaque binary payloads with
+# typed metadata (octet length + sha256 digest). The decode/feature-extract
+# path for real image/audio bytes is in operators.multimodal (stubbed UDFs,
+# tested schema/batch plumbing).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_binary_payloads",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS digest,
+           CASE WHEN octet_length(CAST(text AS BLOB)) > 300 THEN 'large'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def q33_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2("text", 256).alias("digest"),
+        F.when(F.octet_length(payload) > 300, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    )
