@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Extra keys: "duckdb" holds the same queries timed on the DuckDB oracle SQL
+(the BASELINE.md target is ≤2× DuckDB wall time), "rows" the result sizes.
+Set BENCH_SKIP_DUCKDB=1 to skip the comparison pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_orders",
+    "q04_priority_semi_join",
+    "q06_revenue_filter",
+    "q08_last_event_per_user",
+    "q09_cumulative_revenue",
+    "q12_distinct_counts",
+    "q16_sessionize_events",
+    "q17_tumbling_window_agg",
+    # span-tree ops
+    "q21_span_last_per_group",
+    "q23_span_root_walk",
+    # converter document pipeline (pandas-UDF stages)
+    "q37_convert_pipeline",
+    "q38_validate_xml",
+    # scale extensions: text / dedup / similarity
+    "q25_quality_features",
+    "q27_exact_dedup_stats",
+    "q30_minhash_signatures",
+    "q31_minhash_lsh_pairs",
+    "q32_simhash",
+    "q34_cosine_topk",
+    "q35_ivf_topk",
+]
+
+
+def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    from nexgap_spark.plans import QUERIES
+    from nexgap_spark.session import get_spark
+
+    spark = get_spark("nexgap_bench")
+    # Warm the JVM + parquet footers with one tiny action so per-query times
+    # measure the queries, not session startup.
+    QUERIES["q06_revenue_filter"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    for name in HEADLINE:
+        best, n = None, 0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = QUERIES[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            n = len(out)
+        times[name] = round(best, 3)
+        rows[name] = n
+        print(f"[bench] {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
+    return times, rows
+
+
+def _run_duckdb(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from nexgap_spark.plans import ORACLES
+    from nexgap_spark.session import TABLES
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    for name in HEADLINE:
+        if name not in ORACLES:
+            continue
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            con.sql(ORACLES[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_m.group(1)) if sf_m else None
+
+    spark_times, rows = _run_spark(sf_dir)
+    result = {
+        "metric": "headline query wall time (Spark, local)",
+        "value": round(sum(spark_times.values()), 3),
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": sf,
+        "rows": rows,
+    }
+    if not os.environ.get("BENCH_SKIP_DUCKDB"):
+        duck_times = _run_duckdb(sf_dir)
+        result["duckdb"] = duck_times
+        result["duckdb_total"] = round(sum(duck_times.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,12 +31,19 @@ DEFAULT_MODEL = "nex"
 
 
 def _normalize_output(output: Any) -> dict | None:
-    """Union-typed output (dict OR list, reference :1527-1532) → first dict."""
+    """Union-typed output (dict OR list, reference :1527-1532) → first dict.
+    Sequence check is duck-typed: Arrow batches surface arrays as numpy
+    arrays, not lists."""
     if isinstance(output, dict):
         return output
-    if isinstance(output, (list, tuple)) and len(output) > 0:
-        first = output[0]
-        return first if isinstance(first, dict) else None
+    if output is None or isinstance(output, (str, bytes)):
+        return None
+    try:
+        if len(output) > 0:
+            first = output[0]
+            return first if isinstance(first, dict) else None
+    except TypeError:
+        pass
     return None
 
 
@@ -76,8 +83,8 @@ def convert_span_record(
     user tool results  → J4 ordered pairing → tool-role messages
     output             → F3 extraction → final assistant message
     """
-    input_data = span.get("input") or []
-    if not input_data:
+    input_data = span.get("input")
+    if input_data is None or len(input_data) == 0:  # numpy-array-safe (P10)
         return None
     next_id = deterministic_id_gen(str(span.get("span_id", "span")))
     tools: list[dict[str, Any]] = []
@@ -168,7 +175,11 @@ def convert_spans(
     narrowed = span_tree.filter_generation_spans(spans, generation_marker)
     narrowed = span_tree.filter_nonempty_input(narrowed)
     narrowed = span_tree.last_generation_per_group(narrowed)
-    resolved = span_tree.resolve_agent_name(narrowed, config_agents)
+    # parents resolve against the UNFILTERED table — ancestors are usually
+    # non-generation spans that P2 just removed
+    resolved = span_tree.resolve_agent_name(
+        narrowed, config_agents, parent_source=spans
+    )
     resolved = span_tree.exclude_meta(resolved)
 
     out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]

@@ -94,13 +94,36 @@ def shingle_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    normalize: bool = False,
 ) -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams per document."""
-    toks = tokenize(text_col)
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(toks, shingle_n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) rows — distinct word n-grams per document.
+
+    Built with explode(sequence) + element_at instead of array-lambda HOFs:
+    higher-order functions are interpreted per element (never codegen'd),
+    which serializes the hottest loop of the dedup path. The input is also
+    repartitioned first — a single-file parquet scan is one partition, and
+    everything narrow downstream would inherit that serial bottleneck."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        F.split(normalize_text(text_col), " ") if normalize else tokenize(text_col)
     )
+    base = (
+        df.repartition(par)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
+    )
+    idx = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_toks") - (shingle_n - 1))
+        ).alias("_i"),
+    )
+    parts = [F.element_at("_toks", F.col("_i") + j) for j in range(shingle_n)]
+    return idx.select(
+        F.col(id_col), F.concat_ws(" ", *parts).alias("shingle")
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -119,14 +142,19 @@ def minhash_signatures(
     carries k longs per document regardless of document size."""
     if num_hashes > len(MINHASH_PARAMS):
         raise ValueError(f"at most {len(MINHASH_PARAMS)} hash functions built in")
-    h = hexint(F.col("shingle"))
+    # Materialize the base hash ONCE in a projection: aggregate expressions
+    # are evaluated independently, so embedding md5+conv in each min() would
+    # recompute it num_hashes× per row.
+    hashed = shingles.withColumn("_hv", hexint(F.col("shingle")))
     aggs = []
     for j in range(num_hashes):
         a, b = MINHASH_PARAMS[j]
-        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{j}"))
-    # min() of the hashed expression aggregates directly — no intermediate
-    # projection, Catalyst fuses the hash computation into the partial agg.
-    return shingles.groupBy(id_col).agg(*aggs)
+        aggs.append(
+            F.min((F.col("_hv") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"mh{j}"
+            )
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -201,8 +229,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates → exact-Jaccard verify →
     drop the higher id of each confirmed pair (connected-components-lite:
-    repeated application converges; one pass removes direct dups)."""
-    sh = shingle_table(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    repeated application converges; one pass removes direct dups).
+    Text is case/whitespace-normalized before shingling, so formatting
+    variants of the same document dedupe."""
+    sh = shingle_table(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, normalize=True
+    )
     sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
@@ -234,9 +266,12 @@ def simhash(
     fingerprint. The explode is the cost driver — at scale prefer
     ``bits`` ≤ 32 and pre-filtered docs. Hamming-close fingerprints ⇒
     near-duplicates."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
-        "h", hexint(F.col("tok"))
+    exploded = (
+        df.repartition(par)
+        .select(F.col(id_col), F.explode(toks).alias("tok"))
+        .withColumn("h", hexint(F.col("tok")))
     )
     bit_sums = exploded.groupBy(id_col).agg(
         *[

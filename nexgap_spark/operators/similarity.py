@@ -2,21 +2,47 @@
 the exact baseline, IVF (coarse-quantizer cluster routing) as the scale path,
 and blocked near-duplicate detection.
 
-All dot products run JVM-side via zip_with + aggregate (sequential fold, so
-results are bit-stable and engine-comparable). No Python in the loop; the
-quadratic stages are explicitly bounded (query subset × corpus, or
+Dot products are flat codegen'd expression chains with strict left-to-right
+addition (bit-stable, engine-comparable — see `dot`); norms are precomputed
+per vector before any pair join; scan sides are repartitioned so single-file
+parquet inputs don't serialize the pairwise stages. No Python in the loop;
+the quadratic stages are explicitly bounded (query subset × corpus, or
 within-cluster only).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as double, sequential fold (deterministic order)."""
+DEFAULT_DIM = 64
+
+
+def dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Σ aᵢ·bᵢ as double, strict left-to-right addition.
+
+    Expanded into a flat expression chain rather than F.aggregate/zip_with:
+    Spark's array higher-order functions are interpreted per element (no
+    whole-stage codegen), which made them the bottleneck of every pairwise
+    stage. The chain keeps the exact sequential add order, so results stay
+    bit-identical to the ordered-fold DuckDB oracle."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dot_any_dim(a: Column, b: Column) -> Column:
+    """Dimension-agnostic fallback (interpreted HOF fold) for vectors whose
+    length isn't statically known. Same value, ~100× slower per pair."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -24,18 +50,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+def norm(a: Column, dim: int = DEFAULT_DIM) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -45,22 +65,68 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """Exact top-k neighbors per query by cosine. The query side broadcasts
-    (it is the small side by contract); the corpus streams once. Returns
-    (q_id, n_id, cos, rk). Scale: cost = |Q|·|C| dot products, distributed
-    over corpus splits — use IVF below when |Q| is large."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        q.join(c, F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    """Exact top-k neighbors per query by cosine.
+
+    Distributed design: the query matrix is collected (small side by
+    contract) and broadcast as a dense float64 block; the corpus streams
+    partition-parallel through a vectorized Arrow stage that computes the
+    |Q|×batch score block and keeps only a per-partition partial top-k per
+    query; a final window merges the partials. Shuffle volume is
+    O(|Q| · k · partitions), never O(|Q|·|C|).
+
+    Float discipline: the score block accumulates SEQUENTIALLY over
+    dimensions (one vectorized add per dim), so every cosine is bit-identical
+    to the ordered left-to-right fold the DuckDB oracle computes — numpy's
+    pairwise-summing dot() would not be.
+    """
+    q_pd = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_ids_arr = q_pd[id_col].to_numpy()
+    q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
+
+    def _seq_sq_norm(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    q_norms = _seq_sq_norm(q_mat)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids_arr, q_mat, q_norms))
+    par = sc.defaultParallelism
+
+    def score(batches):
+        q_ids, qm, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n_ids = pdf[id_col].to_numpy()
+            acc = qm[:, 0][:, None] * cm[:, 0][None, :]
+            for i in range(1, qm.shape[1]):
+                acc = acc + qm[:, i][:, None] * cm[:, i][None, :]
+            cos = acc / (qn[:, None] * _seq_sq_norm(cm)[None, :])
+            rows_q, rows_n, rows_c = [], [], []
+            for qi in range(len(q_ids)):
+                row = cos[qi]
+                mask = n_ids == q_ids[qi]  # exclude self before the cut
+                if mask.any():
+                    row = row.copy()
+                    row[mask] = -np.inf
+                order = np.lexsort((n_ids, -row))[:k]
+                keep = order[np.isfinite(row[order])]
+                rows_q.extend([q_ids[qi]] * len(keep))
+                rows_n.extend(n_ids[keep])
+                rows_c.extend(row[keep])
+            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
+
+    partials = corpus.repartition(par).mapInPandas(
+        score, schema="q_id long, n_id long, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partials.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
@@ -73,25 +139,65 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """IVF coarse quantization: route each vector to its nearest centroid
     (max cosine; deterministic tiebreak on centroid id). Centroids broadcast;
     one pass over the corpus, no shuffle of the vectors themselves."""
     cent = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec")
+            F.col(centroid_id_col).alias("_c_id"),
+            F.col(vec_col).alias("_c_vec"),
+            norm(F.col(vec_col), dim).alias("_c_norm"),
         )
     )
-    scored = vectors.join(cent).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("_c_vec"))
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        vectors.repartition(par)
+        .withColumn("_v_norm", norm(F.col(vec_col), dim))
+        .join(cent)
+        .withColumn(
+            "_sim",
+            dot(F.col(vec_col), F.col("_c_vec"), dim) / (F.col("_v_norm") * F.col("_c_norm")),
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_c_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_sim", "_c_vec")
+        .drop("_rk", "_sim", "_c_vec", "_c_norm", "_v_norm")
         .withColumnRenamed("_c_id", centroid_id_col)
     )
+
+
+def _seq_sqrt_norms(m: np.ndarray) -> np.ndarray:
+    """sqrt(Σ x²) accumulated sequentially over dimensions (oracle order)."""
+    acc = m[:, 0] * m[:, 0]
+    for i in range(1, m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    return np.sqrt(acc)
+
+
+def _seq_score_block(qm: np.ndarray, cm: np.ndarray) -> np.ndarray:
+    """|Q|×|C| dot-product block, one vectorized add per dimension —
+    bit-identical per pair to the ordered left-to-right fold."""
+    acc = qm[:, 0][:, None] * cm[:, 0][None, :]
+    for i in range(1, qm.shape[1]):
+        acc = acc + qm[:, i][:, None] * cm[:, i][None, :]
+    return acc
+
+
+def _np_assign(mat: np.ndarray, cent_ids: np.ndarray, cent_mat: np.ndarray) -> np.ndarray:
+    """Nearest-centroid ids by max cosine, ties → lowest centroid id
+    (matches ROW_NUMBER ... ORDER BY cos DESC, c_id)."""
+    cos = _seq_score_block(mat, cent_mat) / (
+        _seq_sqrt_norms(mat)[:, None] * _seq_sqrt_norms(cent_mat)[None, :]
+    )
+    out = np.empty(len(mat), dtype=cent_ids.dtype)
+    for r in range(len(mat)):
+        order = np.lexsort((cent_ids, -cos[r]))
+        out[r] = cent_ids[order[0]]
+    return out
 
 
 def ivf_topk(
@@ -102,27 +208,79 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Approximate top-k: route queries and corpus to centroids, then search
     only within the query's cluster (nprobe=1). Recall trades against the
     |Q|·|C| blow-up — the standard IVF bargain; raise nprobe by unioning
-    nearest-m centroids per query when recall matters."""
-    c_assigned = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    q_assigned = assign_clusters(queries, centroids, id_col=id_col, vec_col=vec_col)
-    q = q_assigned.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
-    )
-    c = c_assigned.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "centroid_id"
-    )
-    scored = (
-        q.join(c, "centroid_id")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    nearest-m centroids per query when recall matters.
+
+    Physical plan: centroids and the (small) assigned query blocks broadcast;
+    the corpus streams once through a vectorized assign+search stage
+    partitioned on centroid, emitting per-partition partial top-k; a final
+    window merges. Total score work = Σ_cluster |Q_c|·|C_c| — the IVF saving
+    is real, not simulated."""
+    cent_pd = centroids.select(
+        F.col("centroid_id") if "centroid_id" in centroids.columns else F.col(id_col).alias("centroid_id"),
+        F.col(vec_col),
+    ).toPandas()
+    cent_ids = cent_pd["centroid_id"].to_numpy()
+    cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)
+
+    q_pd = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_ids = q_pd[id_col].to_numpy()
+    q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
+    q_cent = _np_assign(q_mat, cent_ids, cent_mat)
+    q_norms = _seq_sqrt_norms(q_mat)
+    # per-centroid query blocks
+    q_by_cent = {
+        int(c): (q_ids[q_cent == c], q_mat[q_cent == c], q_norms[q_cent == c])
+        for c in np.unique(q_cent)
+    }
+
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_by_cent, cent_ids, cent_mat))
+    par = sc.defaultParallelism
+
+    def search(batches):
+        q_by, c_ids_b, c_mat_b = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n_ids = pdf[id_col].to_numpy()
+            assigned = _np_assign(cm, c_ids_b, c_mat_b)
+            c_norms = _seq_sqrt_norms(cm)
+            rows_q, rows_n, rows_c = [], [], []
+            for cent in np.unique(assigned):
+                qc = q_by.get(int(cent))
+                if qc is None:
+                    continue
+                sub_q_ids, sub_qm, sub_qn = qc
+                sel = assigned == cent
+                sub_cm, sub_nids, sub_cn = cm[sel], n_ids[sel], c_norms[sel]
+                cos = _seq_score_block(sub_qm, sub_cm) / (
+                    sub_qn[:, None] * sub_cn[None, :]
+                )
+                for qi in range(len(sub_q_ids)):
+                    row = cos[qi]
+                    mask = sub_nids == sub_q_ids[qi]
+                    if mask.any():
+                        row = row.copy()
+                        row[mask] = -np.inf
+                    order = np.lexsort((sub_nids, -row))[:k]
+                    keep = order[np.isfinite(row[order])]
+                    rows_q.extend([sub_q_ids[qi]] * len(keep))
+                    rows_n.extend(sub_nids[keep])
+                    rows_c.extend(row[keep])
+            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
+
+    partials = corpus.repartition(par).mapInPandas(
+        search, schema="q_id long, n_id long, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partials.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
@@ -135,20 +293,32 @@ def blocked_near_dup(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.8,
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a coarse
     cluster or label). Blocking bounds the quadratic term to the largest
     block; pair (a < b) output with cosine ≥ threshold."""
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    vectors = vectors.repartition(par)
     a = vectors.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("a_vec"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col), dim).alias("a_norm"),
+        F.col(block_col).alias("blk"),
     )
     b = vectors.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("b_vec"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col), dim).alias("b_norm"),
+        F.col(block_col).alias("blk"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("a_vec"), F.col("b_vec"), dim) / (F.col("a_norm") * F.col("b_norm")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos", "blk")
     )

@@ -93,6 +93,7 @@ def resolve_agent_name(
     config_agents: list[str],
     *,
     max_hops: int = 6,
+    parent_source: DataFrame | None = None,
 ) -> DataFrame:
     """J3 (reference :460-509): walk each span's parent chain; the agent name
     is the first ancestor whose span_name (case-insensitively, after
@@ -103,10 +104,14 @@ def resolve_agent_name(
     Iterative broadcast self-join to a bounded fixpoint — tree depth is ≤ ~5
     in the reference data, so ``max_hops`` caps the loop; each hop joins only
     the still-unresolved rows against the projected parent table.
+
+    ``parent_source``: the UNFILTERED span table to resolve parents against
+    (the reference indexes the whole file, :454-458); defaults to ``spans``
+    itself, which is only correct when nothing has been filtered out yet.
     """
     agents_lc = [a.lower() for a in config_agents]
     parents = F.broadcast(
-        spans.select(
+        (parent_source if parent_source is not None else spans).select(
             F.col("span_id").alias("_p_id"),
             F.col("span_name").alias("_p_name"),
             F.col("parentObservationId").alias("_p_parent"),
@@ -121,6 +126,7 @@ def resolve_agent_name(
         out = out.join(parents, out["_cursor"] == parents["_p_id"], "left")
         stripped = _strip_subagent(F.col("_p_name"))
         matched = F.lower(stripped).isin(agents_lc)
+        fallback = stripped if hop == 0 else F.col("_fallback")
         out = (
             out.withColumn(
                 "agent_name",
@@ -128,10 +134,7 @@ def resolve_agent_name(
                     F.col("_p_name").isNotNull() & matched, stripped
                 ),
             )
-            .withColumn(
-                "_fallback",
-                F.when(hop == 0, stripped).otherwise(F.col("_fallback")),
-            )
+            .withColumn("_fallback", fallback)
             .withColumn(
                 "_cursor",
                 F.when(F.col("agent_name").isNotNull(), F.lit(None)).otherwise(

@@ -1,0 +1,76 @@
+"""Dedup operators on planted duplicates: exact, MinHash-LSH end-to-end,
+SimHash proximity, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+
+from nexgap_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun with great interest"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one-token edit → high Jaccard
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized operators and shuffle planning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # normalized dup of 1
+        (4, NEAR),  # near dup of 1
+        (5, FAR),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r.doc_id for r in dedup.exact_dedup(docs).collect()}
+    # 1,2,3 collapse to one digest (lower+trim+collapse); 4 and 5 survive
+    assert kept == {1, 4, 5}
+
+
+def test_dup_stats(docs):
+    s = dedup.dup_stats(docs).first()
+    assert s.n_docs == 5 and s.n_distinct == 3
+    assert s.n_dup_groups == 1 and s.max_group_size == 3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got and (1, 4) in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_dedup_end_to_end(docs):
+    kept = {r.doc_id for r in dedup.minhash_dedup(docs, threshold=0.5).collect()}
+    # 2,3,4 are near/exact dups of 1 → dropped (higher id of each pair)
+    assert 1 in kept and 5 in kept
+    assert 2 not in kept and 3 not in kept
+    assert 4 not in kept  # one-token edit caught by LSH + verify
+
+
+def test_simhash_proximity(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert fps[1] == fps[2]
+    assert hamming(fps[1], fps[4]) < hamming(fps[1], fps[5])
+    assert hamming(fps[1], fps[4]) <= 6
+
+
+def test_minhash_signature_shape(docs):
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh)
+    row = sigs.first()
+    assert all(hasattr(row, f"mh{j}") for j in range(8))
+    assert sigs.count() == 5

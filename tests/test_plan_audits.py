@@ -1,0 +1,80 @@
+"""Physical-plan regression audits (SCALE.md): pushdown reaches the scan,
+dims broadcast, top-k uses rank pushdown, windows are partitioned. These
+guard the *shape* of the plan — the thing that matters at 100 TB — against
+refactors that silently degrade it."""
+
+from __future__ import annotations
+
+import pytest
+
+from nexgap_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF_DIR)
+    if execute:
+        # AQE finalizes the physical plan (and its codegen stages) only on
+        # execution; pre-execution formatted plans show isFinalPlan=false.
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_column_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 7 needed columns, not all 11
+    assert "l_orderkey" not in scan_schema and "l_partkey" not in scan_schema
+    assert "l_quantity" in scan_schema
+
+
+def test_q02_dims_broadcast(spark):
+    plan = plan_of(spark, "q02_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the only exchange on the fact side is the lineitem⋈orders hash join
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_q03_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q03_top_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+
+
+def test_q06_multiple_pushed_filters(spark):
+    plan = plan_of(spark, "q06_revenue_filter")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q07_window_group_limit(spark):
+    plan = plan_of(spark, "q07_topk_parts_per_brand")
+    assert "WindowGroupLimit" in plan  # rank pushdown truncates state
+
+
+def test_q08_window_is_partitioned(spark):
+    plan = plan_of(spark, "q08_last_event_per_user")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_q22_parent_join_broadcasts(spark):
+    plan = plan_of(spark, "q22_span_parent_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # formatted explain marks codegen'd operators with "[codegen id : N]"
+    plan = plan_of(spark, "q01_pricing_summary", execute=True)
+    assert "codegen id" in plan

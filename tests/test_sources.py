@@ -1,0 +1,56 @@
+"""JSONL scan with corrupt-record side channel + idempotent-ingest ledger."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexgap_spark.sources import jsonl, ledger
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_corrupt_record_side_channel(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "name": "b"}\n'
+        '{"id": 3 "name": "c"}\n'  # malformed
+    )
+    df = jsonl.read_jsonl(spark, str(p), SCHEMA)
+    good, bad = jsonl.split_corrupt(df)
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 2
+    assert jsonl.CORRUPT_COL not in good.columns
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema=SCHEMA)
+    jsonl.write_jsonl(df, out)
+    back = spark.read.schema(SCHEMA).json(out)
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_ledger_anti_join(spark, tmp_path):
+    lpath = str(tmp_path / "ledger")
+    cands = spark.createDataFrame([("t1",), ("t2",), ("t3",)], "trace_id string")
+    led = ledger.read_ledger(spark, lpath, "trace_id")
+    fresh = ledger.anti_join_processed(cands, led, "trace_id")
+    assert fresh.count() == 3
+
+    ledger.mark_processed(fresh.filter(F.col("trace_id") != "t3"), lpath, "trace_id")
+    led2 = ledger.read_ledger(spark, lpath, "trace_id")
+    fresh2 = ledger.anti_join_processed(cands, led2, "trace_id")
+    assert {r.trace_id for r in fresh2.collect()} == {"t3"}
+
+    # idempotent: re-marking the same keys doesn't change the outcome
+    ledger.mark_processed(cands.limit(2), lpath, "trace_id")
+    fresh3 = ledger.anti_join_processed(cands, ledger.read_ledger(spark, lpath, "trace_id"), "trace_id")
+    assert {r.trace_id for r in fresh3.collect()} == {"t3"}

@@ -1,0 +1,90 @@
+"""Structured Streaming module: drive parquet batches through the streaming
+queries via the memory sink and cross-check against batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators.sessionize import sessionize
+from nexgap_spark.session import load_table
+from nexgap_spark.streaming import pipeline as SP
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return SP.read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+
+
+def test_windowed_counts_matches_batch(spark, event_stream):
+    # complete mode: append would (correctly) hold back the final open
+    # window past the watermark, so totals could never equal the batch run
+    q = SP.run_batch_to_memory(
+        SP.windowed_counts(event_stream), "win_counts", output_mode="complete"
+    )
+    try:
+        got = spark.sql(
+            "SELECT event_type, CAST(SUM(n) AS BIGINT) AS n FROM win_counts GROUP BY event_type"
+        ).collect()
+        batch = (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert {(r.event_type, r.n) for r in got} == {(r.event_type, r.n) for r in batch}
+    finally:
+        q.stop()
+
+
+def test_session_windows_match_batch_sessionize(spark, event_stream):
+    q = SP.run_batch_to_memory(
+        SP.session_windows(event_stream), "sess_win", output_mode="complete"
+    )
+    try:
+        streaming_counts = spark.sql(
+            "SELECT user_id, COUNT(*) AS n_sessions FROM sess_win GROUP BY user_id"
+        ).collect()
+        batch = (
+            sessionize(
+                load_table(spark, SF_SMOKE, "events"),
+                gap_minutes=30,
+                order_tiebreak="event_id",
+            )
+            .groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"))
+            .collect()
+        )
+        assert {(r.user_id, r.n_sessions) for r in streaming_counts} == {
+            (r.user_id, r.n_sessions) for r in batch
+        }
+    finally:
+        q.stop()
+
+
+def test_running_totals_update_mode(spark, event_stream):
+    q = SP.run_batch_to_memory(
+        SP.running_user_totals(event_stream), "user_totals", output_mode="update"
+    )
+    try:
+        got = spark.sql(
+            "SELECT COUNT(DISTINCT user_id) AS u, CAST(SUM(n_events) AS BIGINT) AS n FROM user_totals"
+        ).first()
+        ev = load_table(spark, SF_SMOKE, "events")
+        assert got.u == ev.select("user_id").distinct().count()
+        assert got.n == ev.count()
+    finally:
+        q.stop()
+
+
+def test_append_jsonl_sink(spark, event_stream, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    agg = SP.windowed_counts(event_stream)
+    q = SP.append_jsonl_sink(agg, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.json(out)
+    assert written.count() > 0
+    assert "event_type" in written.columns
