@@ -29,6 +29,8 @@ HEADLINE = [
     "q12_distinct_counts",
     "q16_sessionize_events",
     "q17_tumbling_window_agg",
+    "q41_asof_join",
+    "q42_range_join",
     # span-tree ops
     "q21_span_last_per_group",
     "q23_span_root_walk",
@@ -41,6 +43,7 @@ HEADLINE = [
     "q30_minhash_signatures",
     "q31_minhash_lsh_pairs",
     "q32_simhash",
+    "q43_dup_groups",
     "q34_cosine_topk",
     "q35_ivf_topk",
 ]

@@ -322,3 +322,49 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dup_groups(
+    pairs: DataFrame,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → (node, group_id)
+    with group_id = the smallest node id reachable from the node.
+
+    Hash-min label propagation: every node starts labeled with itself; each
+    round, a node adopts the minimum label among itself and its neighbors;
+    stop when a round changes nothing. Rounds needed = graph diameter — for
+    near-dup graphs that is tiny (dup clusters are cliques or short chains),
+    so the loop count is data-bounded like J3's parent walk, not O(V).
+
+    Each round is one groupBy over the edge list (shuffle on node id); labels
+    stay (node, label) pairs — at 100 TB this is the standard large-scale CC
+    recipe short of GraphFrames, and `localCheckpoint` every few rounds keeps
+    the plan from deepening unboundedly.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
+        .unionByName(pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m")))
+        .distinct()
+    )
+    labels = edges.select("n").distinct().withColumn("label", F.col("n"))
+    for i in range(max_iterations):
+        # candidate label per node: min over neighbors' labels and its own
+        neigh = (
+            edges.join(labels.withColumnRenamed("n", "m"), "m")
+            .select("n", "label")
+            .unionByName(labels)
+            .groupBy("n")
+            .agg(F.min("label").alias("new_label"))
+        )
+        merged = labels.join(neigh, "n")
+        changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = merged.select("n", F.col("new_label").alias("label"))
+        if i % 4 == 3:
+            labels = labels.localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    return labels.select(F.col("n"), F.col("label").alias("group_id"))

@@ -273,7 +273,10 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_oracle() -> str:
+def _lsh_jac_ctes() -> str:
+    """Shared CTE chain (tokens → shingles → minhash → LSH buckets →
+    candidate pairs → exact Jaccard) used by the q31 summary and the q43
+    connected-components oracle."""
     mins = ",\n             ".join(
         f"MIN((hv * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
         for j, (a, b) in enumerate(dedup.MINHASH_PARAMS)
@@ -282,8 +285,7 @@ def _lsh_oracle() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh{2 * b}::VARCHAR || '-' || mh{2 * b + 1}::VARCHAR) AS bucket FROM sig"
         for b in range(4)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, s
       FROM toks, UNNEST({_SHINGLES3}) AS u(s)
@@ -315,7 +317,12 @@ def _lsh_oracle() -> str:
       FROM verified v
       JOIN sizes sa ON v.a = sa.doc_id
       JOIN sizes sb ON v.b = sb.doc_id
-    )
+    )"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_jac_ctes()}
     SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
            CAST(COALESCE(SUM(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups,
            ROUND(COALESCE(MAX(j), 0.0), 6) AS max_jaccard
@@ -399,3 +406,36 @@ def q33_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — near-duplicate GROUPS: connected components over the verified LSH
+# pair graph (hash-min label propagation; oracle = recursive CTE reachability).
+# The cluster-then-keep-one shape every large-scale dedup pipeline ends with.
+# ---------------------------------------------------------------------------
+
+
+def _dup_groups_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_jac_ctes()},
+    near AS (SELECT a, b FROM jac WHERE j >= 0.2),
+    und AS (SELECT a AS n, b AS m FROM near UNION ALL SELECT b AS n, a AS m FROM near),
+    nodes AS (SELECT DISTINCT n FROM und),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.n, r.m FROM und u JOIN reach r ON u.m = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n
+    """
+
+
+@query("q43_dup_groups", oracle=_dup_groups_oracle())
+def q43_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
+    groups = dedup.dup_groups(near)
+    return groups.select(F.col("n").alias("doc_id"), "group_id")

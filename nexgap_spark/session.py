@@ -60,14 +60,33 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Python-worker lifecycle: keep the idle pool big enough that every
+        # core's worker survives between pandas-UDF stages. The default pool
+        # churns workers, and each respawn re-imports numpy/pandas/pyarrow —
+        # a 32-way import storm that was costing 10-40 s per python stage
+        # mid-session (measured: q34 22 s → 1.2 s with these settings).
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", str(4 * cpus))
     )
+    # Fork workers from a daemon that has already imported the numeric stack
+    # (copy-on-write warm start). Only valid when the package is importable
+    # from the worker's environment.
+    import importlib.util
+
+    if importlib.util.find_spec("nexgap_spark.daemon_preload") is not None:
+        builder = builder.config(
+            "spark.python.daemon.module", "nexgap_spark.daemon_preload"
+        )
+    # extra_conf goes on the builder: static (non-SQL) configs are immutable
+    # once the session exists, and getOrCreate applies builder options to an
+    # already-running session where possible.
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
         builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if extra_conf:
-        for k, v in extra_conf.items():
-            spark.conf.set(k, v)
     return spark
 
 
@@ -83,7 +102,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not float: (ts/1000).cast(long) rounds through double
+        # and lands ±1 µs off for large epochs (breaks oracle equality)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

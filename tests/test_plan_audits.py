@@ -74,6 +74,21 @@ def test_q22_parent_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q41_asof_no_nested_loop(spark):
+    # union-and-window as-of join: one shuffle, never a nested loop
+    plan = plan_of(spark, "q41_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_q42_range_join_is_hash_join(spark):
+    # bucketization turns the inequality predicate into equi-joins
+    plan = plan_of(spark, "q42_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_active(spark):
     # formatted explain marks codegen'd operators with "[codegen id : N]"
     plan = plan_of(spark, "q01_pricing_summary", execute=True)
