@@ -1,0 +1,282 @@
+"""Property-based tests (hypothesis) — SURVEY §5 item 3.
+
+Pure-Python cores only (no Spark): fast enough to fuzz hundreds of cases.
+
+Invariants:
+  * V1 `balanced_tags` accepts every generated well-nested document and
+    rejects the same document once its last closing tag is removed;
+  * F4 `restore_closing_tags` is idempotent and append-only;
+  * F3/F5 extraction is total (never raises) and strips every block grammar
+    from the cleaned content;
+  * J4 pairing conserves message counts, consumes each pending id at most
+    once, and matches name-first before FIFO;
+  * fuzzed parity: on random tag-soup documents our validator and extractor
+    agree byte-for-byte with the actual reference implementation
+    (filter_xml_errors.py / convert_spans_to_chatcompletion.py).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from nexgap_spark.functions import validators as V
+from nexgap_spark.functions.xml_tools import (
+    extract_tool_calls,
+    restore_closing_tags,
+)
+from nexgap_spark.operators.pairing import pair_tool_results
+from tests import fixtures_xml as FX
+
+REF_CONVERTER = "/root/reference/converter/trace/convert_spans_to_chatcompletion.py"
+REF_VALIDATOR = "/root/reference/converter/trace/filter_xml_errors.py"
+
+# ---------------------------------------------------------------------------
+# Strategies
+# ---------------------------------------------------------------------------
+
+# Tag vocabulary: grammar tags the validators special-case, generic tags,
+# a CJK name (V1 allows them), and an HTML void tag (exempt from balance).
+NONVOID_TAGS = ["tool_use", "tool_name", "parameter", "think", "data", "结果"]
+
+# Text that cannot accidentally open/close a tag.
+safe_text = st.text(
+    alphabet=st.characters(blacklist_characters="<>/", blacklist_categories=("Cs",)),
+    max_size=20,
+)
+
+
+@st.composite
+def nested_doc(draw, depth: int = 0) -> str:
+    """Well-nested document: interleaved safe text and properly closed tags."""
+    parts = []
+    for _ in range(draw(st.integers(0, 3))):
+        if depth >= 3 or draw(st.booleans()):
+            parts.append(draw(safe_text))
+        else:
+            name = draw(st.sampled_from(NONVOID_TAGS))
+            parts.append(f"<{name}>{draw(nested_doc(depth + 1))}</{name}>")
+    return "".join(parts)
+
+
+# Tag soup for parity fuzzing: structured fragments in random order — open
+# and close tags independently, whole well-formed fixture blocks, comments,
+# CDATA, void/self-closing tags, and plain text.
+_soup_fragment = st.one_of(
+    safe_text,
+    st.sampled_from([f"<{n}>" for n in NONVOID_TAGS]),
+    st.sampled_from([f"</{n}>" for n in NONVOID_TAGS]),
+    st.sampled_from(FX.ALL_CONTENTS),
+    st.sampled_from(
+        [
+            "<!-- <tool_use> inside a comment -->",
+            "<![CDATA[<unbalanced>]]>",
+            "<br>",
+            "<img/>",
+            "<tool_name>calc</tool_name>",
+            "<parameter><x>1</x></parameter>",
+            "Tool execution results:",
+            "1 < 2 is true",
+        ]
+    ),
+)
+tag_soup = st.lists(_soup_fragment, max_size=6).map("\n".join)
+
+
+# ---------------------------------------------------------------------------
+# V1 balanced_tags
+# ---------------------------------------------------------------------------
+
+
+@given(nested_doc())
+@settings(deadline=None)
+def test_balanced_accepts_well_nested(doc):
+    ok, errors = V.balanced_tags(doc)
+    assert ok and errors == []
+
+
+@given(nested_doc())
+@settings(deadline=None)
+def test_balanced_rejects_dropped_close(doc):
+    closes = [m for m in re.finditer(r"</([\w一-鿿-]+)>", doc)]
+    if not closes:
+        return
+    last = closes[-1]
+    mutated = doc[: last.start()] + doc[last.end() :]
+    ok, errors = V.balanced_tags(mutated)
+    assert not ok and errors
+
+
+# ---------------------------------------------------------------------------
+# F4 restore_closing_tags
+# ---------------------------------------------------------------------------
+
+
+@given(tag_soup)
+@settings(deadline=None)
+def test_restore_idempotent_and_append_only(doc):
+    once = restore_closing_tags(doc)
+    assert once.startswith(doc)
+    assert restore_closing_tags(once) == once
+
+
+# ---------------------------------------------------------------------------
+# F3/F5 extraction totality + stability
+# ---------------------------------------------------------------------------
+
+
+@given(tag_soup)
+@settings(deadline=None)
+def test_extraction_total_and_stable(doc):
+    # total: never raises on arbitrary soup. Unparseable blocks are KEPT in
+    # the cleaned content (reference behavior), so the invariant is
+    # stability: a second pass extracts nothing new and changes nothing.
+    cleaned, calls = extract_tool_calls(doc)
+    for c in calls:
+        assert c["id"] and c["function"]["name"]
+    cleaned2, calls2 = extract_tool_calls(cleaned)
+    assert cleaned2 == cleaned
+    assert calls2 == []
+
+
+# ---------------------------------------------------------------------------
+# J4 pairing invariants
+# ---------------------------------------------------------------------------
+
+_NAMES = ["web_search", "calculator", "file_read"]
+
+
+def _result_msg(names: list[str]) -> dict:
+    body = "\n".join(
+        f"<tool_result>\n<tool_name>{n}</tool_name>\n<result>r-{i}</result>\n</tool_result>"
+        for i, n in enumerate(names)
+    )
+    return {"role": "user", "content": f"Tool execution results:\n{body}"}
+
+
+def _assistant_msg(names: list[str]) -> dict:
+    return {
+        "role": "assistant",
+        "content": "",
+        "tool_calls": [
+            {
+                "type": "function",
+                "id": f"id_{i}_{n}",
+                "function": {"name": n, "arguments": "{}"},
+            }
+            for i, n in enumerate(names)
+        ],
+    }
+
+
+_message = st.one_of(
+    st.sampled_from([{"role": "user", "content": "hi"}, {"role": "assistant", "content": "ok"}]),
+    st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3).map(_assistant_msg),
+    st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3).map(_result_msg),
+)
+
+
+@given(st.lists(_message, max_size=6))
+@settings(deadline=None)
+def test_pairing_conservation_and_id_uniqueness(msgs):
+    import copy
+
+    msgs = copy.deepcopy(msgs)
+    # the generator can emit colliding call ids across messages; make them
+    # globally unique so id-uniqueness of the OUTPUT is a real invariant
+    seq = 0
+    for m in msgs:
+        for call in m.get("tool_calls") or []:
+            call["id"] = f"uid_{seq}_{call['function']['name']}"
+            seq += 1
+    out = pair_tool_results(copy.deepcopy(msgs))
+    n_results = sum(
+        len(list(re.findall(r"<tool_result>", m["content"])))
+        for m in msgs
+        if m["role"] == "user" and m["content"].startswith("Tool execution results:")
+    )
+    tool_msgs = [m for m in out if m["role"] == "tool"]
+    # conservation: one tool message per tool_result; nothing else dropped
+    assert len(tool_msgs) == n_results
+    assert len(out) == len(msgs) - sum(
+        1
+        for m in msgs
+        if m["role"] == "user" and m["content"].startswith("Tool execution results:")
+    ) + n_results
+    # each pending id consumed at most once
+    ids = [m["tool_call_id"] for m in tool_msgs]
+    assert len(ids) == len(set(ids))
+    for m in tool_msgs:
+        assert m["tool_call_id"]
+
+
+@given(
+    st.lists(st.sampled_from(_NAMES), min_size=2, max_size=3, unique=True),
+    st.data(),
+)
+@settings(deadline=None)
+def test_pairing_name_first_beats_fifo(names, data):
+    # results arrive in reverse call order; name matching must still pair
+    # each result with the call of the same name, not positionally.
+    import copy
+
+    msgs = [_assistant_msg(names), _result_msg(list(reversed(names)))]
+    out = pair_tool_results(copy.deepcopy(msgs))
+    by_name = {
+        c["function"]["name"]: c["id"] for c in msgs[0]["tool_calls"]
+    }
+    for m in out:
+        if m["role"] == "tool":
+            assert m["tool_call_id"] == by_name[m["name"]]
+
+
+# ---------------------------------------------------------------------------
+# Fuzzed parity with the actual reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _load_ref(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VALIDATOR), reason="reference unavailable")
+@pytest.mark.parametrize("mode", ["a4a", "nexau"])
+def test_fuzz_validator_parity(mode):
+    ref = _load_ref(REF_VALIDATOR, "ref_val_prop")
+    rv = ref.XMLValidator(mode=mode)
+
+    @given(tag_soup)
+    @settings(deadline=None, max_examples=150)
+    def check(doc):
+        ref_ok, ref_errs = rv.validate_message(doc)
+        my_ok, my_errs = V.validate_message(doc, mode=mode)
+        assert my_ok == ref_ok, f"[{mode}] verdict mismatch for: {doc!r}"
+        assert my_errs == ref_errs, f"[{mode}] errors mismatch for: {doc!r}"
+
+    check()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONVERTER), reason="reference unavailable")
+def test_fuzz_extraction_parity():
+    ref = _load_ref(REF_CONVERTER, "ref_conv_prop")
+    conv = ref.SpansToChatCompletionConverter()
+
+    def strip(calls):
+        return [{"type": c["type"], "function": c["function"]} for c in calls]
+
+    @given(tag_soup)
+    @settings(deadline=None, max_examples=150)
+    def check(doc):
+        ref_cleaned, ref_calls = conv.extract_tool_calls_from_xml(doc)
+        my_cleaned, my_calls = extract_tool_calls(doc)
+        assert my_cleaned == ref_cleaned, f"cleaned mismatch for: {doc!r}"
+        assert strip(my_calls) == strip(ref_calls), f"calls mismatch for: {doc!r}"
+
+    check()
