@@ -56,7 +56,9 @@ def read_event_stream(
         path = os.path.dirname(path)
     df = reader.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not float: the double path rounds ±1 µs at epoch
+        # magnitudes (same fix as session.load_table)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -141,6 +143,100 @@ def running_user_totals(events: DataFrame, *, watermark: str = "10 seconds") -> 
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, total double"
+
+
+def stateful_sessions(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` — the
+    operator shape for session semantics the built-in ``session_window``
+    can't express (per-session running aggregates carried in state, emission
+    exactly when a session closes).
+
+    State per user: (session_start_us, last_event_us, n_events, total_value).
+    A session CLOSES either (a) in-data, when the next event arrives more
+    than ``gap_minutes`` after the last one, or (b) at the event-time
+    timeout, when the watermark passes last_event + gap with no new data.
+    Only closed sessions are emitted (append mode), so results are stable
+    under replay.
+
+    Scale: state is O(active users) and keyed by the shuffle hash of
+    ``user_col`` — the same partitioning contract as the batch twin
+    (operators.sessionize); skew mitigation and state-store sizing follow
+    the watermark, which bounds how long an idle session can hold state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def _emit(user_id: int, sessions: list[tuple[int, int, int, float]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.to_datetime(s[0], unit="us") for s in sessions],
+                "session_end": [pd.to_datetime(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _emit(user_id, [(start_us, last_us, n, total)])
+            return
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values([ts_col, "event_id"] if "event_id" in rows else [ts_col])
+        ts_us = rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        vals = rows["value"].fillna(0.0).to_numpy()
+
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n, total = t, t, 1, float(v)
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n, total))
+                start_us, last_us, n, total = t, t, 1, float(v)
+            else:
+                last_us, n, total = t, n + 1, total + float(v)
+        state.update((int(start_us), int(last_us), int(n), float(total)))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+        if closed:
+            yield _emit(user_id, closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -78,6 +78,48 @@ def test_running_totals_update_mode(spark, event_stream):
         q.stop()
 
 
+def test_stateful_sessions_match_batch_closed_sessions(spark, event_stream):
+    # Huge watermark delay => the watermark never advances past any session's
+    # last event + gap, so no event-time timeout can fire and the emitted set
+    # is EXACTLY the sessions closed in-data (a new event > gap later).
+    # That equals the batch sessionization minus each user's final session
+    # (still open in state) — a fully deterministic comparison.
+    q = SP.run_batch_to_memory(
+        SP.stateful_sessions(event_stream, watermark="3650 days"),
+        "stateful_sess",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+            for r in spark.sql("SELECT * FROM stateful_sess").collect()
+        }
+        sess = sessionize(
+            load_table(spark, SF_SMOKE, "events"),
+            gap_minutes=30,
+            order_tiebreak="event_id",
+        )
+        per_session = sess.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("session_id").alias("sid"),
+        )
+        last_sid = sess.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+        closed = per_session.join(last_sid, "user_id").filter(
+            F.col("sid") != F.col("last_sid")
+        )
+        want = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+            for r in closed.collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_append_jsonl_sink(spark, event_stream, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
