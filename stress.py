@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Scale-stress harness: does each custom operator scale linearly?
+
+Multiplies the sf0.1 tables in memory along the SCALE-OUT axis — M× more
+users / documents / vectors at the same per-key density, which is how 100 TB
+differs from 10 GB on a real cluster — and times the operators whose scaling
+behavior matters most: sessionization, as-of join, range join, MinHash
+signatures + LSH pairing, and brute-force cosine top-k (fixed query set,
+growing corpus).
+
+Replicated keys are shifted into disjoint ranges (and document text is
+salted per replica) so no artificial cross-replica matches appear: output
+sizes scale linearly, so wall time should too. A `scaling` ratio far above
+the multiplier (after subtracting fixed overhead) flags a quadratic path.
+
+Prints ONE JSON line:
+  {"multiplier": M, "sf": 0.1, "ops": {name: {"sec_1x": s, "sec_mx": s,
+   "rows_1x": n, "rows_mx": n, "scaling": sec_mx/sec_1x}}}
+
+Not part of the driver's bench contract (bench.py is); run ad hoc:
+  SPARK_GRAFT_STRESS_MULT=10 python stress.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from nexgap_spark.operators import dedup
+from nexgap_spark.operators.sessionize import sessionize
+from nexgap_spark.operators.similarity import brute_force_topk
+from nexgap_spark.operators.temporal_join import asof_join, range_join
+from nexgap_spark.session import get_spark, load_table
+
+
+def _multiply(df: DataFrame, m: int, id_cols: list[str], salt_text: str | None = None) -> DataFrame:
+    """M copies with key columns shifted into disjoint ranges per replica."""
+    if m == 1:
+        return df
+    shifts = {c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+    rep = df.sparkSession.range(m).withColumnRenamed("id", "_rep")
+    out = df.crossJoin(F.broadcast(rep))
+    for c, s in shifts.items():
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * F.lit(s))
+    if salt_text:
+        # suffix EVERY token with the replica id: every shingle differs
+        # across replicas, so MinHash/LSH finds no cross-replica near-dups
+        # and dup-cluster sizes stay constant as the corpus grows
+        out = out.withColumn(
+            salt_text,
+            F.regexp_replace(
+                F.col(salt_text), F.lit(r"(\S+)"), F.concat(F.lit(r"$1_"), F.col("_rep"))
+            ),
+        )
+    return out.drop("_rep")
+
+
+def _timed(build, *, cache_inputs: list[DataFrame]) -> tuple[float, int]:
+    for df in cache_inputs:
+        df.cache().count()  # materialize inputs so timing measures the operator
+    out = build()
+    t0 = time.perf_counter()
+    # noop sink: forces every column of every row to be computed — count()
+    # would let Catalyst prune windows/projections and time nothing
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    n = out.count()
+    for df in cache_inputs:
+        df.unpersist()
+    return round(dt, 3), n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = int(os.environ.get("SPARK_GRAFT_STRESS_MULT", "10"))
+    spark = get_spark("nexgap_stress")
+    spark.range(32 * 1024).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_1x = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def ops_for(mult: int):
+        e = _multiply(ev, mult, ["event_id", "user_id"])
+        d = _multiply(docs, mult, ["doc_id"], salt_text="text")
+        c = _multiply(emb, mult, ["vec_id"])
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        views = e.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        sh = dedup.shingle_table(d)
+        return {
+            "sessionize": ([e], lambda: sessionize(e, order_tiebreak="event_id")),
+            "asof_join": (
+                [e],
+                lambda: asof_join(purchases, views.groupBy("user_id", "ts").agg(
+                    F.max("event_id").alias("view_event_id")
+                ), on="user_id", right_cols=["view_event_id"]),
+            ),
+            "range_join": (
+                [e],
+                lambda: range_join(purchases, views, on="user_id", window_s=3600.0, suffix="_v"),
+            ),
+            "minhash_lsh_pairs": (
+                [d],
+                lambda: dedup.lsh_candidate_pairs(
+                    dedup.minhash_signatures(sh, num_hashes=8), bands=4, rows_per_band=2
+                ),
+            ),
+            "cosine_topk_fixed_queries": (
+                [c],
+                lambda: brute_force_topk(queries_1x, c, k=3),
+            ),
+        }
+
+    results: dict[str, dict[str, float | int]] = {}
+    for mult, tag in ((1, "1x"), (m, "mx")):
+        for name, (inputs, build) in ops_for(mult).items():
+            sec, rows = _timed(build, cache_inputs=inputs)
+            results.setdefault(name, {})[f"sec_{tag}"] = sec
+            results[name][f"rows_{tag}"] = rows
+            print(f"[stress] {name} @{mult}x: {sec}s ({rows} rows)", file=sys.stderr)
+    for name, r in results.items():
+        r["scaling"] = round(r["sec_mx"] / max(r["sec_1x"], 1e-9), 2)
+
+    sf_val = None
+    import re
+
+    sf_m = re.search(r"sf([0-9.]+)", sf_dir)
+    if sf_m:
+        sf_val = float(sf_m.group(1))
+    print(json.dumps({"multiplier": m, "sf": sf_val, "ops": results}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
