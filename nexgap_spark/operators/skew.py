@@ -1,0 +1,105 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+At 100 TB a single hot key (one power-user in `events`, one giant dup
+cluster in `documents`) turns a shuffle into one straggler task. AQE's skew
+handling (enabled in session.get_spark) rebalances *sort-merge join* and
+*rebalance* shuffles at runtime; these helpers cover the cases AQE does not:
+hash aggregations with hot grouping keys, and broadcast-ineligible joins
+where one side's key distribution is pathological.
+
+Semantics are identical to the unsalted groupBy/join — tests assert row-level
+equality — only the shuffle distribution changes: a hot key's rows spread
+over ``buckets`` partitions instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+# (partial expr per (key, salt) group, final re-combine over salt groups)
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) recombine. ``aggs`` maps output column → (fn, input col)
+    with fn ∈ {sum, count, min, max} (the mergeable aggregates; avg = sum
+    and count recombined by the caller).
+
+    The first shuffle spreads each hot key across ``buckets`` partitions;
+    the second shuffles only ``|distinct keys| × buckets`` partial rows —
+    negligible next to the raw data. Map-side partial aggregation already
+    softens skew for built-in aggs; salting is for when the *reduce* side
+    still concentrates (e.g. high-cardinality payloads per hot key).
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(f"{name}: {fn} is not mergeable; use sum/count/min/max")
+    salted = df.withColumn(_SALT, F.floor(F.rand(seed) * buckets))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[
+            _MERGEABLE[fn][0](F.lit(1) if col == "*" else F.col(col)).alias(name)
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_MERGEABLE[fn][1](F.col(name)).alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted: each skewed row gets a random
+    salt in [0, buckets); ``other`` is replicated once per salt value; the
+    join key becomes (on..., salt). A hot key's probe rows land on
+    ``buckets`` partitions instead of one; the build side grows ``buckets``×,
+    so keep ``other`` the smaller side (if it were broadcast-small you
+    wouldn't salt at all — broadcast joins don't shuffle the skewed side).
+
+    Row-level semantics equal ``skewed.join(other, on, how)`` for how ∈
+    {inner, left}: every skewed row carries exactly one salt and every
+    (key, salt) it can need exists on the replicated side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salt_values = skewed.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias(_SALT)
+    )
+    left = skewed.withColumn(_SALT, F.floor(F.rand(seed) * buckets).cast("int"))
+    right = other.crossJoin(F.broadcast(salt_values))
+    return left.join(right, on + [_SALT], how).drop(_SALT)
+
+
+def top_keys(df: DataFrame, keys: list[str], *, n: int = 20) -> DataFrame:
+    """Skew diagnostic: the n heaviest key groups with their share of rows —
+    the thing to look at before deciding between AQE, salting, or isolating
+    hot keys into a broadcast path."""
+    total = df.count()
+    counts = df.groupBy(*keys).count()
+    return (
+        counts.withColumn("share", F.round(F.col("count") / F.lit(total), 6))
+        .orderBy(F.col("count").desc(), *keys)
+        .limit(n)
+    )
