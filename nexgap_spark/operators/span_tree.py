@@ -192,7 +192,48 @@ def sort_chronologically(spans: DataFrame) -> DataFrame:
 def number_rows(df: DataFrame, *, order_col: str, out_col: str = "seq") -> DataFrame:
     """W2/W3 (reference get_trace.py:44-56, pipeline.py:796-804): sequential
     numbering. Single-partition window — apply only to small/pre-aggregated
-    frames (the reference numbers per-trace files, which are tiny)."""
+    frames (the reference numbers per-trace files, which are tiny).
+    For large frames use :func:`number_rows_scalable`."""
     return df.withColumn(
         out_col, F.row_number().over(W.orderBy(F.col(order_col)))
+    )
+
+
+def number_rows_scalable(
+    df: DataFrame, *, order_col: str, out_col: str = "seq"
+) -> DataFrame:
+    """Global sequential numbering WITHOUT the single-partition window.
+
+    Three steps, all distributed: (1) `repartitionByRange(order_col)` gives a
+    total order across partitions (partition i's values all precede partition
+    i+1's); (2) `row_number()` per partition is local — no data movement;
+    (3) per-partition row counts (one row per partition) turn into cumulative
+    offsets on the driver-sized side and broadcast back. Equivalent to
+    `number_rows` whenever ``order_col`` is unique (ties across a partition
+    boundary are otherwise ordered arbitrarily, as with any non-total order).
+    """
+    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(F.col(order_col))
+    local = ranged.withColumn("_local", F.row_number().over(w_local))
+    # one row per partition: the window below is over #partitions rows
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("int"))
+        .drop("_pid", "_local", "_off")
     )

@@ -88,6 +88,18 @@ def test_top_keys_diagnostic(spark):
     assert shares == sorted(shares, reverse=True)
 
 
+def test_number_rows_scalable_matches_global_window(spark):
+    from nexgap_spark.operators.span_tree import number_rows, number_rows_scalable
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    got = number_rows_scalable(ev, order_col="event_id")
+    want = number_rows(ev, order_col="event_id")
+    assert _rows(got, ["event_id", "seq"]) == _rows(want, ["event_id", "seq"])
+    # the big side is range-partitioned, not funneled through one partition
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     ev = load_table(spark, SF_SMOKE, "events")
     by_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
