@@ -182,6 +182,15 @@ def convert_spans(
     )
     resolved = span_tree.exclude_meta(resolved)
 
+    # The chain above is narrow (broadcast joins only), so partitioning is
+    # whatever the scan produced — for a small single-file input that is ONE
+    # split, which would serialize the Python transform on one core. Fan out
+    # only when below cluster parallelism; at scale the scan's splits already
+    # exceed it and this is a no-op (no shuffle added).
+    par = resolved.sparkSession.sparkContext.defaultParallelism
+    if resolved.rdd.getNumPartitions() < par:
+        resolved = resolved.repartition(par)
+
     out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
