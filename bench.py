@@ -44,8 +44,10 @@ HEADLINE = [
     "q31_minhash_lsh_pairs",
     "q32_simhash",
     "q43_dup_groups",
+    "q44_dedup_corpus",
     "q34_cosine_topk",
     "q35_ivf_topk",
+    "q45_hyperplane_lsh",
 ]
 
 

@@ -363,6 +363,7 @@ def dup_groups(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
+    prev_ckpt = None
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
@@ -373,6 +374,12 @@ def dup_groups(
             .agg(F.min("label").alias("new_label"))
         )
         merged = labels.join(neigh, "n").localCheckpoint()
+        # previous round's blocks are dead once the new checkpoint exists;
+        # release them so state doesn't accumulate across rounds (and across
+        # repeated calls in a long-lived session)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = merged
         changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = merged.select("n", F.col("new_label").alias("label"))
         if changed == 0:

@@ -322,3 +322,70 @@ def blocked_near_dup(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos", "blk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH — the bucketed near-dup / ANN scale path.
+# ---------------------------------------------------------------------------
+
+# Deterministic integer hyperplanes shared verbatim with the DuckDB oracle:
+# plane[j][i] = ((i+1)*A_j + B_j) mod 17 - 8, A/B coprime-ish constants.
+_HYPERPLANE_AB = [(3, 1), (5, 2), (7, 3), (11, 5), (13, 7), (17, 11), (19, 13), (23, 17)]
+HYPERPLANES: list[list[int]] = [
+    [((i + 1) * a + b) % 17 - 8 for i in range(DEFAULT_DIM)] for a, b in _HYPERPLANE_AB
+]
+
+
+def hyperplane_bucket(vec: Column, *, dim: int = DEFAULT_DIM) -> Column:
+    """Sign-LSH bucket id: bit j = [vec · plane_j >= 0]; 8 planes → 256
+    buckets. The dot products are flat codegen'd chains with strict
+    left-to-right addition (same float discipline as `dot`), so bucket
+    assignment is bit-identical to the DuckDB oracle's ordered fold."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(HYPERPLANES):
+        terms = [
+            F.element_at(vec, i + 1).cast("double") * F.lit(float(plane[i]))
+            for i in range(dim)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        bucket = bucket + F.when(acc >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_lsh_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Candidate pairs = same-bucket pairs (a < b) with exact cosine attached.
+
+    One shuffle on the bucket id; candidate count is Σ_bucket |b|² / 2
+    instead of |V|²/2 — with balanced buckets a 2^planes reduction, which is
+    what makes all-pairs similarity tractable at corpus scale. Cosine-close
+    vectors agree on most sign bits, so recall concentrates where it
+    matters; raise recall by unioning rotated plane sets."""
+    b = vectors.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim=dim).alias("bucket")
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                dot(F.col("_va"), F.col("_vb"), dim)
+                / (norm(F.col("_va"), dim) * norm(F.col("_vb"), dim))
+            ).alias("cos"),
+        )
+    )

@@ -139,3 +139,54 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cos") >= 0.25).cast("long")).alias("n_near"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — hyperplane sign-LSH bucketed similarity scan: the ANN scale path
+# that replaces the |V|² all-pairs with Σ_bucket |b|² (256 buckets from 8
+# deterministic integer hyperplanes shared verbatim with the oracle).
+# ---------------------------------------------------------------------------
+
+
+def _plane_literal(plane: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in plane) + "]"
+
+
+def _bucket_sql(v: str) -> str:
+    parts = []
+    for j, plane in enumerate(sim.HYPERPLANES):
+        d = (
+            "list_aggregate(list_transform(range(1, 65), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({_plane_literal(plane)})[CAST(i AS INT)]), 'sum')"
+        )
+        parts.append(f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "q45_hyperplane_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b,
+             {_cos('l.embedding', 'r.embedding')} AS cos
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_similar,
+           ROUND(COALESCE(MAX(cos), 0.0), 6) AS max_cos
+    FROM pairs
+    """,
+)
+def q45_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = sim.hyperplane_lsh_pairs(emb)
+    return pairs.agg(
+        F.count("*").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("cos") >= 0.2, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_similar"),
+        F.round(F.coalesce(F.max("cos"), F.lit(0.0)), 6).alias("max_cos"),
+    )

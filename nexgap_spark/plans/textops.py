@@ -439,3 +439,54 @@ def q43_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
     groups = dedup.dup_groups(near)
     return groups.select(F.col("n").alias("doc_id"), "group_id")
+
+
+# ---------------------------------------------------------------------------
+# q44 — corpus dedup END PRODUCT: drop every non-canonical member of a
+# near-dup group (canonical = smallest doc_id in its connected component),
+# keeping group_size as the provenance of how much was removed. This is the
+# query a 100 TB training-data pipeline actually ships: q31 finds pairs,
+# q43 clusters them, q44 emits the deduplicated corpus.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_jac_ctes()},
+    near AS (SELECT a, b FROM jac WHERE j >= 0.2),
+    und AS (SELECT a AS n, b AS m FROM near UNION ALL SELECT b AS n, a AS m FROM near),
+    nodes AS (SELECT DISTINCT n FROM und),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.n, r.m FROM und u JOIN reach r ON u.m = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n),
+    gsizes AS (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id)
+    SELECT d.doc_id, CAST(COALESCE(s.group_size, 1) AS BIGINT) AS group_size
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN gsizes s ON c.group_id = s.group_id
+    WHERE c.doc_id IS NULL OR c.group_id = d.doc_id
+    """
+
+
+@query("q44_dedup_corpus", oracle=_dedup_corpus_oracle())
+def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
+    groups = dedup.dup_groups(near).select(
+        F.col("n").alias("doc_id"), "group_id"
+    )
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    # groups is tiny relative to the corpus (only docs with a near-dup),
+    # so both joins broadcast — the corpus itself never shuffles
+    membership = F.broadcast(groups.join(sizes, "group_id"))
+    return (
+        docs.join(membership, "doc_id", "left")
+        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
+        .select("doc_id", F.coalesce("group_size", F.lit(1)).alias("group_size"))
+    )
