@@ -134,3 +134,63 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("bigint").alias("duration_ms"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def real_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """The slot for a real image resize (PIL). STUB: not in this container."""
+    raise NotImplementedError(
+        "image resize requires codec libraries not present in this environment; "
+        "inject fake_resize_kernel or a real resizer"
+    )
+
+
+def fake_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: cycle the payload bytes to exactly
+    width*height bytes (truncate or repeat). Same signature and batch shape
+    as a real kernel; output size is what a real w*h*1-channel raster is."""
+    target = max(1, width * height)
+    src = payload or b"\x00"
+    reps = target // len(src) + 1
+    return (src * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    width: int = 16,
+    height: int = 16,
+    kernel: Callable[[bytes, int, int], bytes] = real_resize_kernel,
+) -> DataFrame:
+    """Resize plumbing for image rows: binary in → fixed-size binary out via
+    Arrow-batched mapInPandas (CPU-bound per row, so partitions ≈ cores; the
+    output column carries the new raster dims as typed metadata)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image" or r["payload"] is None:
+                    continue
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "width": width,
+                        "height": height,
+                        "payload": kernel(bytes(r["payload"]), width, height),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -146,6 +146,23 @@ def running_user_totals(events: DataFrame, *, watermark: str = "10 seconds") -> 
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup (at-least-once delivery → effectively-once):
+    drop re-deliveries of the same event id. dropDuplicatesWithinWatermark
+    holds state only for the watermark horizon, so state is bounded by
+    (arrival rate × lateness) instead of growing with the stream — the
+    batch twin is q27's exact dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"

@@ -48,3 +48,19 @@ def test_frame_sampling_shape(media):
     # only video rows produce frames
     kinds = {r.media_id for r in media.filter(F.col("kind") != "video").collect()}
     assert kinds.isdisjoint({r.media_id for r in rows})
+
+
+def test_resize_media_fake_kernel(media):
+    out = MM.resize_media(
+        media, width=8, height=4, kernel=MM.fake_resize_kernel
+    ).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert r.width == 8 and r.height == 4
+        assert len(r.payload) == 32
+
+
+def test_real_resize_kernel_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.real_resize_kernel(b"xx", 4, 4)

@@ -54,3 +54,23 @@ def test_ledger_anti_join(spark, tmp_path):
     ledger.mark_processed(cands.limit(2), lpath, "trace_id")
     fresh3 = ledger.anti_join_processed(cands, ledger.read_ledger(spark, lpath, "trace_id"), "trace_id")
     assert {r.trace_id for r in fresh3.collect()} == {"t3"}
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    from nexgap_spark.session import load_table
+    from nexgap_spark.sources.parquet_sink import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "ev_part")
+    write_partitioned_parquet(ev, out, partition_cols=["event_type"])
+    back = read_partitioned_parquet(spark, out)
+    assert back.count() == ev.count()
+    one = back.filter(F.col("event_type") == "view")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the filter prunes directories instead of being a data filter
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert one.count() == ev.filter(F.col("event_type") == "view").count()

@@ -130,3 +130,19 @@ def test_append_jsonl_sink(spark, event_stream, tmp_path):
     written = spark.read.json(out)
     assert written.count() > 0
     assert "event_type" in written.columns
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    # duplicate every event, stream the result, dedup by event_id
+    ev = load_table(spark, SF_SMOKE, "events")
+    dup_path = str(tmp_path / "dup_events")
+    ev.unionByName(ev).write.parquet(dup_path)
+    # this parquet was written with ts already a µs timestamp, not the raw
+    # nanos-long layout the default stream schema models
+    stream = SP.read_event_stream(spark, dup_path, schema=ev.schema)
+    q = SP.run_batch_to_memory(SP.dedup_events(stream), "dedup_ev")
+    try:
+        got = spark.sql("SELECT COUNT(*) AS n FROM dedup_ev").first().n
+        assert got == ev.count()
+    finally:
+        q.stop()
