@@ -136,6 +136,45 @@ def append_jsonl_sink(
     return writer.start()
 
 
+def epoch_write_json(batch: DataFrame, epoch_id: int, out_dir: str) -> bool:
+    """Idempotent per-epoch JSON write: each micro-batch lands in its own
+    ``epoch=<id>/`` directory, overwrite mode, with a commit marker written
+    last. A re-delivered epoch (task retry, post-crash replay from the
+    checkpoint) is either skipped (marker present) or safely overwritten
+    (partial dir without marker) — the exactly-once append the reference's
+    per-record file appends can't give. Returns False when skipped."""
+    import os
+
+    target = os.path.join(out_dir, f"epoch={epoch_id}")
+    marker = os.path.join(target, "_COMMITTED")
+    if os.path.exists(marker):
+        return False
+    batch.write.mode("overwrite").json(target)
+    with open(marker, "w"):
+        pass
+    return True
+
+
+def idempotent_jsonl_sink(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """T3+T6 with exactly-once output: foreachBatch + per-epoch idempotent
+    writes. The checkpoint replays the failed epoch after a restart and
+    `epoch_write_json` makes the replay a no-op."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        epoch_write_json(batch, epoch_id, out_dir)
+
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 def running_user_totals(events: DataFrame, *, watermark: str = "10 seconds") -> DataFrame:
     """T5: the flock-guarded shared counter re-expressed as streaming state —
     update-mode running totals per user; the shuffle is the merge."""

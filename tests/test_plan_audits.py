@@ -93,3 +93,16 @@ def test_whole_stage_codegen_active(spark):
     # formatted explain marks codegen'd operators with "[codegen id : N]"
     plan = plan_of(spark, "q01_pricing_summary", execute=True)
     assert "codegen id" in plan
+
+
+def test_q44_membership_broadcasts(spark):
+    # the dedup filter must broadcast group membership, not shuffle the corpus
+    plan = plan_of(spark, "q44_dedup_corpus")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q45_bucket_join_is_hash_join(spark):
+    plan = plan_of(spark, "q45_hyperplane_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(bucket" in plan or "bucket" in plan

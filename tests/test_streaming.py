@@ -146,3 +146,19 @@ def test_stream_dedup_events(spark, tmp_path):
         assert got == ev.count()
     finally:
         q.stop()
+
+
+def test_idempotent_sink_skips_committed_epoch(spark, event_stream, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = SP.idempotent_jsonl_sink(SP.windowed_counts(event_stream), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.json(out)
+    n = written.count()
+    assert n > 0
+    # replaying a committed epoch is a no-op; an uncommitted partial epoch
+    # is overwritten, not appended
+    batch = written.limit(5)
+    assert SP.epoch_write_json(batch, 0, out) is False
+    assert spark.read.json(out).count() == n
