@@ -1,0 +1,236 @@
+"""User-facing facade: every reference entry point as one engine call.
+
+A user of the reference drives it through five CLIs; each maps onto an
+`Engine` method over DataFrames, so switching is a rename, not a rewrite:
+
+  reference entry point                          → Engine method
+  ─────────────────────────────────────────────────────────────────────
+  converter/trace/get_traces.py (ingest+skip)    → read_spans + ledger_filter
+  convert_spans_to_chatcompletion.py             → convert
+  converter/trace/filter_xml_errors.py           → validate / filter_valid
+  convert_trace_to_specific_tool_call_style.py   → emit
+  Gyrfalcon main.py / core/pipeline.py sampling  → sample_paths (round-based)
+  (scale extensions)                             → dedup_corpus, run_query
+
+Everything returns DataFrames; nothing collects. Side-effecting steps
+(`write_jsonl`, ledgers) live in `nexgap_spark.sources`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexgap_spark.operators import dedup
+from nexgap_spark.operators.converter import convert_spans
+from nexgap_spark.schemas import SPAN_SCHEMA
+from nexgap_spark.session import get_spark
+from nexgap_spark.sources import jsonl, ledger
+
+VALID_STRUCT = T.StructType(
+    [
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("errors", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+class Engine:
+    """One SparkSession + the full operator catalog behind simple calls."""
+
+    def __init__(self, spark: SparkSession | None = None, **session_kwargs: Any):
+        self.spark = spark or get_spark("nexgap_engine", **session_kwargs)
+
+    # -- ingest ------------------------------------------------------------
+
+    def read_spans(self, path: str) -> DataFrame:
+        """S1/S6: JSONL span scan with the corrupt-record side channel
+        already split off (bad lines are dropped here; use
+        sources.jsonl.read_jsonl directly to inspect them).
+
+        Union-typed fields (SURVEY hard-part 5, reference :1527-1532):
+        `input`/`output` arrive as either one message object or a list.
+        Ingest them as raw JSON text, wrap bare objects into one-element
+        arrays, then parse against the message schema — a dict-shaped
+        `output` must not land in the corrupt channel."""
+        msg_ddl = SPAN_SCHEMA["input"].dataType.simpleString()
+
+        def norm(col: str):
+            s = F.trim(F.col(col))
+            wrapped = F.when(
+                s.startswith("{"), F.concat(F.lit("["), s, F.lit("]"))
+            ).otherwise(s)
+            return F.from_json(wrapped, msg_ddl).alias(col)
+
+        ingest_schema = T.StructType(
+            [
+                f
+                if f.name not in ("input", "output")
+                else T.StructField(f.name, T.StringType())
+                for f in SPAN_SCHEMA.fields
+            ]
+        )
+        good, _bad = jsonl.split_corrupt(
+            jsonl.read_jsonl(self.spark, path, schema=ingest_schema)
+        )
+        return good.select(
+            *[
+                norm(f.name) if f.name in ("input", "output") else F.col(f.name)
+                for f in SPAN_SCHEMA.fields
+            ]
+        )
+
+    def ledger_filter(
+        self, candidates: DataFrame, ledger_path: str, *, key: str = "trace_id"
+    ) -> DataFrame:
+        """S4/S5: drop rows whose key is already in the processed ledger."""
+        led = ledger.read_ledger(self.spark, ledger_path, key)
+        return ledger.anti_join_processed(candidates, led, key)
+
+    # -- converter ---------------------------------------------------------
+
+    def convert(
+        self,
+        spans: DataFrame,
+        *,
+        config_agents: list[str],
+        agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+    ) -> DataFrame:
+        """Span tree → ChatCompletion records (P2→A1→J3→P3→document
+        transform); the whole reference converter as one call."""
+        return convert_spans(
+            spans, config_agents=config_agents, agent_tools=agent_tools
+        )
+
+    # -- validation (P7 / V1-V6) -------------------------------------------
+
+    def validate(
+        self, records: DataFrame, *, messages_col: str = "messages", mode: str = "a4a"
+    ) -> DataFrame:
+        """Append a `validation struct<valid,errors>` column: every assistant
+        message in the record must pass V1-V6."""
+        from nexgap_spark.functions.validators import record_is_valid
+
+        def _check(s):
+            rows = []
+            for m in s:
+                # Arrow gives array cells as numpy arrays whose truthiness is
+                # ambiguous; the validator core expects a plain list or None
+                msgs = None if m is None else list(m)
+                rows.append(
+                    dict(zip(("valid", "errors"), record_is_valid(msgs, mode=mode)))
+                )
+            return pd.DataFrame(rows)
+
+        _check.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        udf = F.pandas_udf(_check, VALID_STRUCT)
+        return records.withColumn("validation", udf(F.col(messages_col)))
+
+    def filter_valid(
+        self, records: DataFrame, *, messages_col: str = "messages", mode: str = "a4a"
+    ) -> tuple[DataFrame, DataFrame]:
+        """(valid records without the helper column, error side-output) —
+        the filter_xml_errors.py contract."""
+        checked = self.validate(records, messages_col=messages_col, mode=mode)
+        valid = checked.filter(F.col("validation.valid")).drop("validation")
+        errors = checked.filter(~F.col("validation.valid")).select(
+            "*", F.col("validation.errors").alias("xml_errors")
+        ).drop("validation")
+        return valid, errors
+
+    # -- emitters (F7/F8) ---------------------------------------------------
+
+    def emit(
+        self, records: DataFrame, target: str, *, messages_col: str = "messages"
+    ) -> DataFrame:
+        """Rewrite assistant tool-call blocks into the target model format
+        (qwen / minimax / glm / openrouter / deepseek).
+
+        Spark can't call a Python UDF inside a higher-order-function lambda,
+        so the rewritten content array is computed by an Arrow-batched UDF
+        into a sibling column first, then a pure `transform` zips it back
+        into the message structs by index."""
+        from nexgap_spark.functions.emitters import convert_message
+
+        def _rw(roles, contents):
+            out = []
+            for rs, cs in zip(roles, contents):
+                if cs is None:
+                    out.append(None)
+                    continue
+                out.append(
+                    [
+                        convert_message(c, target)
+                        if r == "assistant" and isinstance(c, str)
+                        else c
+                        for r, c in zip(rs, cs)
+                    ]
+                )
+            return pd.Series(out)
+
+        _rw.__annotations__ = {
+            "roles": pd.Series,
+            "contents": pd.Series,
+            "return": pd.Series,
+        }
+        rw_udf = F.pandas_udf(_rw, T.ArrayType(T.StringType()))
+        return (
+            records.withColumn(
+                "_rw",
+                rw_udf(
+                    F.col(f"{messages_col}.role"), F.col(f"{messages_col}.content")
+                ),
+            )
+            .withColumn(
+                messages_col,
+                F.transform(
+                    F.col(messages_col),
+                    lambda m, i: m.withField(
+                        "content", F.element_at(F.col("_rw"), i + F.lit(1))
+                    ),
+                ),
+            )
+            .drop("_rw")
+        )
+
+    # -- scale extensions ---------------------------------------------------
+
+    def dedup_corpus(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_jaccard: float = 0.2,
+    ) -> DataFrame:
+        """MinHash-LSH near-dup dedup end to end: returns the kept rows of
+        ``docs`` (canonical per connected component) — the q44 pipeline as a
+        reusable call."""
+        renamed = docs.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
+            text_col, "text"
+        )
+        sh = dedup.shingle_table(renamed)
+        sigs = dedup.minhash_signatures(sh, num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+        near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= min_jaccard)
+        groups = dedup.dup_groups(near).select(F.col("n").alias("doc_id"), "group_id")
+        keep = (
+            renamed.join(F.broadcast(groups), "doc_id", "left")
+            .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
+            .drop("group_id")
+        )
+        return keep.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+            "text", text_col
+        )
+
+    # -- catalog ------------------------------------------------------------
+
+    def run_query(self, name: str, sf_dir: str) -> DataFrame:
+        """Any catalog query by name (the __spark_entry__ surface)."""
+        from nexgap_spark.plans import QUERIES
+
+        return QUERIES[name](self.spark, sf_dir)

@@ -1,0 +1,95 @@
+"""Engine facade: the reference's CLI surface as one end-to-end flow —
+spans JSONL → convert → validate → emit → (separately) corpus dedup."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.engine import Engine
+from nexgap_spark.session import load_table
+from tests.conftest import SF_SMOKE
+from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def spans_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("spans") / "spans.jsonl"
+    with open(p, "w") as f:
+        for row in build_spans():
+            f.write(json.dumps(row) + "\n")
+        f.write("{not json\n")  # corrupt line: must be dropped, not fatal
+    return str(p)
+
+
+def test_read_convert_validate_emit(engine, spans_path):
+    spans = engine.read_spans(spans_path)
+    assert spans.count() == len(build_spans())
+
+    records = engine.convert(spans, config_agents=CONFIG_AGENTS)
+    n_records = records.count()
+    assert n_records > 0
+
+    valid, errors = engine.filter_valid(records)
+    assert valid.count() + errors.count() == n_records
+    assert "xml_errors" in errors.columns
+
+    emitted = engine.emit(valid, "qwen")
+    assert emitted.count() == valid.count()
+
+
+def test_emit_rewrites_raw_xml_messages(engine):
+    # the emitter path (reference convert_trace_to_specific_tool_call_style)
+    # runs on records whose assistant content still embeds <tool_use> XML
+    from tests import fixtures_xml as FX
+
+    df = engine.spark.createDataFrame(
+        [
+            (
+                [
+                    {"role": "user", "content": "go"},
+                    {"role": "assistant", "content": FX.TOOL_USE_SIMPLE},
+                ],
+            )
+        ],
+        "messages array<struct<role string, content string>>",
+    )
+    out = engine.emit(df, "qwen")
+    contents = out.select(F.col("messages.content")).first()[0]
+    assert "<tool_call>" in contents[1] and "<tool_use>" not in contents[1]
+    assert contents[0] == "go"  # non-assistant untouched
+
+
+def test_ledger_filter(engine, spans_path, tmp_path):
+    spans = engine.read_spans(spans_path)
+    led = str(tmp_path / "ledger")
+    first = engine.ledger_filter(spans, led, key="trace_id")
+    assert first.count() == spans.count()
+
+    from nexgap_spark.sources.ledger import mark_processed
+
+    mark_processed(spans, led, "trace_id")
+    second = engine.ledger_filter(spans, led, key="trace_id")
+    assert second.count() == 0
+
+
+def test_dedup_corpus_keeps_canonicals(engine):
+    docs = load_table(engine.spark, SF_SMOKE, "documents")
+    kept = engine.dedup_corpus(docs)
+    assert 0 < kept.count() <= docs.count()
+    assert set(kept.columns) == set(docs.columns)
+    # deduping the deduped corpus is a fixpoint
+    again = engine.dedup_corpus(kept)
+    assert again.count() == kept.count()
+
+
+def test_run_query_catalog(engine):
+    out = engine.run_query("q01_pricing_summary", SF_SMOKE)
+    assert out.count() > 0
