@@ -227,6 +227,99 @@ class Engine:
             "text", text_col
         )
 
+    # -- query synthesis (the Gyrfalcon main loop) ---------------------------
+
+    def synthesize(
+        self,
+        tree: dict[str, Any],
+        *,
+        rounds: int = 2,
+        batch: int = 8,
+        framework: str = "deer-flow",
+        difficulty_dist: dict[str, float] | None = None,
+        client_factory: Any = None,
+        seed: int = 42,
+        language: str = "english",
+    ) -> DataFrame:
+        """Round-based query synthesis re-expressed from the reference's
+        main loop (Gyrfalcon main.py + core/pipeline.py):
+
+        per round — J7+W4 inverse-frequency weighted path sampling (biased
+        away from already-sampled paths), prompt build, batched external LLM
+        stage (X1; deterministic mock unless a real ``client_factory`` is
+        injected), X2 three-difficulty parse, R4 distribution pick, A3
+        histogram merge feeding the next round. Counts are frozen per round
+        (the documented deviation from the reference's per-sample updates —
+        the shuffle aggregation IS the merge, no file locks).
+
+        Deterministic for a fixed seed. Returns one row per sampled path:
+        (path_id, path_string, query, difficulty, round, framework).
+        """
+        from nexgap_spark.external.client import MockLLMClient, external_call
+        from nexgap_spark.external.parse import parse_difficulty_variants
+        from nexgap_spark.operators import sampling, taxonomy
+
+        dist = difficulty_dist or {"easy": 0.2, "medium": 0.5, "hard": 0.3}
+        client_factory = client_factory or MockLLMClient
+        paths = taxonomy.label_string(
+            taxonomy.paths_df(self.spark, tree, framework=framework),
+            language=language,
+        )
+        counts = taxonomy.empty_counts(self.spark)
+
+        def _parse(s):
+            return s.map(lambda r: parse_difficulty_variants(r, language=language))
+
+        _parse.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        parse_udf = F.pandas_udf(
+            _parse, "array<struct<difficulty string, content string>>"
+        )
+
+        out: DataFrame | None = None
+        for rnd in range(rounds):
+            weighted = sampling.inverse_frequency_weights(
+                taxonomy.join_counts(paths, counts)
+            )
+            sampled = sampling.weighted_sample(
+                weighted, n=batch, key_col="path_id", seed=seed + rnd
+            )
+            prompts = sampled.join(paths, "path_id").withColumn(
+                "prompt",
+                F.concat(
+                    F.lit(
+                        "Generate three query variants labelled **EASY:**, "
+                        "**MEDIUM:**, **HARD:** for the topic: "
+                    ),
+                    F.col("path_string"),
+                ),
+            )
+            resp = external_call(
+                prompts, prompt_col="prompt", client_factory=client_factory
+            )
+            picked = sampling.pick_by_distribution(
+                resp, distribution=dist, seed=seed + rnd
+            )
+            kept = (
+                picked.withColumn("variant", F.explode(parse_udf(F.col("response"))))
+                .filter(F.col("variant.difficulty") == F.col("difficulty"))
+                .select(
+                    "path_id",
+                    "path_string",
+                    F.col("variant.content").alias("query"),
+                    "difficulty",
+                    F.lit(rnd).alias("round"),
+                    F.lit(framework).alias("framework"),
+                )
+            )
+            out = kept if out is None else out.unionByName(kept)
+            # materialize the histogram: the next round's weights depend on
+            # it, and without the checkpoint every round would replay all
+            # prior rounds' sampling (same lesson as dedup.dup_groups)
+            counts = taxonomy.record_samples(
+                counts, sampled.withColumn("framework", F.lit(framework))
+            ).localCheckpoint()
+        return out
+
     # -- catalog ------------------------------------------------------------
 
     def run_query(self, name: str, sf_dir: str) -> DataFrame:

@@ -93,3 +93,19 @@ def test_dedup_corpus_keeps_canonicals(engine):
 def test_run_query_catalog(engine):
     out = engine.run_query("q01_pricing_summary", SF_SMOKE)
     assert out.count() > 0
+
+
+def test_synthesize_round_loop(engine):
+    from tests.fixtures_tree import TREE
+
+    out = engine.synthesize(TREE, rounds=2, batch=6, framework="medical", seed=7)
+    rows = out.collect()
+    # exactly one kept variant per draw per round
+    assert len(rows) == 12
+    assert {r.difficulty for r in rows} <= {"easy", "medium", "hard"}
+    assert {r.round for r in rows} == {0, 1}
+    assert all(r.query for r in rows)
+    # deterministic for a fixed seed
+    again = engine.synthesize(TREE, rounds=2, batch=6, framework="medical", seed=7)
+    key = lambda r: (r.round, r.path_id, r.difficulty, r.query)
+    assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
