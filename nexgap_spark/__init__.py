@@ -15,3 +15,12 @@ text analysis, multimodal plumbing) and a Structured Streaming module.
 __version__ = "0.1.0"
 
 from nexgap_spark.session import get_spark, load_table, load_tables  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: Engine pulls in the operator catalog; keep bare imports cheap
+    if name == "Engine":
+        from nexgap_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
