@@ -711,3 +711,39 @@ def q20_inverse_cdf_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cum", "event_type")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — CUBE aggregation (SURVEY §2.4 extension alongside q11's ROLLUP):
+# all 2^k grouping combinations in ONE pass — Spark expands the grouping
+# sets before the shuffle, so the exchange carries each row once per set
+# with map-side partial aggregation, not 2^k separate scans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_cube_sales",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           ROUND(SUM(o_totalprice), 2) AS sales,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q46_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sales"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "sales",
+            "n",
+        )
+    )
