@@ -106,3 +106,11 @@ def test_q45_bucket_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(bucket" in plan or "bucket" in plan
+
+
+def test_q46_cube_is_single_pass(spark):
+    # CUBE = one Expand + one partial-aggregated shuffle, not 2^k scans
+    plan = plan_of(spark, "q46_cube_sales")
+    assert "Expand" in plan
+    # one scan detail block => the table is read exactly once
+    assert plan.count("Location: InMemoryFileIndex") == 1
