@@ -747,3 +747,24 @@ def q46_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — approximate distinct counts (HyperLogLog++ sketch). Deliberately
+# registered WITHOUT a DuckDB oracle (rows-only check): approx algorithms
+# are engine-specific by construction, so cross-engine value equality is
+# the wrong contract — the test instead bounds the estimate against the
+# exact count (q12 computes the exact twin). At 100 TB the sketch is the
+# difference between a shuffle of every distinct key and a few KB of
+# mergeable state per partition.
+# ---------------------------------------------------------------------------
+
+
+@query("q47_approx_distinct")
+def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.count("*").alias("n_rows"),
+    )

@@ -33,3 +33,17 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_q47_approx_distinct_within_rsd(spark):
+    # no cross-engine oracle by design; bound the HLL estimate against the
+    # exact distinct counts instead (rsd=0.02 → assert within 5%)
+    from nexgap_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    approx = {r.l_returnflag: r for r in QUERIES["q47_approx_distinct"](spark, SF_DIR).collect()}
+    exact = {r.l_returnflag: r for r in QUERIES["q12_distinct_counts"](spark, SF_DIR).collect()}
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k].approx_parts - exact[k].n_parts) <= 0.05 * exact[k].n_parts
+        assert abs(approx[k].approx_supps - exact[k].n_supps) <= 0.05 * exact[k].n_supps
