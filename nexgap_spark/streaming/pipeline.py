@@ -233,6 +233,13 @@ def stateful_sessions(
     ``user_col`` — the same partitioning contract as the batch twin
     (operators.sessionize); skew mitigation and state-store sizing follow
     the watermark, which bounds how long an idle session can hold state.
+
+    Ordering contract: events for a key are processed in (batch, ts) order —
+    correct when upstream delivery is time-ordered across micro-batches
+    (tested: state carries across 4 time-ordered batches). For sources with
+    cross-batch disorder, the buffered variant is the upgrade path: hold
+    events in state until the watermark passes them, then sessionize only
+    watermark-final prefixes (close when watermark > last + gap).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

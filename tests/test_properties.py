@@ -280,3 +280,27 @@ def test_fuzz_extraction_parity():
         assert strip(my_calls) == strip(ref_calls), f"calls mismatch for: {doc!r}"
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# F7 emitter fuzz parity — all five targets over random tag soup
+# ---------------------------------------------------------------------------
+
+REF_EMITTER = "/root/reference/converter/trace/convert_trace_to_specific_tool_call_style.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EMITTER), reason="reference unavailable")
+@pytest.mark.parametrize("target", ["qwen", "minimax", "glm", "openrouter", "deepseek"])
+def test_fuzz_emitter_parity(target):
+    from nexgap_spark.functions.emitters import convert_message
+
+    ref = _load_ref(REF_EMITTER, "ref_fmt_prop")
+
+    @given(tag_soup)
+    @settings(deadline=None, max_examples=100)
+    def check(doc):
+        assert convert_message(doc, target) == ref.convert_message_format(
+            doc, target
+        ), f"[{target}] mismatch for: {doc!r}"
+
+    check()

@@ -162,3 +162,60 @@ def test_idempotent_sink_skips_committed_epoch(spark, event_stream, tmp_path):
     batch = written.limit(5)
     assert SP.epoch_write_json(batch, 0, out) is False
     assert spark.read.json(out).count() == n
+
+
+def test_stateful_sessions_state_carries_across_batches(spark, tmp_path):
+    # Split events into 4 time-ordered files with ascending mtimes: the file
+    # source (oldest-first) feeds them as 4 micro-batches, so most users'
+    # sessions span batch boundaries and MUST be carried in state. Same
+    # huge-watermark trick as the single-batch test => closed set is exactly
+    # the in-data-closed sessions.
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    tbl = tbl.sort_by("ts")
+    d = tmp_path / "chunks"
+    d.mkdir()
+    n = tbl.num_rows
+    base = 1_700_000_000
+    for i in range(4):
+        chunk = tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        p = str(d / f"{i}.parquet")
+        pq.write_table(chunk, p, version="2.6")
+        os.utime(p, (base + 100 * i, base + 100 * i))
+
+    stream = SP.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = SP.run_batch_to_memory(
+        SP.stateful_sessions(stream, watermark="3650 days"), "mb_sess"
+    )
+    try:
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 4
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM mb_sess").collect()
+        }
+        sess = sessionize(
+            load_table(spark, SF_SMOKE, "events"),
+            gap_minutes=30,
+            order_tiebreak="event_id",
+        )
+        per_session = sess.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        last = sess.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+        want = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in per_session.join(last, "user_id").filter(
+                F.col("session_id") != F.col("last_sid")
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        q.stop()
