@@ -303,6 +303,114 @@ def stateful_sessions(
     )
 
 
+BUFFERED_STATE_SCHEMA = "pending_ts array<bigint>, pending_val array<double>"
+
+
+def stateful_sessions_buffered(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+    watermark: str = "40 minutes",
+) -> DataFrame:
+    """Out-of-order-safe sessionization: the buffered upgrade of
+    ``stateful_sessions``.
+
+    Events are HELD in keyed state (ts, value arrays) and sessionized only
+    once the watermark finalizes them: a session [first..last] is emitted
+    exactly when ``watermark > last + gap`` — at that point no admissible
+    future event can extend or split it, regardless of the order earlier
+    events arrived in. Cross-batch disorder up to the watermark delay is
+    therefore handled correctly; pick ``watermark`` ≥ gap + expected
+    disorder so open sessions are never emitted prematurely.
+
+    State per user is bounded by the watermark horizon (events older than
+    ``wm - gap`` are always flushable), and the event-time timeout re-runs
+    the flush when no new data arrives for the key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def _flush(user_id, ts_arr, val_arr, wm_us):
+        """Split sorted pending events into gap-sessions; emit the finalized
+        prefix, return (rows, remaining_ts, remaining_val)."""
+        order = sorted(range(len(ts_arr)), key=lambda i: ts_arr[i])
+        ts_s = [int(ts_arr[i]) for i in order]
+        val_s = [float(val_arr[i]) for i in order]
+        sessions = []  # (start_idx, end_idx) inclusive, over ts_s
+        start = 0
+        for i in range(1, len(ts_s)):
+            if ts_s[i] - ts_s[i - 1] > gap_us:
+                sessions.append((start, i - 1))
+                start = i
+        if ts_s:
+            sessions.append((start, len(ts_s) - 1))
+        rows, keep_from, next_flush_us = [], len(ts_s), None
+        for s, e in sessions:
+            if wm_us > ts_s[e] + gap_us:
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.to_datetime(ts_s[s], unit="us"),
+                        "session_end": pd.to_datetime(ts_s[e], unit="us"),
+                        "n_events": e - s + 1,
+                        "total_value": sum(val_s[s : e + 1]),
+                    }
+                )
+            else:
+                keep_from = s
+                # earliest future instant the first open session can close
+                next_flush_us = ts_s[e] + gap_us
+                break
+        return rows, ts_s[keep_from:], val_s[keep_from:], next_flush_us
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts_arr: list[int] = []
+        val_arr: list[float] = []
+        if state.exists:
+            old_ts, old_val = state.get
+            ts_arr, val_arr = list(old_ts), list(old_val)
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                ts_arr.extend(
+                    int(t)
+                    for t in pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+                )
+                val_arr.extend(float(v) for v in pdf["value"].fillna(0.0))
+        rows, rem_ts, rem_val, next_flush_us = _flush(user_id, ts_arr, val_arr, wm_us)
+        if rem_ts:
+            state.update((rem_ts, rem_val))
+            # re-flush when the watermark passes the first open session's
+            # last event + gap (guaranteed > current watermark, else the
+            # session would have closed above)
+            state.setTimeoutTimestamp(next_flush_us // 1000 + 1)
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "session_start", "session_end", "n_events", "total_value"
+            ])
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            BUFFERED_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_batch_to_memory(stream_df: DataFrame, name: str, *, output_mode: str = "append"):
     """Test harness: drive the streaming query over all currently-available
     input and stop (deterministic single-JVM completion)."""

@@ -219,3 +219,77 @@ def test_stateful_sessions_state_carries_across_batches(spark, tmp_path):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_buffered_sessions_handle_cross_batch_disorder(spark, tmp_path):
+    # Four time-chunked files, but each chunk's tail rows are SHIFTED into
+    # the next file (bounded cross-batch disorder < the 40-minute
+    # watermark delay). A 5th file holds one far-future sentinel event that
+    # drags the watermark past every real session + gap, so ALL real
+    # sessions finalize. The buffered operator must reconstruct batch
+    # sessionization exactly despite the disorder.
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by("ts").to_pandas()
+    n = len(pdf)
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    chunks = [pdf.iloc[bounds[i] : bounds[i + 1]].copy() for i in range(4)]
+    shifted, carry = [], None
+    for i, c in enumerate(chunks):
+        if carry is not None:
+            c = pd.concat([carry, c])
+        if i < 3:
+            carry = c.iloc[-50:]
+            c = c.iloc[:-50]
+        shifted.append(c)
+    sentinel = pdf.iloc[[0]].copy()
+    sentinel["user_id"] = -1
+    sentinel["event_id"] = 10**9
+    sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=10)
+    d = tmp_path / "ooo"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, c in enumerate(shifted + [sentinel]):
+        p = str(d / f"{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(c, preserve_index=False), p, version="2.6")
+        os.utime(p, (base + 100 * i, base + 100 * i))
+
+    stream = SP.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = SP.run_batch_to_memory(
+        SP.stateful_sessions_buffered(stream, watermark="40 minutes"), "buf_sess"
+    )
+    try:
+        sess = sessionize(
+            load_table(spark, SF_SMOKE, "events"),
+            gap_minutes=30,
+            order_tiebreak="event_id",
+        )
+        want_rows = (
+            sess.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("n_events"),
+            )
+            .collect()
+        )
+        want = {
+            (r.user_id, r.session_start, r.session_end, r.n_events) for r in want_rows
+        }
+        # final flushes ride the post-sentinel no-data microbatch — poll
+        for _ in range(60):
+            if spark.sql("SELECT COUNT(*) n FROM buf_sess").first().n >= len(want):
+                break
+            _time.sleep(0.5)
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM buf_sess WHERE user_id >= 0").collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
