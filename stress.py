@@ -62,8 +62,10 @@ def _multiply(df: DataFrame, m: int, id_cols: list[str], salt_text: str | None =
 def _timed(build, *, cache_inputs: list[DataFrame]) -> tuple[float, int]:
     for df in cache_inputs:
         df.cache().count()  # materialize inputs so timing measures the operator
-    out = build()
     t0 = time.perf_counter()
+    # time build() too: iterative operators (label propagation) execute
+    # their rounds eagerly during construction, not at the sink
+    out = build()
     # noop sink: forces every column of every row to be computed — count()
     # would let Catalyst prune windows/projections and time nothing
     out.write.format("noop").mode("overwrite").save()
@@ -112,6 +114,21 @@ def main() -> None:
                 [d],
                 lambda: dedup.lsh_candidate_pairs(
                     dedup.minhash_signatures(sh, num_hashes=8), bands=4, rows_per_band=2
+                ),
+            ),
+            # iterative hash-min label propagation: rounds = component
+            # diameter (constant per replica), so time should stay linear
+            "dup_groups_cc": (
+                [d],
+                lambda: dedup.dup_groups(
+                    dedup.verify_jaccard(
+                        dedup.lsh_candidate_pairs(
+                            dedup.minhash_signatures(sh, num_hashes=8),
+                            bands=4,
+                            rows_per_band=2,
+                        ),
+                        sh,
+                    ).filter(F.col("jaccard") >= 0.2)
                 ),
             ),
             "cosine_topk_fixed_queries": (
