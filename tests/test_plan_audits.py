@@ -114,3 +114,10 @@ def test_q46_cube_is_single_pass(spark):
     assert "Expand" in plan
     # one scan detail block => the table is read exactly once
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q03_topk_uses_take_ordered(spark):
+    # LIMIT-after-ORDER must be a TakeOrderedAndProject (per-partition
+    # top-k + merge), never a global sort of all rows
+    plan = plan_of(spark, "q03_top_orders")
+    assert "TakeOrderedAndProject" in plan
