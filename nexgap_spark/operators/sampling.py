@@ -117,16 +117,20 @@ def pick_by_distribution(
     (main.py:58-124), then assigns per row by inverse-CDF on rand(seed)."""
     if abs(sum(distribution.values()) - 1.0) > 1e-9:
         raise ValueError(f"distribution must sum to 1, got {distribution}")
+    # Materialize ONE draw per row, then branch on it. Reusing the F.rand(seed)
+    # expression across chained when() conditions can re-draw per occurrence
+    # under interpreted evaluation, distorting the branch probabilities.
+    ucol = f"__u_{out_col}"
+    df = df.withColumn(ucol, F.rand(seed))
     expr = None
     cum = 0.0
-    u = F.rand(seed)
     for key, p in distribution.items():
         cum += p
-        cond = u < F.lit(cum)
+        cond = F.col(ucol) < F.lit(cum)
         expr = F.when(cond, F.lit(key)) if expr is None else expr.when(cond, F.lit(key))
     # float-edge fallback: last key
     expr = expr.otherwise(F.lit(list(distribution)[-1]))
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, expr).drop(ucol)
 
 
 def uniform_pick(df: DataFrame, *, n: int = 1, seed: int = 42) -> DataFrame:

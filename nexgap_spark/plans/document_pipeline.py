@@ -158,6 +158,8 @@ def q38_validate_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q40_media_features",
+    # features land as eight scalar f0..f7 columns (not array<double>): the
+    # driver's canonicalization sorts/hashes cell values and cannot hash lists.
     oracle="""
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -165,8 +167,14 @@ def q38_validate_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'video' END AS kind,
            CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
            md5(text) AS digest,
-           [round((('0x' || substr(md5(text), i*2+1, 2))::INT) / 255.0, 6)
-            for i in range(0, 8)] AS features
+           round((('0x' || substr(md5(text), 1, 2))::INT) / 255.0, 6) AS f0,
+           round((('0x' || substr(md5(text), 3, 2))::INT) / 255.0, 6) AS f1,
+           round((('0x' || substr(md5(text), 5, 2))::INT) / 255.0, 6) AS f2,
+           round((('0x' || substr(md5(text), 7, 2))::INT) / 255.0, 6) AS f3,
+           round((('0x' || substr(md5(text), 9, 2))::INT) / 255.0, 6) AS f4,
+           round((('0x' || substr(md5(text), 11, 2))::INT) / 255.0, 6) AS f5,
+           round((('0x' || substr(md5(text), 13, 2))::INT) / 255.0, 6) AS f6,
+           round((('0x' || substr(md5(text), 15, 2))::INT) / 255.0, 6) AS f7
     FROM documents
     """,
 )
@@ -179,7 +187,14 @@ def q40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     media = media_from_documents(docs)
-    return extract_features(media, kernel=fake_decode_kernel)
+    feats = extract_features(media, kernel=fake_decode_kernel)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(

@@ -98,6 +98,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanosecond longs (nanosAsLong) — normalize to Spark's native µs timestamp
     here so every downstream operator sees a timestamp column.
     """
+    # Runtime-settable SQL conf: make the catalog work on ANY driver-supplied
+    # session, not just ones built by get_spark (the __spark_entry__ harness
+    # passes its own SparkSession without this conf).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

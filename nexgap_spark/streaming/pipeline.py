@@ -285,8 +285,13 @@ def stateful_sessions(
             else:
                 last_us, n, total = t, n + 1, total + float(v)
         state.update((int(start_us), int(last_us), int(n), float(total)))
-        # close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+        # close the open session once the watermark passes last + gap; clamp
+        # above the current watermark — a key whose events lag the global
+        # watermark (other keys advanced it past last+gap) would otherwise make
+        # setTimeoutTimestamp throw and kill the streaming query
+        timeout_ms = (int(last_us) + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if closed:
             yield _emit(user_id, closed)
 
