@@ -121,13 +121,22 @@ def main() -> None:
         "unit": "sec",
         "queries": spark_times,
         "sf": sf,
-        "rows": rows,
     }
+    detail = {"rows": rows}
     if not os.environ.get("BENCH_SKIP_DUCKDB"):
         duck_times = _run_duckdb(sf_dir)
-        result["duckdb"] = duck_times
+        detail["duckdb"] = duck_times
         result["duckdb_total"] = round(sum(duck_times.values()), 3)
-    print(json.dumps(result))
+    # The driver captures only the LAST 2000 chars of output and parses the
+    # JSON from there — keep the stdout line compact (no per-query rows /
+    # duckdb dicts; those go to BENCH_DETAIL.json + stderr).
+    detail.update(result)
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(result)
+    assert len(line) < 1800, f"stdout JSON too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
