@@ -367,25 +367,76 @@ def hyperplane_lsh_pairs(
     instead of |V|²/2 — with balanced buckets a 2^planes reduction, which is
     what makes all-pairs similarity tractable at corpus scale. Cosine-close
     vectors agree on most sign bits, so recall concentrates where it
-    matters; raise recall by unioning rotated plane sets."""
-    b = vectors.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim=dim).alias("bucket")
+    matters; raise recall by unioning rotated plane sets.
+
+    Two Arrow stages instead of a self-join with per-pair expression chains:
+    (1) mapInPandas assigns buckets, (2) groupBy(bucket).applyInPandas emits
+    each bucket's upper-triangle pairs as an n×n float64 matrix accumulation.
+    The expression-chain form (8×64-term bucket on both join sides + 192-term
+    cosine per pair) cost 3-5 s of driver-side analysis + codegen per fresh
+    plan; the numpy form keeps the plan tiny and the quadratic work
+    BLAS-shaped. Accumulation is strict left-to-right over dimensions in
+    float64, so cosines stay bit-identical to `dot`/`hyperplane_bucket` and
+    the ordered-fold DuckDB oracle. A pathologically hot bucket concentrates
+    on one task — cap bucket size or union rotated plane sets upstream."""
+    from pyspark.sql import types as T
+
+    planes = np.asarray(HYPERPLANES, dtype=np.float64)[:, :dim]
+    n_planes = planes.shape[0]
+
+    in_schema = vectors.select(id_col, vec_col).schema
+    bucketed_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField("bucket", T.IntegerType())]
     )
-    left = b.select(
-        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+
+    def _bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # array<float> cells arrive as float32 numpy arrays; widen to
+            # float64 first — same as element_at(vec, i).cast("double").
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            buckets = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(n_planes):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for k in range(dim):
+                    acc = acc + V[:, k] * planes[j, k]
+                buckets |= (acc >= 0).astype(np.int64) << j
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = buckets.astype(np.int32)
+            yield out
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
     )
-    right = b.select(
-        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        # D[i,j] accumulates v_i[k]*v_j[k] for k = 0..dim-1 IN ORDER — the
+        # same sequential add order as the codegen'd chain / oracle fold.
+        D = np.zeros((n, n), dtype=np.float64)
+        sq = np.zeros(n, dtype=np.float64)
+        for k in range(V.shape[1]):
+            c = V[:, k]
+            D += np.outer(c, c)
+            sq += c * c
+        nrm = np.sqrt(sq)
+        cos = D / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, 1)  # ids ascending → a < b
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju], "cos": cos[iu, ju]})
+
+    bucketed = vectors.select(id_col, vec_col).mapInPandas(
+        _bucketize, schema=bucketed_schema
     )
-    return (
-        left.join(right, ["bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            (
-                dot(F.col("_va"), F.col("_vb"), dim)
-                / (norm(F.col("_va"), dim) * norm(F.col("_vb"), dim))
-            ).alias("cos"),
-        )
+    return bucketed.groupBy("bucket").applyInPandas(
+        _pairs, schema="a bigint, b bigint, cos double"
     )
