@@ -140,6 +140,47 @@ def uniform_pick(df: DataFrame, *, n: int = 1, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    hex_threshold: str = "1999",
+) -> DataFrame:
+    """Content-hash sampling: keep rows whose md5(key) hex prefix sorts below
+    ``hex_threshold`` ("1999" ≈ 0x1999/0x10000 ≈ 10%). Unlike ``rand(seed)``
+    this is a pure function of the key — the same rows survive across engines,
+    runs, cluster sizes, and partial re-reads, which is what an incremental
+    100 TB pipeline needs (re-sampling a re-ingested shard picks identical
+    rows, so downstream dedup stays stable). Pure codegen'd filter: pushes
+    past projections and costs no shuffle."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return df.filter(F.substring(h, 1, len(hex_threshold)) < F.lit(hex_threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum by
+    md5(key) and keep the first ceil(n_stratum × fraction). Guarantees every
+    stratum is represented at the exact fraction (±1 row) — ``sampleBy``
+    only hits the fraction in expectation and misses small strata entirely.
+
+    One shuffle on the strata key; the rank and per-stratum count windows
+    share that partitioning so no second exchange."""
+    w = W.partitionBy(*strata_cols)
+    h = F.md5(F.col(key_col).cast("string"))
+    ranked = df.withColumn(
+        "_rk", F.row_number().over(w.orderBy(h, F.col(key_col)))
+    ).withColumn("_n", F.count("*").over(w))
+    return ranked.filter(
+        F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction))
+    ).drop("_rk", "_n")
+
+
 def random_template_choice(
     df: DataFrame,
     templates: list[str],

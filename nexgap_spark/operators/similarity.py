@@ -336,6 +336,36 @@ HYPERPLANES: list[list[int]] = [
 ]
 
 
+def centroid_outliers(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Per-label centroid, then each vector's Euclidean distance to its own
+    centroid; returns the k farthest (mislabeled/outlier candidates).
+
+    posexplode → groupBy(label, pos) keeps everything JVM-side; the centroid
+    table is |labels|×dim rows (tiny) so the join back broadcasts. The
+    explode multiplies rows ×dim before the first shuffle, but both groupBys
+    partial-aggregate map-side, so the exchanges carry one row per
+    (label,pos) and per (id,label) respectively — not the exploded rows.
+    The final top-k is a TakeOrderedAndProject, never a global sort."""
+    ex = vectors.select(
+        id_col, label_col, F.posexplode(vec_col).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy(label_col, "pos").agg(F.avg("val").alias("c"))
+    diff = F.col("val") - F.col("c")
+    d = (
+        ex.join(F.broadcast(cent), [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(F.sqrt(F.sum(diff * diff)).alias("dist"))
+    )
+    return d.orderBy(F.col("dist").desc(), F.col(id_col)).limit(k)
+
+
 def hyperplane_bucket(vec: Column, *, dim: int = DEFAULT_DIM) -> Column:
     """Sign-LSH bucket id: bit j = [vec · plane_j >= 0]; 8 planes → 256
     buckets. The dot products are flat codegen'd chains with strict

@@ -126,6 +126,46 @@ def language_id(
     )
 
 
+def term_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    term_col: str = "term",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Corpus term frequencies: tokenize → explode → count. The explode
+    multiplies rows by tokens-per-doc BEFORE the shuffle, but the groupBy
+    partial-aggregates map-side, so the exchange carries only distinct terms
+    per partition — the natural-language Zipf head compresses hard."""
+    tok = F.explode(tokenize(text_col)).alias(term_col)
+    return (
+        df.select(tok)
+        .filter(F.length(term_col) > 0)
+        .groupBy(term_col)
+        .agg(F.count("*").alias(cnt_col))
+    )
+
+
+def length_zscore(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score of a numeric column (outlier scoring for corpus
+    length filters). Group moments come from a groupBy + broadcast join back
+    rather than two window passes: the aggregate side is tiny (one row per
+    group) and the fact side never re-shuffles."""
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    joined = df.join(F.broadcast(stats), group_col)
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    return joined.withColumn(out_col, z).drop("_mu", "_sd")
+
+
 def fingerprint(
     df: DataFrame,
     *,

@@ -1,0 +1,113 @@
+"""Time-series operators: inter-arrival deltas, hopping windows, date-spine
+gap fill, and fixed-range histograms.
+
+The reference has no time-series engine (its only temporal ops are the
+chronological sorts at ``converter/trace/langfuse_utils.py:102`` and the
+tumbling-window shapes the events table invites); these are the scale
+extensions a 100 TB event pipeline needs. Everything stays JVM-side
+(``F.window``, ``lag``, ``sequence``/``explode``) — no Python in the hot
+path, so whole-stage codegen covers every operator here.
+
+Scale notes:
+  * inter-arrival: one shuffle on the partition key; the lag window and the
+    downstream aggregate reuse that partitioning.
+  * hopping windows: Spark's ``F.window(slide < window)`` replicates each row
+    window/slide times *after* filters/projections — project first.
+  * gap fill: the spine is driver-small (months × keys); it broadcast-joins
+    against the aggregated fact side, never against raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interarrival_deltas(
+    df: DataFrame,
+    *,
+    partition_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "delta_us",
+) -> DataFrame:
+    """Per-key event inter-arrival gap in microseconds (NULL for each key's
+    first event). Deterministic under timestamp ties via ``tiebreak_cols``."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    return df.withColumn(out_col, us - F.lag(us).over(w))
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    aggs: list[Column],
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregate; emits ``window_start`` as epoch
+    seconds. Windows align to multiples of ``slide`` from the epoch, matching
+    SQL ``FLOOR(epoch/slide)*slide`` bucketing — each event lands in
+    window/slide buckets."""
+    keys = [F.window(ts_col, window, slide).alias("_w")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.unix_timestamp("_w.start").alias("window_start"),
+        *[c for c in out.columns if c != "_w"],
+    )
+
+
+def month_spine(df: DataFrame, *, date_col: str) -> DataFrame:
+    """One row per calendar month spanning [min, max] of ``date_col``.
+    Built from a 1-row aggregate + ``sequence``/``explode`` — the spine is
+    tiny (decades → hundreds of rows) so downstream joins broadcast it."""
+    bounds = df.agg(
+        F.date_trunc("month", F.min(date_col)).alias("lo"),
+        F.date_trunc("month", F.max(date_col)).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+    )
+
+
+def gap_fill_monthly(
+    fact: DataFrame,
+    dims: DataFrame,
+    spine: DataFrame,
+    *,
+    month_col: str = "month",
+    fill: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Dense (month × dim) grid with missing fact cells filled. ``fact`` must
+    already be aggregated to (month, dim) grain; the cross-joined grid is
+    |months|×|dims| (small), so the join against facts broadcasts it."""
+    grid = F.broadcast(spine.crossJoin(dims))
+    joined = grid.join(fact, on=[month_col, *dims.columns], how="left")
+    for col, expr in (fill or {}).items():
+        joined = joined.withColumn(col, F.coalesce(F.col(col), expr))
+    return joined
+
+
+def fixed_histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int,
+) -> DataFrame:
+    """Counts + sums per fixed-width bucket. ``width_bucket`` semantics:
+    bucket 0 below ``lo``, ``nbuckets+1`` at/above ``hi`` — a single
+    map-side-combinable groupBy, the cheapest possible full-scan profile."""
+    b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(nbuckets))
+    return df.groupBy(b.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(value_col), 2).alias("total"),
+    )

@@ -190,3 +190,34 @@ def q45_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_similar"),
         F.round(F.coalesce(F.max("cos"), F.lit(0.0)), 6).alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — centroid outliers (operators.similarity.centroid_outliers): distance
+# of each embedding to its label centroid, k farthest — the
+# mislabel/outlier-mining shape over an embedding column.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+    ),
+    cent AS (SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos),
+    d AS (
+      SELECT e.vec_id, e.label,
+             SQRT(SUM((e.val - cent.c) * (e.val - cent.c))) AS dist
+      FROM ex e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, ROUND(dist, 6) AS dist
+    FROM d ORDER BY dist DESC, vec_id LIMIT 10
+    """,
+)
+def q61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = sim.centroid_outliers(emb, k=10)
+    return out.select("vec_id", "label", F.round("dist", 6).alias("dist"))

@@ -490,3 +490,59 @@ def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
         .select("doc_id", F.coalesce("group_size", F.lit(1)).alias("group_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — corpus term frequencies, top 20 (operators.text.term_counts). The
+# Zipf head makes the post-explode shuffle tiny after map-side combine; the
+# top-k is a TakeOrderedAndProject, not a global sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE len(term) > 0
+    GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 20
+    """,
+)
+def q59_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = text.term_counts(docs, text_col="text")
+    return counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q60 — per-language length z-scores, top outliers (operators.text.
+# length_zscore): the corpus-quality filter shape (drop docs whose length is
+# anomalous for their language). Moments via groupBy + broadcast join back —
+# no window over the full corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_length_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, AVG(n_chars) AS mu, STDDEV_SAMP(n_chars) AS sd
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - s.mu) / s.sd, 4) AS z
+    FROM documents d JOIN stats s ON d.lang = s.lang
+    ORDER BY ABS((d.n_chars - s.mu) / s.sd) DESC, d.doc_id
+    LIMIT 15
+    """,
+)
+def q60_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    z = text.length_zscore(docs, group_col="lang", value_col="n_chars")
+    return (
+        z.orderBy(F.abs(F.col("z")).desc(), F.col("doc_id"))
+        .limit(15)
+        .select("doc_id", "lang", "n_chars", F.round("z", 4).alias("z"))
+    )
