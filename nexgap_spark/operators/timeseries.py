@@ -86,10 +86,11 @@ def gap_fill_monthly(
     fill: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Dense (month × dim) grid with missing fact cells filled. ``fact`` must
-    already be aggregated to (month, dim) grain; the cross-joined grid is
-    |months|×|dims| (small), so the join against facts broadcasts it."""
-    grid = F.broadcast(spine.crossJoin(dims))
-    joined = grid.join(fact, on=[month_col, *dims.columns], how="left")
+    already be aggregated to (month, dim) grain, so BOTH sides are small;
+    broadcast the fact side — for a LEFT OUTER join only the right side can
+    be the broadcast build side (a left-side hint is silently unusable)."""
+    grid = spine.crossJoin(dims)
+    joined = grid.join(F.broadcast(fact), on=[month_col, *dims.columns], how="left")
     for col, expr in (fill or {}).items():
         joined = joined.withColumn(col, F.coalesce(F.col(col), expr))
     return joined

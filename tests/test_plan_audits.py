@@ -121,3 +121,58 @@ def test_q03_topk_uses_take_ordered(spark):
     # top-k + merge), never a global sort of all rows
     plan = plan_of(spark, "q03_top_orders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q48_pivot_single_shuffle(spark):
+    # conditional-agg pivot: exactly one exchange (on user_id); the
+    # .pivot() form would plan two
+    plan = plan_of(spark, "q48_pivot_event_matrix")
+    assert plan.count("(") and "Exchange" in plan
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_q50_grouping_sets_single_scan(spark):
+    # GROUPING SETS = one Expand over one scan, not one scan per set
+    plan = plan_of(spark, "q50_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q55_exists_becomes_semi_and_anti_join(spark):
+    # correlated EXISTS / NOT EXISTS must decorrelate to hash joins —
+    # never a per-row subquery or nested loop
+    plan = plan_of(spark, "q55_exists_subquery")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q56_gap_fill_broadcasts_fact(spark):
+    # the aggregated fact side broadcasts into the dense grid (left-outer
+    # keeps the grid rows, so the build side must be the right/fact side)
+    plan = plan_of(spark, "q56_monthly_gap_fill")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q54_windows_share_one_shuffle(spark):
+    # rank + per-stratum count reuse one hashpartitioning(c_mktsegment);
+    # the downstream groupBy on the same key adds no exchange
+    plan = plan_of(spark, "q54_stratified_sample")
+    assert plan.count("hashpartitioning(c_mktsegment") >= 1
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 1, exchanges
+
+
+def test_q59_topk_take_ordered(spark):
+    plan = plan_of(spark, "q59_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q61_centroids_broadcast_and_take_ordered(spark):
+    # centroid table broadcasts back onto the exploded fact; final top-k
+    # is a TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, "q61_centroid_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
