@@ -48,6 +48,15 @@ HEADLINE = [
     "q34_cosine_topk",
     "q35_ivf_topk",
     "q45_hyperplane_lsh",
+    # round-2 analytics: SQL coverage / time series / sampling / TF-IDF
+    "q48_pivot_event_matrix",
+    "q49_price_quantiles",
+    "q51_interarrival_stats",
+    "q54_stratified_sample",
+    "q57_hopping_windows",
+    "q59_top_terms",
+    "q61_centroid_outliers",
+    "q62_tfidf_top_terms",
 ]
 
 

@@ -146,6 +146,36 @@ def term_counts(
     )
 
 
+def tfidf(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf × ln((N+1)/(df+1)), the smoothed variant.
+
+    One explode + two aggregations. The term-level document frequency is a
+    groupBy on term (Zipf-compressed after map-side combine) and joins back
+    broadcast — it is |vocabulary|-sized, tiny next to the corpus. N comes
+    from a 1-row aggregate cross-joined (broadcast) rather than a driver
+    collect, so the plan stays fully lazy/distributed."""
+    toks = df.select(
+        id_col, F.explode(tokenize(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+        .select(id_col, "term", "tf", "score")
+    )
+
+
 def length_zscore(
     df: DataFrame,
     *,

@@ -394,3 +394,27 @@ def q57_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return timeseries.fixed_histogram(ev, value_col="value", lo=0.0, hi=500.0, nbuckets=10)
+
+
+# ---------------------------------------------------------------------------
+# q63 — approximate quantiles (KLL/GK-style sketch via approx_percentile):
+# the 100 TB path for q49. Mergeable sketch state → one map-side-combinable
+# shuffle, no global sort. No cross-engine oracle (sketch internals differ
+# by engine/accuracy); the driver records rows-only and
+# tests/test_timeseries.py bounds it against the exact q49 answers.
+# ---------------------------------------------------------------------------
+
+
+@query("q63_approx_quantiles")
+def q63_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)), 10000
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(pct[0], 2).alias("p25"),
+        F.round(pct[1], 2).alias("p50"),
+        F.round(pct[2], 2).alias("p75"),
+        F.round(pct[3], 2).alias("p90"),
+    )

@@ -546,3 +546,50 @@ def q60_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("doc_id", "lang", "n_chars", F.round("z", 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — TF-IDF top terms per document (operators.text.tfidf): the classic
+# relevance-feature shape. Document frequency is vocabulary-sized →
+# broadcast; corpus count is a broadcast 1-row cross join; the per-doc
+# top-3 is a rank window partitioned by doc (WindowGroupLimit prunes state).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE len(term) > 0 GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, ROUND(score, 6) AS score
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    scored = text.tfidf(docs)
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"))
+    )

@@ -293,3 +293,36 @@ def test_buffered_sessions_handle_cross_batch_disorder(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_hopping_windowed_counts_match_batch(spark, event_stream):
+    # sliding windows in the streaming path must equal the batch
+    # hopping_window_agg on the same file: every event in exactly
+    # window/slide = 3 windows, identical (window_start, n) sets
+    from nexgap_spark.operators import timeseries
+
+    q = SP.run_batch_to_memory(
+        SP.windowed_counts(event_stream, window="15 minutes", slide="5 minutes"),
+        "hop_counts",
+        output_mode="complete",
+    )
+    try:
+        got = {
+            (r.ws, r.n)
+            for r in spark.sql(
+                "SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws,"
+                " CAST(SUM(n) AS BIGINT) AS n FROM hop_counts GROUP BY 1"
+            ).collect()
+        }
+        batch = {
+            (r.window_start, r.n)
+            for r in timeseries.hopping_window_agg(
+                load_table(spark, SF_SMOKE, "events"),
+                window="15 minutes",
+                slide="5 minutes",
+                aggs=[F.count("*").alias("n")],
+            ).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()

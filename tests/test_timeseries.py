@@ -106,3 +106,17 @@ def test_stratified_sample_exact_per_stratum(spark):
     got = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     # exact ceil(n * fraction) per stratum — even the small one is covered
     assert got == {"big": math.ceil(900 * 0.05), "small": math.ceil(100 * 0.05)}
+
+
+def test_q63_approx_quantiles_near_exact(spark):
+    # sketch answers must land within 1% of the exact q49 quantiles
+    from nexgap_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {r.o_orderpriority: r for r in QUERIES["q49_price_quantiles"](spark, SF_DIR).collect()}
+    approx = {r.o_orderpriority: r for r in QUERIES["q63_approx_quantiles"](spark, SF_DIR).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for c in ("p25", "p50", "p75", "p90"):
+            e, a = getattr(exact[k], c), getattr(approx[k], c)
+            assert abs(a - e) <= 0.01 * e, (k, c, e, a)
