@@ -106,3 +106,52 @@ def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_prior_views", F.lit(0)).alias("n_prior_views"),
         F.round(F.coalesce("sum_value", F.lit(0.0)), 2).alias("prior_view_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — funnel conversion (click → purchase within the preceding hour),
+# built on operators.temporal_join.range_join: the bucketized two-hash-join
+# plan, never a nested loop. The distinct collapses multi-click matches
+# before the tiny final aggregate; streaming twin:
+# streaming/pipeline.stream_stream_conversions (same semantics, watermarked
+# stream-stream join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q64_funnel_conversions",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    conv AS (
+      SELECT DISTINCT p.event_id
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        AND epoch_us(c.ts) <  epoch_us(p.ts)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchases,
+           CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+           ROUND((SELECT COUNT(*) FROM conv) * 1.0
+                 / (SELECT COUNT(*) FROM p), 6) AS conversion_rate
+    """,
+)
+def q64_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    conv = (
+        range_join(purchases, clicks, on="user_id", window_s=3600.0, suffix="_c")
+        .select("event_id")
+        .distinct()
+    )
+    n_p = purchases.agg(F.count("*").alias("n_purchases"))
+    n_c = conv.agg(F.count("*").alias("n_converted"))
+    return n_p.crossJoin(n_c).select(
+        "n_purchases",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_purchases"), 6).alias(
+            "conversion_rate"
+        ),
+    )

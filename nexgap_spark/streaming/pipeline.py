@@ -416,6 +416,44 @@ def stateful_sessions_buffered(
     )
 
 
+def stream_stream_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    window_s: float = 3600.0,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to a click by
+    the same user within the preceding ``window_s``. The streaming twin of
+    the batch funnel (plans/temporal.q64 via range_join).
+
+    State stays bounded because BOTH sides carry watermarks AND the join
+    condition time-bounds each side against the other: a buffered click can
+    be dropped once the purchase-side watermark passes click_ts + window
+    (no future purchase can match it), and vice versa. Without the range
+    predicate the state would grow with stream length — the predicate is
+    load-bearing, not an optimization.
+
+    Emits one row per (purchase, matching click); dedup to distinct
+    purchases downstream (same contract as the batch range_join)."""
+    secs = int(window_s)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"c_user = p_user AND click_ts >= purchase_ts - interval {secs} seconds"
+        " AND click_ts < purchase_ts"
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts"
+    )
+
+
 def run_batch_to_memory(stream_df: DataFrame, name: str, *, output_mode: str = "append"):
     """Test harness: drive the streaming query over all currently-available
     input and stop (deterministic single-JVM completion)."""

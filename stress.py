@@ -30,7 +30,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from nexgap_spark.operators import dedup
+from nexgap_spark.operators import dedup, sampling, text, timeseries
 from nexgap_spark.operators.sessionize import sessionize
 from nexgap_spark.operators.similarity import brute_force_topk
 from nexgap_spark.operators.temporal_join import asof_join, range_join
@@ -135,6 +135,29 @@ def main() -> None:
                 [c],
                 lambda: brute_force_topk(queries_1x, c, k=3),
             ),
+            # ×2 row replication before the shuffle, then plain agg — the
+            # hop factor (window/slide) is the constant to watch, not M
+            "hopping_windows": (
+                [e],
+                lambda: timeseries.hopping_window_agg(
+                    e, window="10 minutes", slide="5 minutes",
+                    aggs=[F.count("*").alias("n")],
+                ),
+            ),
+            # two windows + groupBy over ONE stratum shuffle; stratum count
+            # is constant while rows/stratum grows M× (scale-up axis)
+            "stratified_sample": (
+                [e],
+                lambda: sampling.stratified_sample(
+                    e.select("event_id", "event_type"),
+                    strata_cols=["event_type"], key_col="event_id",
+                    fraction=0.05,
+                ),
+            ),
+            # explode ×tokens, two Zipf-compressed aggs, broadcast joins;
+            # salted text grows the vocabulary M× — the df table must stay
+            # broadcast-small relative to the corpus
+            "tfidf": ([d], lambda: text.tfidf(d)),
         }
 
     results: dict[str, dict[str, float | int]] = {}

@@ -326,3 +326,36 @@ def test_hopping_windowed_counts_match_batch(spark, event_stream):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_stream_stream_conversions_match_batch_funnel(spark, event_stream):
+    # stream-stream range join must find exactly the purchases the batch
+    # range_join converts (same file, same window)
+    from nexgap_spark.operators.temporal_join import range_join
+
+    clicks = event_stream.filter(F.col("event_type") == "click")
+    purchases = event_stream.filter(F.col("event_type") == "purchase")
+    q = SP.run_batch_to_memory(
+        SP.stream_stream_conversions(clicks, purchases), "conv_pairs"
+    )
+    try:
+        got = {
+            r.purchase_id
+            for r in spark.sql("SELECT DISTINCT purchase_id FROM conv_pairs").collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events")
+        batch = {
+            r.event_id
+            for r in range_join(
+                ev.filter(F.col("event_type") == "purchase").select(
+                    "event_id", "user_id", "ts"
+                ),
+                ev.filter(F.col("event_type") == "click").select("user_id", "ts"),
+                on="user_id",
+                window_s=3600.0,
+                suffix="_c",
+            ).select("event_id").distinct().collect()
+        }
+        assert got == batch and len(batch) > 0
+    finally:
+        q.stop()
