@@ -418,3 +418,102 @@ def q63_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[2], 2).alias("p75"),
         F.round(pct[3], 2).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — moving average (window FRAME spec: ROWS BETWEEN 6 PRECEDING AND
+# CURRENT ROW) over per-day revenue. The unpartitioned window runs on the
+# PRE-AGGREGATED daily frame (thousands of rows), same rule as q09 — never
+# on raw orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q65_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day, ROUND(revenue, 2) AS revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM daily
+    """,
+)
+def q65_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — unpivot (melt): the wide per-user matrix of q48 back to long form
+# via stack(); equals the plain (user, type) counts, which is the oracle.
+# stack() is a generator projection — no extra shuffle beyond q48's one.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q66_unpivot_matrix",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q66_unpivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q48_pivot_event_matrix(spark, sf_dir)
+    stack_args = ", ".join(f"'{v}', {v}" for v in EVENT_TYPES)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(
+                f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n)"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — bivariate statistics per group: Pearson correlation + sample
+# covariance/variance of event value vs its JSON-props k. One map-side-
+# combinable shuffle (all four are algebraic aggregates with mergeable
+# moment state — the distributed-friendly family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q67_corr_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(corr(value, k), 6) AS corr_vk,
+           ROUND(covar_samp(value, k), 6) AS covar_vk,
+           ROUND(var_samp(value), 6) AS var_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY event_type
+    """,
+)
+def q67_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    e = ev.select("event_type", "value", k.alias("k"))
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+        F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.count("*").alias("n"),
+    )
