@@ -176,3 +176,19 @@ def test_q61_centroids_broadcast_and_take_ordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q66_unpivot_adds_no_shuffle(spark):
+    # stack() is a generator projection over q48's aggregate — still
+    # exactly one exchange in the whole plan
+    plan = plan_of(spark, "q66_unpivot_matrix")
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_q67_moment_aggs_single_shuffle(spark):
+    # corr/covar/var are algebraic (mergeable moments): one partial +
+    # one final aggregate around a single exchange
+    plan = plan_of(spark, "q67_corr_stats")
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
