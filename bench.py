@@ -57,6 +57,7 @@ HEADLINE = [
     "q59_top_terms",
     "q61_centroid_outliers",
     "q62_tfidf_top_terms",
+    "q64_funnel_conversions",
 ]
 
 
