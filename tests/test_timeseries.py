@@ -120,3 +120,35 @@ def test_q63_approx_quantiles_near_exact(spark):
         for c in ("p25", "p50", "p75", "p90"):
             e, a = getattr(exact[k], c), getattr(approx[k], c)
             assert abs(a - e) <= 0.01 * e, (k, c, e, a)
+
+
+def test_new_operators_handle_empty_input(spark):
+    # every round-2 operator must plan and run on an empty frame — the
+    # all-rows-filtered partition is a normal state at 100 TB
+    from nexgap_spark.operators import similarity, text
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, n_chars long, lang string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+    assert timeseries.interarrival_deltas(
+        empty_ev, partition_cols=["user_id"]
+    ).count() == 0
+    assert timeseries.hopping_window_agg(
+        empty_ev, aggs=[F.count("*").alias("n")]
+    ).count() == 0
+    assert timeseries.fixed_histogram(
+        empty_ev, value_col="value", lo=0, hi=500, nbuckets=10
+    ).count() == 0
+    assert sampling.deterministic_sample(empty_ev, key_col="event_id").count() == 0
+    assert sampling.stratified_sample(
+        empty_ev, strata_cols=["user_id"], key_col="event_id", fraction=0.1
+    ).count() == 0
+    assert text.term_counts(empty_docs).count() == 0
+    assert text.tfidf(empty_docs).count() == 0
+    assert text.length_zscore(empty_docs).count() == 0
+    assert similarity.centroid_outliers(empty_emb).count() == 0
+    # month_spine on an empty frame: bounds are NULL → sequence yields no rows
+    assert timeseries.month_spine(empty_ev, date_col="ts").count() == 0
