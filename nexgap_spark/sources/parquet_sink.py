@@ -35,3 +35,29 @@ def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Partition columns come back from directory names; filters on them
     show up as PartitionFilters in the scan (pruning, not reading)."""
     return spark.read.parquet(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` + ``sortWithinPartitions``
+    on the cluster columns, so each parquet file (and each row group inside
+    it) covers a narrow, disjoint value range.
+
+    This is the complement of Hive partitioning for HIGH-cardinality keys
+    where one-directory-per-value would be a metadata storm: the parquet
+    footer min/max statistics become selective, so a point or range filter
+    on the cluster key skips whole files/row groups at scan time instead of
+    reading and discarding. The range exchange samples the key distribution,
+    so skewed keys still land in balanced files."""
+    out = (
+        df.repartitionByRange(num_files, *cluster_cols)
+        if num_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    out.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)

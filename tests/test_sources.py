@@ -74,3 +74,38 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     # the filter prunes directories instead of being a data filter
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert one.count() == ev.filter(F.col("event_type") == "view").count()
+
+
+def test_clustered_parquet_files_have_disjoint_ranges(spark, tmp_path):
+    # range clustering must yield files whose cluster-key [min, max]
+    # footer stats are disjoint — the property that lets a point/range
+    # filter skip whole files at scan time
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nexgap_spark.session import load_table
+    from nexgap_spark.sources.parquet_sink import write_clustered_parquet
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(ev, out, cluster_cols=["user_id"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("user_id")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # round-trip intact
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
