@@ -454,6 +454,24 @@ def stream_stream_conversions(
     )
 
 
+def enrich_stream_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension table.
+
+    Stateless on the stream side — no watermark needed, every micro-batch
+    hash-joins against the (broadcast) dimension snapshot. The dimension is
+    re-resolvable per batch, so updating the underlying table between
+    batches is visible without restarting the query. Keep the dim
+    broadcast-small; a 100 TB dimension belongs on the stream-stream path
+    with watermarks instead."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_batch_to_memory(stream_df: DataFrame, name: str, *, output_mode: str = "append"):
     """Test harness: drive the streaming query over all currently-available
     input and stop (deterministic single-JVM completion)."""

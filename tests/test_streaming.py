@@ -359,3 +359,32 @@ def test_stream_stream_conversions_match_batch_funnel(spark, event_stream):
         assert got == batch and len(batch) > 0
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_stream):
+    # stream-static join: per-batch hash join against a broadcast dim;
+    # result totals equal the batch join on the same file
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 3).cast("int")
+    )
+    q = SP.run_batch_to_memory(
+        SP.enrich_stream_with_static(event_stream, dim, on="user_id"), "enriched"
+    )
+    try:
+        got = {
+            (r.segment, r.n)
+            for r in spark.sql(
+                "SELECT segment, CAST(COUNT(*) AS BIGINT) AS n FROM enriched GROUP BY 1"
+            ).collect()
+        }
+        batch = {
+            (r.segment, r.n)
+            for r in ev.join(dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == batch and len(batch) == 3
+    finally:
+        q.stop()
