@@ -1,0 +1,261 @@
+"""Training-corpus curation operators: benchmark decontamination, PII
+scanning/redaction, repetition (boilerplate) detection, deterministic
+train/val/test splits, and concat-and-chunk sequence packing.
+
+These are the dataset-preparation steps a pre-training pipeline runs after
+dedup/quality filtering (reference pipeline stages: nexgap/pipeline/corpus —
+filter → dedup → decontaminate → split → pack). All hot paths are
+JVM-codegen expressions; nothing here drops to Python row-at-a-time.
+
+Scale notes (100 TB corpus, 1000 executors):
+  * decontamination joins the corpus against a BENCHMARK n-gram set that is
+    tiny (benchmarks are MBs) — we broadcast the gram set so the corpus
+    never shuffles on gram; the only shuffle is the per-doc overlap count.
+  * repetition features are fully row-local (array ops on the doc's own
+    shingles) — zero shuffles, scales linearly.
+  * split assignment is a pure projection on an md5 of the key — no RNG, no
+    shuffle, reproducible across engines and runs.
+  * packing shuffles once per (part_col) to lay out the running token sum;
+    chunk ids are then a projection. Chunk semantics are concatenate-then-
+    chunk (GPT-style): a document straddling a boundary belongs to the
+    chunk where it starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators.text import tokenize, word_shingles
+
+# Engine-portable PII regexes (same semantics under Java regex and RE2):
+# character classes + bounded quantifiers only, no lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — n-gram overlap against a benchmark/eval set
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, *, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set → one `gram` column.
+    Distinct is cheap here (the benchmark side is small by construction)."""
+    grams = word_shingles(tokenize(text_col), n=n)
+    return (
+        benchmark.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document benchmark contamination: how many of the doc's distinct
+    n-grams appear verbatim in the benchmark set (the GPT-3-style 13-gram
+    decontamination check, parameterized to ``n``).
+
+    Returns (id_col, n_grams, n_overlap, overlap_frac). Docs shorter than
+    ``n`` tokens have n_grams=0 and overlap_frac=0.0.
+
+    Plan shape: corpus-side explode → broadcast hash join against the gram
+    set → single groupBy(id) count. The corpus is never shuffled on gram.
+    """
+    grams = word_shingles(tokenize(text_col), n=n)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(grams).alias("_grams"),
+    )
+    exploded = doc_grams.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
+    )
+    bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
+    joined = exploded.join(
+        F.broadcast(bench.withColumn("_bhit", F.lit(1))), on="gram", how="left"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_bhit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(
+                F.col("n_overlap") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds ``max_overlap``
+    (default: any verbatim n-gram shared with the benchmark evicts)."""
+    scores = contamination_scores(
+        docs, benchmark, id_col=id_col, text_col=text_col, n=n
+    )
+    clean_ids = scores.filter(F.col("n_overlap") <= max_overlap).select(id_col)
+    return docs.join(clean_ids, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# PII scanning / redaction
+# ---------------------------------------------------------------------------
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class for a text column (codegen'd regex)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_RE)),
+    }
+
+
+def pii_scan(
+    df: DataFrame, *, text_col: str = "text", redact: bool = True
+) -> DataFrame:
+    """Per-row PII match counts (+ optionally a redacted text column where
+    each match is replaced by a typed placeholder). Pure projection — no
+    shuffle, scales with the scan."""
+    text = F.col(text_col)
+    out = df
+    for name, col in pii_counts(text).items():
+        out = out.withColumn(name, col)
+    if redact:
+        red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+        red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+        red = F.regexp_replace(red, IPV4_RE, "<IP>")
+        out = out.withColumn("redacted", red)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate detection (Gopher-style duplicate n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(
+    df: DataFrame, *, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Duplicate n-gram fraction per document for each n in ``ns``:
+    1 - distinct_ngrams/total_ngrams (0.0 for docs shorter than n).
+
+    Entirely row-local array arithmetic — zero shuffles; this is the filter
+    you can afford to run over the full 100 TB corpus.
+    """
+    toks = tokenize(text_col)
+    out = df
+    for n in ns:
+        grams = word_shingles(toks, n=n)
+        total = F.size(grams)
+        dup_frac = F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _hex_cut(frac: float) -> str:
+    """Cumulative fraction → 4-hex-digit cutoff in md5-prefix space."""
+    return format(min(int(frac * 65536), 65535), "04x")
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by md5(key) prefix — deterministic,
+    engine-portable (same rows land in the same split in any system that can
+    compute md5), stable under reruns and data growth. No RNG, no shuffle.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any remainder
+    falls into the last split).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(weights)
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(_hex_cut(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def split_cut_sql(weights: dict[str, float], key_expr: str) -> str:
+    """The DuckDB-side CASE expression mirroring :func:`split_assign` —
+    kept next to the operator so oracle SQL can't drift."""
+    names = list(weights)
+    acc = 0.0
+    branches = []
+    for name in names[:-1]:
+        acc += weights[name]
+        branches.append(
+            f"WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4) < '{_hex_cut(acc)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_col: str,
+    part_cols: list[str] | None = None,
+    budget: int = 2048,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training chunk using
+    concatenate-then-chunk semantics: within each partition group (ordered
+    deterministically by ``order_col``) documents are laid end-to-end and the
+    stream is cut every ``budget`` tokens; a document belongs to the chunk
+    where it STARTS. chunk_id = floor(running_tokens_before / budget).
+
+    One shuffle (the window partition); chunk assignment itself is a
+    projection. At 100 TB, partition by shard/source so no single window
+    partition exceeds an executor.
+    """
+    part_cols = part_cols or []
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(before / F.lit(budget)).cast("long"))

@@ -470,3 +470,49 @@ def hyperplane_lsh_pairs(
     return bucketed.groupBy("bucket").applyInPandas(
         _pairs, schema="a bigint, b bigint, cos double"
     )
+
+
+def quantize_int8_digest(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector L2 norm + int8 scalar-quantization digest (the storage
+    prep step before shipping an embedding corpus to an ANN index):
+    q_i = floor(127 * x_i / max|x| + 0.5), reported as (sum, min, max,
+    saturation count) so the result is hashable scalars, not arrays.
+
+    Arrow-batched numpy stage, partition-parallel, no shuffle. Float
+    discipline: squares accumulate sequentially over dimensions so the norm
+    is bit-identical to the DuckDB oracle's left-to-right list fold;
+    quantized values are integers, so their aggregates are order-free.
+    """
+
+    def digest(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = m[:, 0] * m[:, 0]
+            for i in range(1, m.shape[1]):
+                acc = acc + m[:, i] * m[:, i]
+            nrm = np.sqrt(acc)
+            maxabs = np.abs(m).max(axis=1)
+            safe = np.where(maxabs == 0.0, 1.0, maxabs)
+            q = np.floor(127.0 * m / safe[:, None] + 0.5)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "l2_norm": np.round(nrm, 6),
+                    "q_sum": q.sum(axis=1).astype(np.int64),
+                    "q_min": q.min(axis=1).astype(np.int64),
+                    "q_max": q.max(axis=1).astype(np.int64),
+                    "n_saturated": (np.abs(q) >= 127).sum(axis=1).astype(np.int64),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        digest,
+        schema="vec_id long, l2_norm double, q_sum long, q_min long, q_max long, n_saturated long",
+    )

@@ -112,3 +112,38 @@ def fixed_histogram(
         F.count("*").alias("n"),
         F.round(F.sum(value_col), 2).alias("total"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the month of their first
+    event; for each (cohort_month, month_offset) count how many of the
+    cohort were active. (reference: analytics/retention rollup — recomputed
+    here as two hash aggregations.)
+
+    Plan: one groupBy(user) for first-event month (map-side combinable MIN),
+    one groupBy(user, month) for activity, a user-key co-partitioned join
+    (both sides already hashed on user), then the small matrix agg. No
+    windows — the per-user MIN is cheaper than a window sort at corpus
+    scale.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"), F.date_trunc("month", F.col(ts_col)).alias("m")
+    )
+    first = ev.groupBy("u").agg(F.min("m").alias("cohort_m"))
+    active = ev.distinct()
+    joined = active.join(first, on="u")
+    offset = (
+        F.months_between(F.col("m"), F.col("cohort_m")).cast("int").alias("month_offset")
+    )
+    return (
+        joined.select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"), offset, "u"
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count_distinct("u").cast("long").alias("n_active"))
+    )

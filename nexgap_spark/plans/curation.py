@@ -1,0 +1,461 @@
+"""Training-corpus curation queries: decontamination, PII scan/redaction,
+repetition filtering, deterministic splits, sequence packing, cohort
+retention, column profiling, and embedding quantization digests.
+
+Operators live in nexgap_spark.operators.{curation,timeseries,similarity,
+profiling}; every oracle reproduces the operator's exact arithmetic in
+DuckDB SQL (same md5 hashes, same fold order for floats, same regexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import curation, profiling, similarity, text, timeseries
+from nexgap_spark.plans.registry import query
+from nexgap_spark.session import load_table as t
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# 8-gram shingles from a token list (matches operators.text.word_shingles).
+_SHINGLES8 = (
+    "CASE WHEN len(t) >= 8 THEN "
+    "[array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] "
+    "ELSE [] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# q68 — benchmark decontamination: verbatim 8-gram overlap between corpus
+# docs and a (deterministic) benchmark subset. GPT-3-style n-gram
+# decontamination, n parameterized down to 8 to suit the tiny test docs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q68_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS dg FROM toks),
+    bench AS (
+      SELECT DISTINCT s FROM g, UNNEST(dg) AS u(s) WHERE doc_id % 20 = 0
+    ),
+    ex AS (
+      SELECT doc_id, len(dg) AS n_grams, s
+      FROM g, UNNEST(dg) AS u(s)
+      WHERE doc_id % 20 <> 0
+    ),
+    ov AS (
+      SELECT e.doc_id,
+             MAX(e.n_grams) AS n_grams,
+             SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+      FROM ex e LEFT JOIN bench b ON e.s = b.s
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(n_overlap / GREATEST(n_grams, 1), 6) AS overlap_frac
+    FROM ov
+    WHERE n_overlap > 0
+    ORDER BY overlap_frac DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q68_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    scores = curation.contamination_scores(corpus, bench, n=8)
+    return (
+        scores.filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            "n_overlap",
+            "overlap_frac",
+        )
+        .orderBy(F.col("overlap_frac").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — PII scan + redaction. The synthetic corpus carries no PII, so the
+# query deterministically injects typed PII (derived from doc_id) before
+# scanning — the regexes and the redaction pass are exercised for real, and
+# the oracle reproduces the same injection.
+# ---------------------------------------------------------------------------
+
+_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+"""
+
+
+@query(
+    "q69_pii_scan",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT source, ({_INJECT_SQL}) AS txt FROM documents
+    ),
+    scanned AS (
+      SELECT source,
+             len(regexp_extract_all(txt, '{curation.EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(txt, '{curation.PHONE_RE}')) AS n_phones,
+             len(regexp_extract_all(txt, '{curation.IPV4_RE}')) AS n_ips,
+             length(regexp_replace(regexp_replace(regexp_replace(txt,
+                '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{curation.PHONE_RE}', '<PHONE>', 'g'),
+                '{curation.IPV4_RE}', '<IP>', 'g')) AS red_len
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(red_len) AS BIGINT) AS red_chars
+    FROM scanned GROUP BY source
+    """,
+)
+def q69_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.withColumn(
+        "txt",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".1")),
+            ).otherwise(""),
+        ),
+    )
+    scanned = curation.pii_scan(seeded, text_col="txt")
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        F.sum(F.length("redacted")).cast("long").alias("red_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — repetition (boilerplate) profile per language: Gopher-style
+# duplicate n-gram fractions, computed entirely row-locally.
+# ---------------------------------------------------------------------------
+
+_DUP_FRAC = (
+    "CASE WHEN len({g}) > 0 THEN "
+    "ROUND(1.0 - len(list_distinct({g})) / CAST(len({g}) AS DOUBLE), 6) "
+    "ELSE 0.0 END"
+)
+_G2 = "CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))] ELSE [] END"
+_G3 = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q70_repetition_profile",
+    oracle=f"""
+    WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents),
+    g AS (SELECT lang, {_G2} AS g2, {_G3} AS g3 FROM toks),
+    f AS (
+      SELECT lang,
+             {_DUP_FRAC.format(g='g2')} AS d2,
+             {_DUP_FRAC.format(g='g3')} AS d3
+      FROM g
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(d2), 6) AS avg_dup2,
+           ROUND(AVG(d3), 6) AS avg_dup3,
+           ROUND(MAX(d2), 6) AS max_dup2,
+           CAST(SUM(CASE WHEN d2 > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+    FROM f GROUP BY lang
+    """,
+)
+def q70_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = curation.repetition_features(docs, ns=(2, 3))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dup_2gram_frac"), 6).alias("avg_dup2"),
+        F.round(F.avg("dup_3gram_frac"), 6).alias("avg_dup3"),
+        F.round(F.max("dup_2gram_frac"), 6).alias("max_dup2"),
+        F.sum(F.when(F.col("dup_2gram_frac") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_rep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — quality filter chain (C4/Gopher-style): token-count bounds, stopword
+# presence, punctuation ratio, repetition cap — per-rule pass counts and the
+# final gate, per language.
+# ---------------------------------------------------------------------------
+
+_SW_LIST = "[" + ", ".join(f"'{s}'" for s in text.DEFAULT_STOPWORDS) + "]"
+_PUNCT_RE = r"[^!-/:-@\[-`{-~]"
+
+
+@query(
+    "q71_quality_gate",
+    oracle=f"""
+    WITH toks AS (SELECT lang, text, {_TOKS} AS t FROM documents),
+    g AS (SELECT lang, text, t, {_G2} AS g2 FROM toks),
+    f AS (
+      SELECT lang,
+             len(t) AS n_tokens,
+             len(list_filter(t, x -> list_contains({_SW_LIST}, x)))
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) AS sw_ratio,
+             length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+             {_DUP_FRAC.format(g='g2')} AS d2
+      FROM g
+    ),
+    rules AS (
+      SELECT lang,
+             CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r_tokens,
+             CASE WHEN sw_ratio > 0 THEN 1 ELSE 0 END AS r_stop,
+             CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END AS r_punct,
+             CASE WHEN d2 < 0.8 THEN 1 ELSE 0 END AS r_rep
+      FROM f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_tokens) AS BIGINT) AS pass_tokens,
+           CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(r_punct) AS BIGINT) AS pass_punct,
+           CAST(SUM(r_rep) AS BIGINT) AS pass_repetition,
+           CAST(SUM(r_tokens * r_stop * r_punct * r_rep) AS BIGINT) AS n_keep
+    FROM rules GROUP BY lang
+    """,
+)
+def q71_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = curation.repetition_features(
+        text.quality_features(docs), ns=(2,)
+    )
+    r_tokens = ((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)).cast("int")
+    r_stop = (F.col("stopword_ratio") > 0).cast("int")
+    r_punct = (F.col("punct_ratio") < 0.1).cast("int")
+    r_rep = (F.col("dup_2gram_frac") < 0.8).cast("int")
+    return (
+        feats.select(
+            "lang",
+            r_tokens.alias("r_tokens"),
+            r_stop.alias("r_stop"),
+            r_punct.alias("r_punct"),
+            r_rep.alias("r_rep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("r_tokens").cast("long").alias("pass_tokens"),
+            F.sum("r_stop").cast("long").alias("pass_stopwords"),
+            F.sum("r_punct").cast("long").alias("pass_punct"),
+            F.sum("r_rep").cast("long").alias("pass_repetition"),
+            F.sum(
+                F.col("r_tokens") * F.col("r_stop") * F.col("r_punct") * F.col("r_rep")
+            )
+            .cast("long")
+            .alias("n_keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — deterministic train/val/test split (md5-prefix buckets, 90/5/5).
+# The oracle CASE expression is GENERATED from the same weights by
+# curation.split_cut_sql, so the two engines cannot drift.
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "q72_split_assign",
+    oracle=f"""
+    SELECT {curation.split_cut_sql(_SPLIT_WEIGHTS, 'doc_id')} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def q72_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    assigned = curation.split_assign(docs, key_col="doc_id", weights=_SPLIT_WEIGHTS)
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — sequence packing (concatenate-and-chunk, 512-token budget, packed
+# per source in doc_id order). Chunk stats per (source, chunk).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_pack_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT source, doc_id, len({_TOKS}) AS nt FROM documents),
+    packed AS (
+      SELECT source, nt,
+             CAST(FLOOR(COALESCE(SUM(nt) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS BIGINT) AS chunk_id
+      FROM toks
+    )
+    SELECT source, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS chunk_tokens
+    FROM packed GROUP BY source, chunk_id
+    """,
+)
+def q73_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", "doc_id", F.size(text.tokenize("text")).alias("nt")
+    )
+    packed = curation.pack_chunks(
+        with_tokens,
+        token_col="nt",
+        order_col="doc_id",
+        part_cols=["source"],
+        budget=512,
+    )
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — cohort retention matrix over events (first-event month → activity
+# by month offset).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, date_trunc('month', ts) AS m FROM events
+    ),
+    first AS (SELECT u, MIN(m) AS cohort_m FROM ev GROUP BY u),
+    active AS (SELECT DISTINCT u, m FROM ev)
+    SELECT strftime(cohort_m, '%Y-%m') AS cohort_month,
+           CAST(date_diff('month', cohort_m, m) AS INT) AS month_offset,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+    FROM active JOIN first USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return timeseries.cohort_retention(ev)
+
+
+# ---------------------------------------------------------------------------
+# q75 — column profiler over orders: one scan, one aggregate, rows via
+# unpivot. The standard pre-ingest data-quality report.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               MIN({c})::VARCHAR AS min_value,
+               MAX({c})::VARCHAR AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q75_column_profile", oracle=_profile_oracle())
+def q75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return profiling.profile_columns(orders, cols=list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# q76 — int8 quantization digest + L2 norms for the embedding corpus
+# (storage prep for ANN indexes; digest scalars keep the result hashable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_quantize_digest",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(range(1, 65),
+               i -> v[i] * v[i]), 'sum')) AS nrm,
+             list_transform(v, x -> floor(
+               127 * x / (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs END) + 0.5)) AS qs
+      FROM d
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max,
+           CAST(len(list_filter(qs, x -> abs(x) >= 127)) AS BIGINT) AS n_saturated
+    FROM q
+    """,
+)
+def q76_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8_digest(emb)

@@ -1,0 +1,136 @@
+"""Curation operators: decontamination semantics, PII redaction, repetition
+fractions, split determinism/proportions, packing boundaries, column
+profiling, and quantization edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import curation, profiling
+from nexgap_spark.operators.similarity import quantize_int8_digest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    short = "tiny doc"
+    rows = [(1, contaminated), (2, clean), (3, short)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    # shares the first 8-gram with doc 1, nothing with doc 2
+    rows = [(100, "alpha beta gamma delta epsilon zeta eta theta other words")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_scores(corpus, bench_docs):
+    got = {
+        r.doc_id: r
+        for r in curation.contamination_scores(corpus, bench_docs, n=8).collect()
+    }
+    assert got[1].n_overlap == 1  # exactly the shared leading 8-gram
+    assert got[2].n_overlap == 0
+    assert got[3].n_grams == 0 and got[3].n_overlap == 0  # < n tokens survives
+    assert got[1].overlap_frac == pytest.approx(1 / 3)
+
+
+def test_decontaminate_drops_only_contaminated(corpus, bench_docs):
+    kept = {r.doc_id for r in curation.decontaminate(corpus, bench_docs, n=8).collect()}
+    assert kept == {2, 3}
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me at bob@mail.com or +1-555-0099 from 192.168.0.1 twice 192.168.0.2")],
+        "id long, text string",
+    )
+    r = curation.pii_scan(df).first()
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 2)
+    assert "<EMAIL>" in r.redacted and "<PHONE>" in r.redacted
+    assert r.redacted.count("<IP>") == 2
+    assert "bob@mail.com" not in r.redacted
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d e f"), (3, "x")],
+        "id long, text string",
+    )
+    got = {r.id: r for r in curation.repetition_features(df, ns=(2,)).collect()}
+    # "a b a b a b": 5 bigrams, 2 distinct ("a b","b a") → 0.6 duplicated
+    assert got[1].dup_2gram_frac == pytest.approx(0.6)
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[3].dup_2gram_frac == 0.0  # shorter than n → defined as 0
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = curation.split_assign(df, key_col="k")
+    b = curation.split_assign(df, key_col="k")
+    assert a.exceptAll(b).count() == 0  # rerun-stable
+    frac = {
+        r.split: r.n / 20000
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert frac["train"] == pytest.approx(0.9, abs=0.01)
+    assert frac["val"] == pytest.approx(0.05, abs=0.01)
+    assert frac["test"] == pytest.approx(0.05, abs=0.01)
+
+
+def test_split_assign_stable_under_growth(spark):
+    # hash split: adding rows never reassigns existing keys
+    small = curation.split_assign(spark.range(100).withColumnRenamed("id", "k"), key_col="k")
+    big = curation.split_assign(spark.range(1000).withColumnRenamed("id", "k"), key_col="k")
+    joined = small.alias("s").join(big.alias("b"), on="k").filter("s.split <> b.split")
+    assert joined.count() == 0
+
+
+def test_pack_chunks_boundary(spark):
+    # budget 10: tokens 6,6,6 → starts at 0,6,12 → chunks 0,0,1
+    df = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 6)], "doc_id long, nt long"
+    )
+    got = {
+        r.doc_id: r.chunk_id
+        for r in curation.pack_chunks(
+            df, token_col="nt", order_col="doc_id", budget=10
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_profile_columns_nulls_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, None, 2.5), (3, "y", None), (4, "x", 4.0)],
+        "k long, s string, v double",
+    )
+    prof = {r.column_name: r for r in profiling.profile_columns(df, cols=["s", "v"]).collect()}
+    assert prof["s"].n_rows == 4 and prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_value == "x" and prof["s"].max_value == "y"
+    assert prof["v"].n_null == 1 and prof["v"].min_value == "1.5"
+
+
+def test_profile_is_single_scan(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 3).alias("b")
+    )
+    plan = profiling.profile_columns(df, cols=["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1  # one scan feeds every stat
+
+
+def test_quantize_digest_saturation_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8_digest(df).collect()}
+    # maxabs=1 → q = [127, -127, 64, 0]
+    assert got[1].q_max == 127 and got[1].q_min == -127
+    assert got[1].q_sum == 127 - 127 + 64 + 0
+    assert got[1].n_saturated == 2
+    # all-zero vector must not divide by zero
+    assert got[2].q_sum == 0 and got[2].l2_norm == 0.0
