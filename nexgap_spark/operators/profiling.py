@@ -20,6 +20,12 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
     Exact distinct counts (swap in approx_count_distinct at 100 TB — the
     shape is identical; exactness is kept here for oracle comparability).
     """
+    # A single-file local scan is one partition; the multi-distinct
+    # aggregate would run serially on it. On a real cluster the scan has
+    # thousands of splits and the repartition collapses to a no-op cost-wise
+    # (it only evens out partial-agg parallelism).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.count(c).alias(f"_nn_{c}"))

@@ -69,10 +69,12 @@ def quality_features(
     pre-training filter set, fully codegen'd."""
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
+    # Sum of token lengths == count of non-whitespace chars: a codegen'd
+    # regex instead of an array fold (array HOFs are interpreted per element
+    # and serialize this, the hottest projection of the filter pipeline).
+    tok_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
     avg_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
-        / n_tokens,
+        n_tokens > 0, tok_chars.cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
     punct_ratio = (
         F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))

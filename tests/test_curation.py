@@ -60,7 +60,7 @@ def test_repetition_features(spark):
         [(1, "a b a b a b"), (2, "a b c d e f"), (3, "x")],
         "id long, text string",
     )
-    got = {r.id: r for r in curation.repetition_features(df, ns=(2,)).collect()}
+    got = {r.id: r for r in curation.repetition_features(df, id_col="id", ns=(2,)).collect()}
     # "a b a b a b": 5 bigrams, 2 distinct ("a b","b a") → 0.6 duplicated
     assert got[1].dup_2gram_frac == pytest.approx(0.6)
     assert got[2].dup_2gram_frac == 0.0
