@@ -58,6 +58,16 @@ HEADLINE = [
     "q61_centroid_outliers",
     "q62_tfidf_top_terms",
     "q64_funnel_conversions",
+    # corpus curation: decontamination / PII / repetition / splits / packing
+    "q68_decontaminate",
+    "q69_pii_scan",
+    "q70_repetition_profile",
+    "q71_quality_gate",
+    "q72_split_assign",
+    "q73_pack_chunks",
+    "q74_cohort_retention",
+    "q75_column_profile",
+    "q76_quantize_digest",
 ]
 
 
