@@ -1,0 +1,53 @@
+"""Change-data-capture apply: merge a change stream into a base snapshot
+(upsert + delete), latest-version-wins — the batch half of a lakehouse
+MERGE INTO, expressed engine-natively.
+
+Scale shape: union base+changes (no join!), one per-key window keyed the
+same way a MERGE shuffle would be. With the base bucketed on the key
+(sources/bucketed.write_bucketed) the shuffle of the big side disappears
+entirely and only the (small) change set moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DELETE_OP = "D"
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str | None = None,
+) -> DataFrame:
+    """Apply upserts (and deletes, if ``op_col`` is given with 'D' markers)
+    to ``base``. The base is treated as version 0 of every key; the change
+    set carries ``version_col`` > 0. For each key the row with the highest
+    (version, is-change) wins; winners marked delete are dropped.
+
+    Deterministic: ties on version resolve toward the change side.
+    """
+    if op_col is None:
+        changes = changes.withColumn("_op", F.lit("U"))
+        op_col = "_op"
+    b = base.withColumn(version_col, F.lit(0).cast("long")).withColumn(
+        op_col, F.lit("U")
+    )
+    cols = b.columns
+    merged = b.select(cols).unionByName(
+        changes.withColumn(version_col, F.col(version_col).cast("long")).select(cols)
+    )
+    # Secondary sort on the op marker keeps winners deterministic when a
+    # version collides ('U' sorts above 'D').
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col(op_col) != DELETE_OP))
+        .drop("_rk", op_col)
+    )

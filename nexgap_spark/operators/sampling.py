@@ -193,3 +193,38 @@ def random_template_choice(
     arr = F.array(*[F.lit(t) for t in templates])
     idx = (F.floor(F.rand(seed) * len(templates)) + 1).cast("int")
     return df.withColumn(out_col, F.element_at(arr, idx))
+
+
+def rebalance_groups(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Rebalance a skewed corpus to a uniform per-group size: keep at most
+    ``target`` rows per group (default: the size of the smallest group),
+    chosen deterministically by content-hash rank — the domain-mixture
+    step of a pre-training data pipeline, reproducible across runs and
+    engines.
+
+    One shuffle for the per-group window; the group-size floor is a tiny
+    broadcast. Rank by md5(key) ≡ an unbiased uniform draw without RNG.
+    """
+    if target is None:
+        floor_df = F.broadcast(
+            df.groupBy(group_col)
+            .count()
+            .agg(F.min("count").cast("long").alias("_target"))
+        )
+        df = df.join(floor_df)
+    else:
+        df = df.withColumn("_target", F.lit(target).cast("long"))
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_target"))
+        .drop("_rk", "_target")
+    )

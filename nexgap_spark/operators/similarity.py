@@ -516,3 +516,41 @@ def quantize_int8_digest(
         digest,
         schema="vec_id long, l2_norm double, q_sum long, q_min long, q_max long, n_saturated long",
     )
+
+
+def kmeans_update(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """One Lloyd iteration of k-means, distributed: route every vector to
+    its nearest centroid (broadcast, no corpus shuffle — assign_clusters),
+    then recompute per-centroid per-dimension sums as ONE hash aggregate
+    over the posexploded members.
+
+    Returns (centroid_id, pos, n_members, dim_sum): callers divide
+    dim_sum/n_members for the new centroid (kept as sum+count so partial
+    aggregation is associative and the result is exactly reproducible —
+    member dims are rounded to 9dp and summed as DECIMAL, so the sum is
+    order-independent; float summation would drift with shuffle order).
+    """
+    assigned = assign_clusters(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col, dim=dim,
+    )
+    exploded = assigned.select(
+        centroid_id_col, F.posexplode(vec_col).alias("pos", "_x")
+    )
+    d = F.round(F.col("_x").cast("double"), 9).cast("decimal(18,9)")
+    return (
+        exploded.withColumn("_d", d)
+        .groupBy(centroid_id_col, "pos")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.sum("_d").cast("double"), 6).alias("dim_sum"),
+        )
+    )

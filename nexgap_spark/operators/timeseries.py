@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,3 +147,96 @@ def cohort_retention(
         .groupBy("cohort_month", "month_offset")
         .agg(F.count_distinct("u").cast("long").alias("n_active"))
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct keys (and event count) per calendar day —
+    e.g. rolling 7-day active users.
+
+    COUNT(DISTINCT) over a sliding range window is not supported by either
+    engine's window machinery; the distributed formulation explodes each
+    event into the ``window_days`` window-end days it contributes to
+    (bounded fan-out), then runs ONE hash aggregate keyed by day. Shuffle
+    volume = window_days × |events| (key, day) pairs — linear, no
+    per-day self-joins.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    bounds = F.broadcast(
+        df.agg(
+            F.date_trunc("day", F.min(ts_col)).alias("_min_d"),
+            F.date_trunc("day", F.max(ts_col)).alias("_max_d"),
+        )
+    )
+    contrib = (
+        df.select(F.col(key_col).alias("_k"), day.alias("_d"))
+        .join(bounds)
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.least(
+                        F.date_add(F.col("_d"), window_days - 1).cast("timestamp"),
+                        F.col("_max_d"),
+                    ),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("_end_d"),
+        )
+    )
+    return (
+        contrib.groupBy(F.date_format("_end_d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count_distinct("_k").cast("long").alias("n_distinct"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def ordered_funnel(
+    df: DataFrame,
+    *,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Strictly-ordered funnel match (MATCH_RECOGNIZE-lite): rows of the
+    FINAL step that complete the chain steps[0] < steps[1] < ... < final,
+    optionally within ``within_seconds`` of the chain's first step.
+
+    Greedy chained running-max windows, one shuffle (all windows share the
+    per-key sort): m0 = latest step0 time strictly before the row;
+    m_i = latest (m_{i-1} observed at a step_i row) strictly before the row.
+    Propagating the MAXIMUM first-step time through the chain is optimal
+    for the existence test, so this is exact, with none of the quadratic
+    self-joins of the naive formulation.
+
+    Returns the final-step rows plus ``chain_start`` (the matched first-step
+    timestamp).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = F.max(F.when(F.col(type_col) == steps[0], F.col(ts_col))).over(w)
+    for s in steps[1:-1]:
+        m = F.max(F.when(F.col(type_col) == s, m)).over(w)
+    out = df.withColumn("chain_start", m).filter(
+        (F.col(type_col) == steps[-1]) & F.col("chain_start").isNotNull()
+    )
+    if within_seconds is not None:
+        out = out.filter(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("chain_start"))
+            <= within_seconds * 1_000_000
+        )
+    return out

@@ -16,3 +16,4 @@ from nexgap_spark.plans import document_pipeline  # noqa: F401, E402
 from nexgap_spark.plans import temporal  # noqa: F401, E402
 from nexgap_spark.plans import analytics  # noqa: F401, E402
 from nexgap_spark.plans import curation  # noqa: F401, E402
+from nexgap_spark.plans import advanced  # noqa: F401, E402

@@ -1,0 +1,242 @@
+"""Advanced pipeline queries: rolling-window distinct counts, ordered
+funnel pattern matching, domain rebalancing, a k-means Lloyd iteration,
+and CDC upsert apply.
+
+Operators in nexgap_spark.operators.{timeseries,sampling,similarity,cdc};
+oracles reproduce the exact arithmetic (same greedy window chains, same
+md5 ranks, same decimal summation) in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import cdc, sampling, timeseries
+from nexgap_spark.operators import similarity as sim
+from nexgap_spark.plans.registry import query
+from nexgap_spark.plans.similarity import _cos
+from nexgap_spark.session import load_table as t
+
+# ---------------------------------------------------------------------------
+# q77 — rolling 7-day distinct users (trailing-window active-user curve).
+# COUNT(DISTINCT) over a sliding range window exists in neither engine's
+# window machinery; both sides use the bounded explode-to-window-end
+# formulation (one hash aggregate, shuffle = 7×|events|).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q77_rolling_active_users",
+    oracle="""
+    WITH ev AS (SELECT user_id AS k, date_trunc('day', ts) AS d FROM events),
+    b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM ev),
+    days AS (
+      SELECT UNNEST(generate_series((SELECT mind FROM b),
+                                    (SELECT maxd FROM b),
+                                    INTERVAL 1 DAY)) AS end_d
+    )
+    SELECT strftime(end_d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.k) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM days JOIN ev e ON e.d BETWEEN end_d - INTERVAL 6 DAY AND end_d
+    GROUP BY end_d
+    """,
+)
+def q77_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return timeseries.rolling_distinct(ev, window_days=7)
+
+
+# ---------------------------------------------------------------------------
+# q78 — strictly-ordered funnel (view < click < purchase, purchase within
+# 1h of the matched view) via chained greedy running-max windows — the
+# MATCH_RECOGNIZE workload without quadratic self-joins.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW = (
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
+
+
+@query(
+    "q78_ordered_funnel",
+    oracle=f"""
+    WITH m0 AS (
+      SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END) {_FUNNEL_WINDOW} AS lv
+      FROM events
+    ),
+    m1 AS (
+      SELECT *, MAX(CASE WHEN event_type = 'click' THEN lv END) {_FUNNEL_WINDOW} AS chain_start
+      FROM m0
+    ),
+    p AS (
+      SELECT date_trunc('day', ts) AS d,
+             CASE WHEN chain_start IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(chain_start) <= 3600000000
+                  THEN 1 ELSE 0 END AS conv
+      FROM m1 WHERE event_type = 'purchase'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(conv) AS BIGINT) AS n_converted
+    FROM p GROUP BY d
+    """,
+)
+def q78_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    conv = timeseries.ordered_funnel(
+        ev, steps=["view", "click", "purchase"], within_seconds=3600
+    )
+    day = lambda c: F.date_format(F.date_trunc("day", c), "yyyy-MM-dd")  # noqa: E731
+    conv_by_day = conv.groupBy(day(F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("n_converted")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day(F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )
+    return purchases.join(conv_by_day, on="day", how="left").select(
+        "day",
+        "n_purchases",
+        F.coalesce("n_converted", F.lit(0).cast("long")).alias("n_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — domain-mixture rebalance: deterministically downsample every source
+# to the smallest source's size (content-hash rank, no RNG).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_rebalance_domains",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ),
+    floor_n AS (
+      SELECT MIN(cnt) AS tgt
+      FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked, floor_n WHERE rk <= tgt
+    GROUP BY source
+    """,
+)
+def q79_rebalance_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    kept = sampling.rebalance_groups(docs, group_col="source", key_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — one k-means Lloyd iteration over the embedding corpus (centroids =
+# vec_id < 8, routing by cosine as in q35): per-centroid per-dimension
+# member sums. Decimal summation keeps the result exactly order-independent.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_kmeans_step",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    ex AS (
+      SELECT c_id, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(18,9)) AS d
+      FROM clusters CROSS JOIN range(1, 65) r(i)
+    )
+    SELECT c_id AS centroid_id,
+           CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(d) AS DOUBLE), 6) AS dim_sum
+    FROM ex GROUP BY c_id, pos
+    """,
+)
+def q80_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim.kmeans_update(emb, centroids)
+
+
+# ---------------------------------------------------------------------------
+# q81 — CDC upsert apply (MERGE INTO semantics): a derived change set
+# (10% price updates + sparse deletes) merged into orders, latest version
+# wins; digest of the resulting snapshot.
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+
+
+@query(
+    "q81_cdc_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice,
+             o_orderdate, o_orderpriority, 1 AS version, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT {_ORDER_COLS}, 2 AS version, 'D' AS op
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    base AS (SELECT {_ORDER_COLS}, 0 AS version, 'U' AS op FROM orders),
+    merged AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    won AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                ORDER BY version DESC, op DESC) AS rk
+      FROM merged
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+           CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM won WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def q81_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("version", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("version", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    changes = updates.unionByName(deletes)
+    snapshot = cdc.apply_changes(
+        orders, changes, key_cols=["o_orderkey"], version_col="version", op_col="op"
+    )
+    return snapshot.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+    )

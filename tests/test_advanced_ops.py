@@ -1,0 +1,138 @@
+"""Unit tests for rolling distinct, ordered funnel, domain rebalance, and
+CDC apply — planted fixtures exercising the edges the oracle queries don't
+(out-of-order chains, deletes, skewed groups, window boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import cdc, sampling, timeseries
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_ordered_funnel_requires_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: view < click < purchase — converts
+            (1, 1, "view", TS(2024, 1, 1, 10, 0)),
+            (2, 1, "click", TS(2024, 1, 1, 10, 10)),
+            (3, 1, "purchase", TS(2024, 1, 1, 10, 20)),
+            # user 2: click BEFORE view — no conversion
+            (4, 2, "click", TS(2024, 1, 1, 10, 0)),
+            (5, 2, "view", TS(2024, 1, 1, 10, 10)),
+            (6, 2, "purchase", TS(2024, 1, 1, 10, 20)),
+            # user 3: complete chain but outside the 1h bound
+            (7, 3, "view", TS(2024, 1, 1, 9, 0)),
+            (8, 3, "click", TS(2024, 1, 1, 9, 30)),
+            (9, 3, "purchase", TS(2024, 1, 1, 10, 30)),
+        ],
+    )
+    got = timeseries.ordered_funnel(
+        ev, steps=["view", "click", "purchase"], within_seconds=3600
+    ).collect()
+    assert [r.event_id for r in got] == [3]
+    assert got[0].chain_start == TS(2024, 1, 1, 10, 0)
+
+
+def test_ordered_funnel_picks_latest_view(spark):
+    # two views before the click: the LATER one must anchor the window
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", TS(2024, 1, 1, 8, 0)),
+            (2, 1, "view", TS(2024, 1, 1, 10, 0)),
+            (3, 1, "click", TS(2024, 1, 1, 10, 5)),
+            (4, 1, "purchase", TS(2024, 1, 1, 10, 55)),
+        ],
+    )
+    got = timeseries.ordered_funnel(
+        ev, steps=["view", "click", "purchase"], within_seconds=3600
+    ).collect()
+    assert len(got) == 1 and got[0].chain_start == TS(2024, 1, 1, 10, 0)
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 10, "view", TS(2024, 1, 1)),
+            (2, 20, "view", TS(2024, 1, 3)),
+            (3, 10, "view", TS(2024, 1, 9)),
+            (4, 30, "view", TS(2024, 1, 9)),
+        ],
+    )
+    got = {
+        r.day: (r.n_distinct, r.n_events)
+        for r in timeseries.rolling_distinct(ev, window_days=7).collect()
+    }
+    # day 1: {10}; day 3: {10,20}; day 7: {10,20}; day 8: {20}; day 9 window [Jan 3..9]: {20,10,30}
+    assert got["2024-01-01"] == (1, 1)
+    assert got["2024-01-03"] == (2, 2)
+    assert got["2024-01-07"] == (2, 2)
+    assert got["2024-01-08"] == (1, 1)
+    assert got["2024-01-09"] == (3, 3)
+    # window-ends stop at the max event day — no phantom trailing days
+    assert max(got) == "2024-01-09"
+
+
+def test_rebalance_groups_downsamples_to_min(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    kept = sampling.rebalance_groups(df, group_col="g", key_col="k")
+    counts = {r.g: r.n for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic across invocations
+    again = sampling.rebalance_groups(df, group_col="g", key_col="k")
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_rebalance_groups_explicit_target(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(50)], "k long, g string")
+    kept = sampling.rebalance_groups(df, group_col="g", key_col="k", target=7)
+    assert kept.count() == 7
+
+
+def test_cdc_apply_upsert_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),  # update
+            (4, "d", 40.0, 1, "U"),  # insert (new key)
+            (3, "c", 30.0, 1, "D"),  # delete
+            (1, "a-old", 99.0, 1, "U"),  # superseded by v2 below
+            (1, "a2", 11.0, 2, "U"),  # latest version wins
+        ],
+        "k long, s string, v double, version long, op string",
+    )
+    got = {
+        r.k: r
+        for r in cdc.apply_changes(
+            base, changes, key_cols=["k"], version_col="version", op_col="op"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1].s == "a2" and got[1].v == 11.0
+    assert got[2].s == "b2"
+    assert got[4].s == "d"
+
+
+def test_cdc_apply_without_op_col(spark):
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    changes = spark.createDataFrame([(1, 11.0, 5)], "k long, v double, version long")
+    got = cdc.apply_changes(
+        base, changes, key_cols=["k"], version_col="version"
+    ).collect()
+    assert len(got) == 1 and got[0].v == 11.0
