@@ -61,3 +61,47 @@ def write_clustered_parquet(
         else df.repartitionByRange(*cluster_cols)
     )
     out.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+def read_with_schema_evolution(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written across schema versions (columns added over
+    time): ``mergeSchema`` unions the footer schemas and nulls the missing
+    columns in old files.
+
+    mergeSchema costs a footer read per file at planning time — acceptable
+    for a landing zone; a curated table should instead be rewritten to the
+    current schema (see compact_parquet). Filters and pruning still apply
+    to whichever columns a given file has.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a fragmented directory into
+    ceil(rows/target) right-sized files, optionally re-clustering on
+    ``sort_cols`` so footer min/max stay selective after the rewrite.
+    Returns the number of output files requested.
+
+    This is the maintenance job every streaming/append pipeline needs —
+    micro-batch sinks leave thousands of KB-scale files whose per-file open
+    cost dominates scans. coalesce() (not repartition) when not sorting:
+    it avoids a shuffle entirely and just glues splits together.
+    """
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -30,7 +30,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from nexgap_spark.operators import dedup, sampling, text, timeseries
+from nexgap_spark.operators import curation, dedup, sampling, text, timeseries
 from nexgap_spark.operators.sessionize import sessionize
 from nexgap_spark.operators.similarity import brute_force_topk
 from nexgap_spark.operators.temporal_join import asof_join, range_join
@@ -158,6 +158,28 @@ def main() -> None:
             # salted text grows the vocabulary M× — the df table must stay
             # broadcast-small relative to the corpus
             "tfidf": ([d], lambda: text.tfidf(d)),
+            # 7× bounded fan-out then one hash agg — shuffle grows 7M×,
+            # distinct-key cardinality is the constant to watch
+            "rolling_distinct": (
+                [e],
+                lambda: timeseries.rolling_distinct(e, window_days=7),
+            ),
+            # chained running-max windows share ONE per-user sort; cost is
+            # the sort of M× rows, not the number of funnel steps
+            "ordered_funnel": (
+                [e],
+                lambda: timeseries.ordered_funnel(
+                    e, steps=["view", "click", "purchase"], within_seconds=3600
+                ),
+            ),
+            # corpus-side gram stream vs broadcast benchmark gram set; the
+            # corpus is never shuffled on gram, only on doc id
+            "decontaminate": (
+                [d],
+                lambda: curation.contamination_scores(
+                    d, docs.limit(200), n=8
+                ),
+            ),
         }
 
     results: dict[str, dict[str, float | int]] = {}

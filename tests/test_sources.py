@@ -109,3 +109,87 @@ def test_clustered_parquet_files_have_disjoint_ranges(spark, tmp_path):
     # round-trip intact
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
+
+
+def test_csv_corrupt_side_channel(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nexgap_spark.sources import csv_source
+    from nexgap_spark.sources.jsonl import split_corrupt
+
+    p = tmp_path / "rows.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = csv_source.read_csv(spark, str(p), schema)
+    good, bad = split_corrupt(df)
+    assert {r.k for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "not_an_int" in bad.collect()[0]._corrupt_record
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nexgap_spark.sources import csv_source
+
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a,b"), (2, 'q"uote')], "k long, v string")
+    csv_source.write_csv(df, out, single_file=True)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = csv_source.read_csv(spark, out, schema, keep_corrupt_column=False)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a,b"), (2, 'q"uote')]
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from nexgap_spark.sources.parquet_sink import read_with_schema_evolution
+
+    v1 = str(tmp_path / "t" / "v1")
+    v2 = str(tmp_path / "t" / "v2")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(v1)
+    spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double").write.parquet(v2)
+    df = read_with_schema_evolution(spark, v1, v2)
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from nexgap_spark.sources.parquet_sink import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # simulate micro-batch fragmentation: 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    n = compact_parquet(spark, src, dst, target_rows_per_file=5_000)
+    assert n == 2
+    assert len(glob.glob(f"{dst}/part-*")) == 2
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_compact_parquet_clustered_ranges_stay_disjoint(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    from nexgap_spark.sources.parquet_sink import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(10_000).withColumnRenamed("id", "k").repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_rows_per_file=2_500, sort_cols=["k"])
+    ranges = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ranges.append(
+            (md.row_group(0).column(0).statistics.min,
+             md.row_group(md.num_row_groups - 1).column(0).statistics.max)
+        )
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint → point/range filters skip whole files
