@@ -68,6 +68,12 @@ HEADLINE = [
     "q74_cohort_retention",
     "q75_column_profile",
     "q76_quantize_digest",
+    # lifecycle / analytics extensions
+    "q77_rolling_active_users",
+    "q78_ordered_funnel",
+    "q79_rebalance_domains",
+    "q80_kmeans_step",
+    "q81_cdc_apply",
 ]
 
 
