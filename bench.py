@@ -154,15 +154,19 @@ def main() -> None:
         detail["duckdb"] = duck_times
         result["duckdb_total"] = round(sum(duck_times.values()), 3)
     # The driver captures only the LAST 2000 chars of output and parses the
-    # JSON from there — keep the stdout line compact (no per-query rows /
-    # duckdb dicts; those go to BENCH_DETAIL.json + stderr).
+    # JSON from there — the compact stdout line must be the FINAL output and
+    # the only JSON in that window. Round 1's bench dumped the full detail
+    # dict to stderr after the progress lines; stderr is unbuffered while
+    # piped stdout flushes at exit, so the oversized detail line landed last
+    # in the merged capture and the driver recorded parsed:null. Detail goes
+    # to BENCH_DETAIL.json ONLY; stderr stays short progress lines.
     detail.update(result)
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps(detail), file=sys.stderr)
     line = json.dumps(result)
     assert len(line) < 1800, f"stdout JSON too long for driver tail: {len(line)}"
-    print(line)
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -527,30 +527,67 @@ def kmeans_update(
     centroid_id_col: str = "centroid_id",
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """One Lloyd iteration of k-means, distributed: route every vector to
-    its nearest centroid (broadcast, no corpus shuffle — assign_clusters),
-    then recompute per-centroid per-dimension sums as ONE hash aggregate
-    over the posexploded members.
+    """One Lloyd iteration of k-means, distributed: centroids (small by
+    contract) are collected once and shipped in a broadcast; a single Arrow
+    stage streams the corpus partition-parallel, routes each batch to its
+    nearest centroid (max cosine, ties → lowest id — `_np_assign`, the same
+    bit-faithful scorer IVF uses) and accumulates per-centroid per-dimension
+    PARTIAL sums map-side. The only shuffle carries k×dim partial rows per
+    partition — never the corpus, never an exploded member table.
 
     Returns (centroid_id, pos, n_members, dim_sum): callers divide
-    dim_sum/n_members for the new centroid (kept as sum+count so partial
-    aggregation is associative and the result is exactly reproducible —
-    member dims are rounded to 9dp and summed as DECIMAL, so the sum is
-    order-independent; float summation would drift with shuffle order).
+    dim_sum/n_members for the new centroid. Exact reproducibility: member
+    dims are rounded to 9dp and accumulated as SCALED int64 (x·1e9 — exact
+    for float32-origin values, whose ·1e9 product fits a double mantissa),
+    so partial sums are integer arithmetic and order-independent; the final
+    agg divides once. Float summation would drift with shuffle order.
     """
-    assigned = assign_clusters(
-        vectors, centroids, id_col=id_col, vec_col=vec_col,
-        centroid_id_col=centroid_id_col, dim=dim,
+    cent_pd = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col)
+    ).toPandas()
+    order = np.argsort(cent_pd[centroid_id_col].to_numpy(), kind="stable")
+    cent_ids = cent_pd[centroid_id_col].to_numpy()[order]
+    cent_mat = np.stack(cent_pd[vec_col].to_numpy()[order]).astype(np.float64)[:, :dim]
+    k = len(cent_ids)
+
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((cent_ids, cent_mat))
+
+    def partials(batches):
+        c_ids, c_mat = bc.value
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+            assigned = _np_assign(V, c_ids, c_mat)
+            Vi = np.rint(V * 1e9).astype(np.int64)
+            for ci in range(k):
+                sel = assigned == c_ids[ci]
+                n = int(sel.sum())
+                if n:
+                    counts[ci] += n
+                    sums[ci] += Vi[sel].sum(axis=0)
+        live = np.nonzero(counts)[0]
+        if len(live) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "centroid_id": np.repeat(cent_ids[live], dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                "n": np.repeat(counts[live], dim),
+                "isum": sums[live].ravel(),
+            }
+        )
+
+    part = vectors.select(id_col, vec_col).mapInPandas(
+        partials, schema="centroid_id long, pos int, n long, isum long"
     )
-    exploded = assigned.select(
-        centroid_id_col, F.posexplode(vec_col).alias("pos", "_x")
-    )
-    d = F.round(F.col("_x").cast("double"), 9).cast("decimal(18,9)")
     return (
-        exploded.withColumn("_d", d)
-        .groupBy(centroid_id_col, "pos")
+        part.groupBy(F.col("centroid_id").alias(centroid_id_col), "pos")
         .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.round(F.sum("_d").cast("double"), 6).alias("dim_sum"),
+            F.sum("n").cast("long").alias("n_members"),
+            F.round(F.sum("isum") / F.lit(1e9), 6).alias("dim_sum"),
         )
     )
