@@ -77,7 +77,7 @@ HEADLINE = [
 ]
 
 
-def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
     from nexgap_spark.plans import QUERIES
     from nexgap_spark.session import get_spark
 
@@ -93,19 +93,28 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errs: dict[str, str] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     for name in HEADLINE:
         best, n = None, 0
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            out = QUERIES[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            n = len(out)
+        # per-query fault isolation: one failing query must cost ONE "err"
+        # entry, never the whole artifact (r3/r4 shipped no bench at all
+        # because a single raising query aborted the loop with rc=1)
+        try:
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                out = QUERIES[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                n = len(out)
+        except Exception as e:  # noqa: BLE001 — record and move on
+            errs[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] {name}: ERROR {errs[name][:120]}", file=sys.stderr)
+            continue
         times[name] = round(best, 3)
         rows[name] = n
         print(f"[bench] {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
-    return times, rows
+    return times, rows, errs
 
 
 def _run_duckdb(sf_dir: str) -> dict[str, float]:
@@ -125,13 +134,16 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         if name not in ORACLES:
             continue
-        best = None
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            con.sql(ORACLES[name]).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        try:
+            best = None
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                con.sql(ORACLES[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — oracle-side fault isolation
+            print(f"[bench] duckdb {name}: ERROR {e}", file=sys.stderr)
     return times
 
 
@@ -140,7 +152,7 @@ def main() -> None:
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else None
 
-    spark_times, rows = _run_spark(sf_dir)
+    spark_times, rows, errs = _run_spark(sf_dir)
     result = {
         "metric": "headline query wall time (Spark, local)",
         "value": round(sum(spark_times.values()), 3),
@@ -148,7 +160,13 @@ def main() -> None:
         "queries": spark_times,
         "sf": sf,
     }
-    detail = {"rows": rows}
+    if errs:
+        # stdout line must stay under the driver's 2000-char tail window:
+        # full error text goes to BENCH_DETAIL.json, stdout gets a count
+        # plus the first few names
+        result["n_errors"] = len(errs)
+        result["error_queries"] = sorted(errs)[:5]
+    detail = {"rows": rows, "errors": errs}
     if not os.environ.get("BENCH_SKIP_DUCKDB"):
         duck_times = _run_duckdb(sf_dir)
         detail["duckdb"] = duck_times

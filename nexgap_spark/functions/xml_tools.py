@@ -208,6 +208,10 @@ def _parse_single_tool(body: str, next_id: IdGen) -> dict[str, Any] | None:
         root = robust_parse(body.strip())
         name_elem = root.find("tool_name")
         if name_elem is None:
+            # reference keeps the block when tool_name is absent after a
+            # SUCCESSFUL parse (no regex fallback — that path is only for
+            # parse failures); an empty <tool_name/> still emits a ''-named
+            # call, reference :964-1003
             return None
         return _tool_call((name_elem.text or "").strip(), _params_from_element(root), next_id)
     except ValueError:

@@ -2,10 +2,11 @@
 scanning/redaction, repetition (boilerplate) detection, deterministic
 train/val/test splits, and concat-and-chunk sequence packing.
 
-These are the dataset-preparation steps a pre-training pipeline runs after
-dedup/quality filtering (reference pipeline stages: nexgap/pipeline/corpus —
-filter → dedup → decontaminate → split → pack). All hot paths are
-JVM-codegen expressions; nothing here drops to Python row-at-a-time.
+These are extensions beyond the reference — standard dataset-preparation
+steps a pre-training pipeline runs after dedup/quality filtering (filter →
+dedup → decontaminate → split → pack); the reference has no corpus-curation
+stage, so there is no file:line to cite. All hot paths are JVM-codegen
+expressions; nothing here drops to Python row-at-a-time.
 
 Scale notes (100 TB corpus, 1000 executors):
   * decontamination joins the corpus against a BENCHMARK n-gram set that is

@@ -163,11 +163,29 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Band the signature and equi-join on (band, bucket) to produce candidate
     pairs (a < b). The join key is an md5 of the band slice, so bucket
     collisions across bands are impossible to conflate (band id is in the
-    key). This is the step that makes near-dup linear-ish instead of O(n²)."""
+    key). This is the step that makes near-dup linear-ish instead of O(n²).
+
+    ``max_bucket_size`` is the mega-bucket guard: a boilerplate cluster of k
+    near-identical docs lands in ONE (band, bucket) and would emit k² pairs —
+    the genuine 100 TB blow-up in banded LSH. Buckets above the cap are
+    excluded from the self-join (their members almost always co-occur in
+    *some* other sane bucket or are exact dups better handled by hash dedup
+    first). The drop is NOT silent: every plan carries an
+    ``lsh_bucket_cap`` observed metric (rows in dropped buckets + dropped
+    bucket count, collected during the consuming action at zero extra cost),
+    and ``log_drops=True`` additionally prints the numbers eagerly (costs
+    one extra job — keep off in benchmarked paths). ``None`` disables the
+    cap. The bucket-size count reuses the same (band, bucket) hash
+    partitioning the join itself needs, so the guard adds no new shuffle.
+    """
+    from pyspark.sql import Window
+
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -180,6 +198,31 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        over = F.col("_bsz") > max_bucket_size
+        # observe() forbids DISTINCT aggregates → approx sketch for the
+        # bucket count (exact rows, approx distinct buckets is plenty for a
+        # telemetry signal)
+        sized = sized.observe(
+            "lsh_bucket_cap",
+            F.sum(over.cast("long")).alias("dropped_rows"),
+            F.approx_count_distinct(
+                F.when(over, F.concat_ws("/", "band", "bucket"))
+            ).alias("dropped_buckets"),
+        )
+        if log_drops:
+            stats = sized.agg(
+                F.sum(over.cast("long")).alias("rows"),
+                F.count_distinct(F.when(over, F.concat_ws("/", "band", "bucket"))).alias("buckets"),
+            ).first()
+            if stats["rows"]:
+                print(
+                    f"[lsh] capped {stats['buckets']} bucket(s) over "
+                    f"{max_bucket_size}: {stats['rows']} member rows excluded"
+                )
+        buckets = sized.filter(~over).drop("_bsz")
     left = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

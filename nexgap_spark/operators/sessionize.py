@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .timeutil import as_timestamp, epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -30,6 +32,9 @@ def sessionize(
     ``order_tiebreak``: extra column to make ordering total when timestamps
     can collide (determinism requirement for oracle comparison).
     """
+    # dtype-tolerant: accept TIMESTAMP_NTZ from any caller, not just
+    # session.load_table-normalized frames
+    df = as_timestamp(df, ts_col)
     order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = W.partitionBy(user_col).orderBy(*order_cols)
     gap_us = int(gap_minutes * 60_000_000)
@@ -38,7 +43,7 @@ def sessionize(
     # within one second of the threshold.
     is_new = (
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
+        | ((epoch_us(ts_col) - epoch_us(prev_ts)) > gap_us)
     ).cast("int")
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("session_id", F.sum(is_new).over(w_run))

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .timeutil import as_timestamp, epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -39,6 +41,10 @@ def asof_join(
     rows share a timestamp the one latest in (ts, tiebreak-order) wins —
     deterministic because the union window orders by (ts, side-tag).
     """
+    # dtype-tolerant: normalize NTZ on both sides so the tagged-union struct
+    # types line up and the tolerance arithmetic has a TIMESTAMP input
+    left = as_timestamp(left, left_ts)
+    right = as_timestamp(right, right_ts)
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -78,9 +84,9 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        within = (
-            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_r_ts"))
-        ) <= int(tolerance_s * 1_000_000)
+        within = (epoch_us("_ts") - epoch_us("_r_ts")) <= int(
+            tolerance_s * 1_000_000
+        )
         out = out.withColumns(
             {f"_rv_{c}": F.when(within, F.col(f"_rv_{c}")) for c in right_cols}
         ).withColumn("_r_ts", F.when(within, F.col("_r_ts")))
@@ -109,13 +115,13 @@ def range_join(
     win_us = int(window_s * 1_000_000)
     l = left.select(
         *left.columns,
-        F.unix_micros(F.col(left_ts)).alias("_l_us"),
-        (F.unix_micros(F.col(left_ts)) / win_us).cast("long").alias("_bkt"),
+        epoch_us(left_ts).alias("_l_us"),
+        (epoch_us(left_ts) / win_us).cast("long").alias("_bkt"),
     )
     r = right.select(
         F.col(on).alias("_r_on"),
-        F.unix_micros(F.col(right_ts)).alias("_r_us"),
-        (F.unix_micros(F.col(right_ts)) / win_us).cast("long").alias("_r_bkt"),
+        epoch_us(right_ts).alias("_r_us"),
+        (epoch_us(right_ts) / win_us).cast("long").alias("_r_bkt"),
         *[
             F.col(c).alias(f"{c}{suffix}")
             for c in right.columns

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_us
+
 
 def interarrival_deltas(
     df: DataFrame,
@@ -37,7 +39,7 @@ def interarrival_deltas(
 
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*partition_cols).orderBy(*order)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
     return df.withColumn(out_col, us - F.lag(us).over(w))
 
 
@@ -236,7 +238,7 @@ def ordered_funnel(
     )
     if within_seconds is not None:
         out = out.filter(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("chain_start"))
+            epoch_us(ts_col) - epoch_us("chain_start")
             <= within_seconds * 1_000_000
         )
     return out

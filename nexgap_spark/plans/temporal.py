@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nexgap_spark.operators.temporal_join import asof_join, range_join
+from nexgap_spark.operators.timeutil import epoch_us
 from nexgap_spark.plans.registry import query
 from nexgap_spark.session import load_table as t
 
@@ -58,7 +59,7 @@ def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("view_event_id_asof").alias("view_event_id"),
-        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("ts_asof")).alias("gap_us"),
     )
 
 

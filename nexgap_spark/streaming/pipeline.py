@@ -18,13 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The driver's events parquet stores TIMESTAMP(NANOS), which Spark reads as
-# nanosecond longs (see session.py nanosAsLong); the stream reader converts
-# to a µs timestamp after the scan, mirroring session.load_table.
+# Historical note: the driver's events parquet has shipped as TIMESTAMP(NANOS)
+# (read as nanosecond longs under nanosAsLong) and as plain timestamp[us]
+# (read as TIMESTAMP_NTZ). The stream reader sniffs the REAL footer schema
+# with a batch read — a wrong static schema silently coerces (a timestamp[us]
+# column declared LongType reads raw µs, and the nanos→µs div then shrinks
+# every timestamp 1000×) — and normalizes ts per-dtype, mirroring
+# session.load_table.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -37,7 +41,7 @@ def read_event_stream(
     spark: SparkSession,
     path: str,
     *,
-    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    schema: T.StructType | None = None,
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-based event stream (the production analog is Kafka; the source
@@ -45,20 +49,36 @@ def read_event_stream(
 
     ``path`` may be a directory or a single parquet file — the streaming
     file source requires a directory, so a file path becomes
-    (parent, pathGlobFilter=name)."""
+    (parent, pathGlobFilter=name).
+
+    When ``schema`` is None the footer schema of the existing files is used
+    (one driver-side batch metadata read at query build — cheap and safe;
+    an explicit schema is still accepted for empty-at-start directories)."""
     import os
 
+    glob_filter = None
+    if os.path.isfile(path):
+        glob_filter = os.path.basename(path)
+        path = os.path.dirname(path)
+    if schema is None:
+        sniff = spark.read
+        if glob_filter:
+            sniff = sniff.option("pathGlobFilter", glob_filter)
+        schema = sniff.parquet(path).schema
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer div, not float: the double path rounds ±1 µs at epoch
-        # magnitudes (same fix as session.load_table)
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        # nanos-as-long encoding. Integer div, not float: the double path
+        # rounds ±1 µs at epoch magnitudes (same fix as session.load_table)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # UTC session TZ pinned in session.get_spark → value-identical cast
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

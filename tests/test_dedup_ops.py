@@ -74,3 +74,35 @@ def test_minhash_signature_shape(docs):
     row = sigs.first()
     assert all(hasattr(row, f"mh{j}") for j in range(8))
     assert sigs.count() == 5
+
+
+def test_lsh_mega_bucket_cap(spark):
+    # 1000 identical docs land in ONE (band, bucket) per band — uncapped
+    # that is ~500k candidate pairs; the cap must bound the output without
+    # touching well-behaved buckets.
+    boiler = [(i, BASE) for i in range(1000)]
+    distinct = [(2000, NEAR), (2001, NEAR), (2002, FAR)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.shingle_table(df), num_hashes=8)
+
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100).collect()
+    # the boilerplate cluster is dropped entirely; the two NEAR docs (and
+    # their cross-pairs with nothing else) survive in sane buckets
+    pairs = {(r.a, r.b) for r in capped}
+    assert (2000, 2001) in pairs
+    assert all(a >= 2000 and b >= 2000 for a, b in pairs)
+    assert len(pairs) < 100
+
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=None)
+    assert uncapped.count() > 400_000  # the blow-up the cap prevents
+
+
+def test_lsh_cap_default_keeps_small_corpus_intact(docs):
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh)
+    with_cap = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    no_cap = {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    }
+    assert with_cap == no_cap

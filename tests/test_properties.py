@@ -137,7 +137,10 @@ def test_extraction_total_and_stable(doc):
     # stability: a second pass extracts nothing new and changes nothing.
     cleaned, calls = extract_tool_calls(doc)
     for c in calls:
-        assert c["id"] and c["function"]["name"]
+        # name may be '' — the reference emits a ''-named call for an empty
+        # <tool_name/> (:964-966 strips text, no emptiness guard) and parity
+        # tracks that; the id, by contrast, is always generated
+        assert c["id"] and isinstance(c["function"]["name"], str)
     cleaned2, calls2 = extract_tool_calls(cleaned)
     assert cleaned2 == cleaned
     assert calls2 == []
