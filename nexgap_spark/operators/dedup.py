@@ -428,3 +428,35 @@ def dup_groups(
         if changed == 0:
             break
     return labels.select(F.col("n"), F.col("label").alias("group_id"))
+
+
+def dedup_corpus_join(
+    docs: DataFrame,
+    membership: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_broadcast_rows: int = 5_000_000,
+) -> DataFrame:
+    """Corpus dedup end-product: keep canonical docs (group_id == doc_id) and
+    every doc with no near-dup, carrying ``group_size`` as provenance.
+
+    ``membership`` is (doc_id, group_id, group_size) for docs that HAVE a
+    near-dup — usually tiny relative to the corpus, so the corpus-side join
+    broadcasts and the corpus itself never shuffles. "Usually" is not a plan
+    contract: a pathological corpus (mirror crawl, boilerplate flood) can
+    make the dup-id set bigger than executor memory, so broadcast only under
+    an explicit row cap and fall back to the AQE-planned shuffle join above
+    it. The persist makes the cap check cost one count of the small side,
+    not a second pass over membership's lineage (typically the whole
+    shingle→minhash→LSH→verify pipeline).
+    """
+    from pyspark import StorageLevel
+
+    membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
+    if membership.count() <= max_broadcast_rows:  # default ≈120 MB of ids
+        membership = F.broadcast(membership)
+    return (
+        docs.join(membership, id_col, "left")
+        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col(id_col)))
+        .select(id_col, F.coalesce("group_size", F.lit(1)).alias("group_size"))
+    )

@@ -482,23 +482,8 @@ def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("doc_id"), "group_id"
     )
     sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
-    # membership is usually tiny relative to the corpus (only docs with a
-    # near-dup), so the corpus-side join broadcasts and the corpus never
-    # shuffles. "Usually" is not a plan contract: a pathological corpus
-    # (mirror crawl, boilerplate flood) can make the dup-id set bigger than
-    # executor memory, so broadcast only under an explicit row cap and fall
-    # back to the AQE-planned shuffle join above it. The persist makes the
-    # cap check cost one count of the small side, not a second LSH pass.
-    from pyspark import StorageLevel
-
-    membership = groups.join(sizes, "group_id").persist(StorageLevel.MEMORY_AND_DISK)
-    if membership.count() <= 5_000_000:  # ≈120 MB of (doc_id, group_id, size)
-        membership = F.broadcast(membership)
-    return (
-        docs.join(membership, "doc_id", "left")
-        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
-        .select("doc_id", F.coalesce("group_size", F.lit(1)).alias("group_size"))
-    )
+    membership = groups.join(sizes, "group_id")
+    return dedup.dedup_corpus_join(docs, membership)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,31 @@ def test_q44_membership_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dedup_corpus_join_modes(spark):
+    # both sides of the broadcast-threshold fallback: under the cap the
+    # membership side broadcasts; above it the plan degrades gracefully to a
+    # (AQE-planned) shuffle join instead of forcing an oversized broadcast
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.dedup import dedup_corpus_join
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    membership = spark.range(0, 100, 2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 10).alias("group_id"),
+        F.lit(5).cast("long").alias("group_size"),
+    )
+    small = dedup_corpus_join(docs, membership, max_broadcast_rows=1000)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    # above the cap the broadcast HINT must be absent (AQE may still pick a
+    # broadcast at runtime from actual sizes — that's its call, not a forced
+    # oversized broadcast)
+    big = dedup_corpus_join(docs, membership, max_broadcast_rows=10)
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    # results identical in both modes
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_q45_bucket_join_is_hash_join(spark):
     plan = plan_of(spark, "q45_hyperplane_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
