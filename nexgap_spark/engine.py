@@ -106,6 +106,28 @@ class Engine:
             spans, config_agents=config_agents, agent_tools=agent_tools
         )
 
+    def convert_framework(
+        self,
+        spans: DataFrame,
+        framework: str | None = None,
+        *,
+        use_openai_format: bool = False,
+        config_agents: list[str],
+        agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+    ) -> tuple[DataFrame, str]:
+        """Framework-dispatched convert (run_end_to_end.py:429-488): resolve
+        the converter strategy for ``framework`` (registered override, else
+        the wire-format default) and run it. Returns (records, validator
+        mode) so the caller can feed `validate`/`filter_valid` the matching
+        mode without re-resolving."""
+        from nexgap_spark.operators.dispatch import resolve_converter
+
+        strat = resolve_converter(framework, use_openai_format=use_openai_format)
+        records = strat.convert(
+            spans, config_agents=config_agents, agent_tools=agent_tools
+        )
+        return records, strat.validator_mode
+
     # -- validation (P7 / V1-V6) -------------------------------------------
 
     def validate(

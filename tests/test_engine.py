@@ -109,3 +109,28 @@ def test_synthesize_round_loop(engine):
     again = engine.synthesize(TREE, rounds=2, batch=6, framework="medical", seed=7)
     key = lambda r: (r.round, r.path_id, r.difficulty, r.query)
     assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
+
+
+def test_framework_dispatch(engine, spans_path):
+    # registered framework wins; unknown falls back to the wire-format
+    # default — the reference's exists()/else converter pick
+    from nexgap_spark.operators.dispatch import (
+        ConverterStrategy,
+        register_framework,
+        resolve_converter,
+    )
+
+    assert resolve_converter("nexau").validator_mode == "nexau"
+    assert resolve_converter("nexa4a").validator_mode == "a4a"
+    assert resolve_converter("unknown-fw").validator_mode == "nexau"
+    assert resolve_converter("unknown-fw", use_openai_format=True).validator_mode == "a4a"
+
+    register_framework("custom", ConverterStrategy(name="custom", validator_mode="a4a"))
+    assert resolve_converter("custom").name == "custom"
+
+    spans = engine.read_spans(spans_path)
+    records, mode = engine.convert_framework(
+        spans, "nexa4a", config_agents=CONFIG_AGENTS
+    )
+    assert mode == "a4a"
+    assert records.count() == engine.convert(spans, config_agents=CONFIG_AGENTS).count()
