@@ -164,6 +164,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int | None = 10_000,
+    oversized: str = "drop",
     log_drops: bool = False,
 ) -> DataFrame:
     """Band the signature and equi-join on (band, bucket) to produce candidate
@@ -173,16 +174,27 @@ def lsh_candidate_pairs(
 
     ``max_bucket_size`` is the mega-bucket guard: a boilerplate cluster of k
     near-identical docs lands in ONE (band, bucket) and would emit k² pairs —
-    the genuine 100 TB blow-up in banded LSH. Buckets above the cap are
-    excluded from the self-join (their members almost always co-occur in
-    *some* other sane bucket or are exact dups better handled by hash dedup
-    first). The drop is NOT silent: every plan carries an
-    ``lsh_bucket_cap`` observed metric (rows in dropped buckets + dropped
-    bucket count, collected during the consuming action at zero extra cost),
-    and ``log_drops=True`` additionally prints the numbers eagerly (costs
-    one extra job — keep off in benchmarked paths). ``None`` disables the
-    cap. The bucket-size count reuses the same (band, bucket) hash
-    partitioning the join itself needs, so the guard adds no new shuffle.
+    the genuine 100 TB blow-up in banded LSH. ``oversized`` picks the
+    treatment for buckets above the cap:
+
+    * ``"drop"`` (default): exclude the bucket from the self-join entirely.
+      Deterministic and cheapest; its members almost always co-occur in
+      *some* other sane bucket, or are exact dups better handled by hash
+      dedup first.
+    * ``"salt"``: split the bucket into ceil(size/cap) hash sub-buckets and
+      pair only within a sub-bucket — output bounded by size·cap instead of
+      size², recall loss limited to cross-sub-bucket pairs (which still get
+      their chance in the other bands, where the salt layout repeats only
+      for identical bucket sizes).
+
+    Neither treatment is silent: every plan carries an ``lsh_bucket_cap``
+    observed metric (exact rows in oversized buckets + approx oversized
+    bucket count, collected during the consuming action at zero extra
+    cost), and ``log_drops=True`` additionally prints the numbers eagerly
+    (costs one extra job — keep off in benchmarked paths). ``None``
+    disables the cap. The bucket-size count reuses the same (band, bucket)
+    hash partitioning the join itself needs, so the guard adds no new
+    shuffle.
     """
     from pyspark.sql import Window
 
@@ -195,9 +207,12 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
+    if oversized not in ("drop", "salt"):
+        raise ValueError(f"oversized must be 'drop' or 'salt', got {oversized!r}")
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    join_keys = ["band", "bucket"]
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -222,11 +237,20 @@ def lsh_candidate_pairs(
                     f"[lsh] capped {stats['buckets']} bucket(s) over "
                     f"{max_bucket_size}: {stats['rows']} member rows excluded"
                 )
-        buckets = sized.filter(~over).drop("_bsz")
-    left = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+        if oversized == "drop":
+            buckets = sized.filter(~over).drop("_bsz")
+        else:
+            n_sub = F.greatest(
+                F.ceil(F.col("_bsz") / F.lit(max_bucket_size)), F.lit(1)
+            )
+            buckets = sized.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+            ).drop("_bsz")
+            join_keys = ["band", "bucket", "_salt"]
+    left = buckets.select(F.col(id_col).alias("a"), *join_keys)
+    right = buckets.select(F.col(id_col).alias("b"), *join_keys)
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(right, join_keys)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()

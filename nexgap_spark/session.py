@@ -103,20 +103,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # passes its own SparkSession without this conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        ts_dtype = dict(df.dtypes).get("ts")
-        if ts_dtype == "bigint":
-            # TIMESTAMP(NANOS) footer read under nanosAsLong. Integer div,
-            # not float: (ts/1000).cast(long) rounds through double and
-            # lands ±1 µs off for large epochs (breaks oracle equality).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dtype == "timestamp_ntz":
-            # Plain timestamp[us] with no UTC flag. Session TZ is pinned
-            # UTC, so the cast is value-identical and gives downstream
-            # operators the TIMESTAMP type unix_micros/window() expect.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) footer read under nanosAsLong. Integer div,
+        # not float: (ts/1000).cast(long) rounds through double and
+        # lands ±1 µs off for large epochs (breaks oracle equality).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Plain timestamp[us] with no UTC flag reads as TIMESTAMP_NTZ. The
+    # session TZ is pinned UTC, so the cast is value-identical and gives
+    # downstream operators the TIMESTAMP type unix_micros/window() expect.
+    # Applied to every NTZ column of every table — the driver has changed
+    # the parquet encoding between rounds before; don't special-case one
+    # column and break on the next change.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -106,3 +106,22 @@ def test_lsh_cap_default_keeps_small_corpus_intact(docs):
         for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
     }
     assert with_cap == no_cap
+
+
+def test_lsh_salt_mode_bounds_pairs_keeps_recall(spark):
+    # salt mode: oversized buckets pair within hash sub-buckets — bounded by
+    # size*cap instead of size^2, and within-sub-bucket pairs survive
+    boiler = [(i, BASE) for i in range(1000)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.shingle_table(df), num_hashes=8)
+
+    salted = dedup.lsh_candidate_pairs(
+        sigs, max_bucket_size=100, oversized="salt"
+    )
+    n = salted.count()
+    # 10 sub-buckets of ~100 docs → ~10 * C(100,2) ≈ 50k pairs, far under
+    # the ~500k uncapped blow-up but far above the zero pairs "drop" leaves
+    assert 10_000 < n < 120_000
+
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(sigs, oversized="nope")
