@@ -1,0 +1,172 @@
+"""File-oriented sinks + URL handling (SURVEY S8/S9/S11/F22).
+
+S8  JSON-array sink  — the reference collects every result and writes ONE
+    JSON array (Gyrfalcon/llm_interface/query_generator.py:1011-1060).
+S9  statistics sink  — one aggregate-stats object to a .json file
+    (Gyrfalcon/core/pipeline.py:549-552).
+S11 file-download    — HTTPS GET / data:-URL decode into local files with a
+    scheme whitelist and per-item status records
+    (Gyrfalcon/llm_interface/agents/file_system_agent.py:175-232).
+F22 URL parsing      — scheme extraction + filename inference
+    (file_system_agent.py:235-251).
+
+Design: the download runs as an Arrow-batched ``mapInPandas`` stage so each
+partition fetches its own URLs in parallel on the executors (the reference
+loops on the driver thread), returning the same status records the
+reference builds. The HTTP fetch itself is pluggable — tests inject a fake;
+the default raises, because this container has no network and an engine
+should not silently no-op a side effect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- F22: URL parsing ------------------------------------------------------
+
+# media-type → extension, file_system_agent.py:240-246
+_DATA_EXT = {
+    "text/plain": ".txt",
+    "text/csv": ".csv",
+    "text/tab-separated-values": ".tsv",
+    "application/json": ".json",
+}
+
+
+def url_scheme(col: Column | str) -> Column:
+    """Lowercased scheme ('' when absent) — `urlparse(url).scheme` analog."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.coalesce(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1), F.lit("")))
+
+
+def url_filename(col: Column | str) -> Column:
+    """Filename inference (file_system_agent.py:235-251): basename of the
+    URL path; data: URLs map media type → extension; empty basenames get a
+    deterministic content-derived name (the reference stamps wall-clock ms,
+    which is not reproducible in a distributed retry — md5(url) carries the
+    same uniqueness intent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = url_scheme(c)
+    media = F.regexp_extract(c, r"^data:([^;,]*)", 1)
+    data_ext = F.coalesce(
+        *[F.when(media == k, F.lit(v)) for k, v in _DATA_EXT.items()],
+        F.lit(".txt"),
+    )
+    data_name = F.concat(F.lit("data_"), F.md5(c), data_ext)
+    path = F.parse_url(c, F.lit("PATH"))
+    base = F.element_at(F.split(F.coalesce(path, F.lit("")), "/"), -1)
+    fallback = F.concat(F.lit("file_"), F.md5(c))
+    return F.when(scheme == "data", data_name).otherwise(
+        F.when(F.length(base) > 0, base).otherwise(fallback)
+    )
+
+
+def url_allowed(col: Column | str) -> Column:
+    """Scheme whitelist: https and data only (file_system_agent.py:214-217)."""
+    return url_scheme(col).isin("https", "data")
+
+
+# -- S11: download sink ----------------------------------------------------
+
+DOWNLOAD_STATUS_SCHEMA = (
+    "url string, local_path string, status string, error string"
+)
+
+
+def _decode_data_url(url: str) -> bytes:
+    import base64
+    from urllib.parse import unquote_to_bytes
+
+    header, _, payload = url.partition(",")
+    if header.endswith(";base64"):
+        return base64.b64decode(payload)
+    return unquote_to_bytes(payload)
+
+
+def download_files(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    fetcher: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """S11: fetch each row's URL into ``out_dir`` and return the reference's
+    per-item status records (url, local_path, status∈{downloaded,failed},
+    error). data: URLs decode locally; https goes through ``fetcher``
+    (inject one; the default raises — matching the reference's hard error
+    when `requests` is unavailable). Unsupported schemes fail the row, not
+    the job. ``out_dir`` must be visible to the executors (local mode: any
+    local path; cluster: a shared/NFS/object-store mount)."""
+    import pandas as pd
+
+    sel = df.select(
+        F.col(url_col).alias("url"), url_filename(url_col).alias("_fname")
+    )
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for url, fname in zip(pdf["url"], pdf["_fname"]):
+                target = os.path.join(out_dir, str(fname))
+                rec: dict[str, Any] = {
+                    "url": url, "local_path": target, "status": "failed", "error": None,
+                }
+                try:
+                    scheme = url.split(":", 1)[0].lower() if ":" in url else ""
+                    if scheme == "data":
+                        payload = _decode_data_url(url)
+                    elif scheme == "https":
+                        if fetcher is None:
+                            raise RuntimeError("no https fetcher configured")
+                        payload = fetcher(url)
+                    else:
+                        raise ValueError(f"unsupported URL scheme: {scheme or 'unknown'}")
+                    with open(target, "wb") as f:
+                        f.write(payload)
+                    rec["status"] = "downloaded"
+                except Exception as exc:  # noqa: BLE001 — per-item status, like the reference
+                    rec["error"] = str(exc)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=["url", "local_path", "status", "error"])
+
+    return sel.mapInPandas(fetch_partition, schema=DOWNLOAD_STATUS_SCHEMA)
+
+
+# -- S8/S9: JSON sinks -----------------------------------------------------
+
+
+def write_json_array(df: DataFrame, path: str, *, max_rows: int = 100_000) -> int:
+    """S8: ONE file containing a JSON array of all rows (the reference's
+    single json.dump of collected results). Driver-side by contract — the
+    output is a single file, so a driver collect is the honest plan; the
+    explicit ``max_rows`` cap turns an accidental 100 TB collect into an
+    error instead of an OOM. Returns the row count written."""
+    rows = df.limit(max_rows + 1).toJSON().collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_json_array: result exceeds max_rows={max_rows}; "
+            "use write_jsonl (distributed) for large outputs"
+        )
+    with open(path, "w") as f:
+        f.write("[" + ",\n".join(rows) + "]")
+    return len(rows)
+
+
+def write_stats_json(df: DataFrame, path: str) -> dict[str, Any]:
+    """S9: write a single aggregate-stats object (pipeline.py:549-552).
+    Expects a 1-row DataFrame (the output of an `.agg(...)`); errors on
+    anything else rather than silently dropping rows."""
+    rows = df.limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(f"write_stats_json expects exactly 1 row, got {len(rows)}")
+    stats = rows[0].asDict(recursive=True)
+    with open(path, "w") as f:
+        json.dump(stats, f, indent=2, default=str)
+    return stats
