@@ -342,6 +342,36 @@ class Engine:
             ).localCheckpoint()
         return out
 
+    # -- file / web side channels (S8/S9/S11/S16, P8/A8) --------------------
+
+    def download(self, df: DataFrame, out_dir: str, **kw: Any) -> DataFrame:
+        """S11: fetch each row's URL into out_dir; returns per-item status
+        records (file_system_agent.py:175-232). Inject ``fetcher=`` for
+        https; data: URLs decode locally."""
+        from nexgap_spark.sources.files import download_files
+
+        return download_files(df, out_dir, **kw)
+
+    def web_search(self, queries_df: DataFrame, transport: Any, **kw: Any) -> DataFrame:
+        """S16: one Serper search per query row → exploded result records
+        (web_research_agent.py:162-199). ``transport`` is the injected HTTP
+        call; see external.websearch.canned_transport for offline runs."""
+        from nexgap_spark.external.websearch import search_queries
+
+        return search_queries(queries_df, transport, **kw)
+
+    def guard_queries(self, df: DataFrame, **kw: Any) -> tuple[DataFrame, DataFrame]:
+        """P8: (rows with a non-empty query, stop-tagged rejects)."""
+        from nexgap_spark.operators.runstats import filter_nonempty_query
+
+        return filter_nonempty_query(df, **kw)
+
+    def summary(self, df: DataFrame, **kw: Any) -> DataFrame:
+        """A8: one-row run summary (counts, success rate, per-status map)."""
+        from nexgap_spark.operators.runstats import run_summary
+
+        return run_summary(df, **kw)
+
     # -- catalog ------------------------------------------------------------
 
     def run_query(self, name: str, sf_dir: str) -> DataFrame:

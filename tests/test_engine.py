@@ -134,3 +134,33 @@ def test_framework_dispatch(engine, spans_path):
     )
     assert mode == "a4a"
     assert records.count() == engine.convert(spans, config_agents=CONFIG_AGENTS).count()
+
+
+def test_engine_side_channels(engine, tmp_path):
+    import base64
+
+    urls = engine.spark.createDataFrame(
+        [("data:text/plain;base64," + base64.b64encode(b"hi").decode(),)],
+        "url string",
+    )
+    status = engine.download(urls, str(tmp_path)).collect()
+    assert status[0].status == "downloaded"
+
+    from nexgap_spark.external.websearch import canned_transport
+
+    q = engine.spark.createDataFrame([("x",)], "search_query string")
+    hits = engine.web_search(
+        q, canned_transport({"x": {"organic": [{"title": "t", "link": "u"}]}})
+    )
+    assert hits.count() == 1
+
+    work = engine.spark.createDataFrame(
+        [(1, "ok"), (2, "")], "id long, query string"
+    )
+    kept, rejected = engine.guard_queries(work)
+    assert kept.count() == 1 and rejected.first().stop == "empty_query"
+
+    s = engine.summary(
+        engine.spark.createDataFrame([(1, "success"), (2, "failed")], "id long, status string")
+    ).first()
+    assert s.n_total == 2 and s.success_rate == 0.5
