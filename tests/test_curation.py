@@ -115,18 +115,15 @@ def test_profile_columns_nulls_and_types(spark):
 
 
 def test_profile_is_single_scan(spark):
-    # scan-share contract: both aggregate branches read the SAME persisted
-    # pruned projection, so the source appears once (inside the cached
-    # relation) and every other read is an InMemoryTableScan
+    # single-pass contract: one live scan of the source feeds every stat —
+    # no second branch, no cached relation, no Expand
     df = spark.range(100).select(
         F.col("id").alias("a"), (F.col("id") % 3).alias("b")
     )
     out = profiling.profile_columns(df, cols=["a", "b"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # both branches read the cache; the source Range appears only inside
-    # InMemoryRelation descriptions (the cached plan), never as a live scan
-    assert plan.count("InMemoryTableScan") == 2
-    assert plan.count("Range (0, 100") == plan.count("InMemoryRelation")
+    assert plan.count("Range (0, 100") == 1
+    assert "Expand" not in plan and "InMemoryRelation" not in plan
     out.collect()  # and the plan actually executes
 
 
