@@ -240,3 +240,144 @@ def q81_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_updated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — run summary (A8, run_end_to_end.py:1047-1052): success/failed counts
+# and rate over a status column; events.event_type plays the status role
+# ('purchase' = success). One hash aggregate, no window. The operator's
+# per-status map column is dropped here because map values don't have a
+# stable cross-engine hash; the scalar columns are the contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_run_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+           CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS success_rate
+    FROM events
+    """,
+)
+def q82_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.runstats import run_summary
+
+    ev = t(spark, sf_dir, "events")
+    return run_summary(
+        ev, status_col="event_type", success_value="purchase"
+    ).select("n_total", "n_success", "n_failed", "success_rate")
+
+
+# ---------------------------------------------------------------------------
+# q83 — empty-query guard (P8, run_end_to_end.py:826-830) exercised as a
+# partitioned count: how many work items survive the guard vs are rejected
+# per document language bucket (doc_id % 5 keeps the oracle deterministic).
+# Blank-ish texts are synthesized for a sliver of docs so both branches are
+# non-trivially exercised.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_query_guard",
+    oracle="""
+    WITH work AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 = 0 THEN '   ' ELSE text END AS query
+      FROM documents
+    )
+    SELECT CAST(doc_id % 5 AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(COALESCE(query,''))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(COALESCE(query,''))) > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+    FROM work
+    GROUP BY doc_id % 5
+    ORDER BY bucket
+    """,
+)
+def q83_query_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.runstats import filter_nonempty_query
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 37 == 0, F.lit("   ")).otherwise(F.col("text")).alias("query"),
+    )
+    kept, rejected = filter_nonempty_query(docs)
+    k = kept.groupBy((F.col("doc_id") % 5).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_kept")
+    )
+    r = rejected.groupBy((F.col("doc_id") % 5).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_rejected")
+    )
+    return (
+        k.join(r, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_rejected", F.lit(0)).cast("long").alias("n_rejected"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — URL parsing (F22, file_system_agent.py:235-251) over synthesized
+# URLs: scheme extraction, whitelist, and filename inference must agree with
+# the oracle's string ops. data: URLs get the media-type extension path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://corpus.example/docs/doc_' || doc_id || '.txt'
+               WHEN 1 THEN 'data:text/csv;base64,QQ=='
+               ELSE 'ftp://blocked.example/f_' || doc_id
+             END AS url
+      FROM documents
+    )
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'data' ELSE 'ftp' END AS scheme,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           MIN(CASE doc_id % 3
+                 WHEN 0 THEN 'doc_' || doc_id || '.txt'
+                 WHEN 1 THEN 'data_' || md5('data:text/csv;base64,QQ==') || '.csv'
+                 ELSE 'f_' || doc_id
+               END) AS sample_filename
+    FROM urls
+    GROUP BY 1
+    ORDER BY scheme
+    """,
+)
+def q84_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.sources.files import url_allowed, url_filename, url_scheme
+
+    docs = t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://corpus.example/docs/doc_"), F.col("doc_id"), F.lit(".txt")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("data:text/csv;base64,QQ=="))
+        .otherwise(F.concat(F.lit("ftp://blocked.example/f_"), F.col("doc_id")))
+        .alias("url"),
+    )
+    return (
+        urls.select(
+            url_scheme("url").alias("scheme"),
+            url_allowed("url").cast("int").alias("_ok"),
+            url_filename("url").alias("_fname"),
+        )
+        .groupBy("scheme")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_ok").cast("long").alias("n_allowed"),
+            F.min("_fname").alias("sample_filename"),
+        )
+        .orderBy("scheme")
+    )
