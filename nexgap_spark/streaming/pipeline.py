@@ -61,10 +61,16 @@ def read_event_stream(
         glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
     if schema is None:
-        sniff = spark.read
-        if glob_filter:
-            sniff = sniff.option("pathGlobFilter", glob_filter)
-        schema = sniff.parquet(path).schema
+        try:
+            sniff = spark.read
+            if glob_filter:
+                sniff = sniff.option("pathGlobFilter", glob_filter)
+            schema = sniff.parquet(path).schema
+        except Exception:
+            # empty-at-start stream directory (files arrive later) — fall
+            # back to the canonical events schema; pass an explicit schema
+            # for non-events streams that start empty
+            schema = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )

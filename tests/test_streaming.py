@@ -391,3 +391,19 @@ def test_stream_static_enrichment_matches_batch(spark, event_stream):
         assert got == batch and len(batch) == 3
     finally:
         q.stop()
+
+
+def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
+    # an empty-at-start stream dir must build (files arrive later), using
+    # the canonical events schema when there is nothing to sniff
+    d = tmp_path / "empty_stream"
+    d.mkdir()
+    stream = SP.read_event_stream(spark, str(d))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = SP.run_batch_to_memory(
+        SP.windowed_counts(stream), "empty_stream_counts"
+    )
+    try:
+        assert spark.sql("SELECT COUNT(*) n FROM empty_stream_counts").first().n == 0
+    finally:
+        q.stop()
