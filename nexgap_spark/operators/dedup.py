@@ -457,6 +457,16 @@ def dup_groups(
         labels = merged.select("n", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # no silent caps: an unconverged run means some chain-shaped
+        # component is longer than max_iterations and its labels are NOT
+        # final — near-dup graphs should converge in a handful of rounds,
+        # so this firing at all is a data-shape signal worth surfacing
+        print(
+            f"[dup_groups] WARNING: label propagation did not converge in "
+            f"{max_iterations} rounds; group ids for long-chain components "
+            "are unstable — raise max_iterations"
+        )
     return labels.select(F.col("n"), F.col("label").alias("group_id"))
 
 

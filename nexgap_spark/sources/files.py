@@ -59,7 +59,10 @@ def url_filename(col: Column | str) -> Column:
         F.lit(".txt"),
     )
     data_name = F.concat(F.lit("data_"), F.md5(c), data_ext)
-    path = F.parse_url(c, F.lit("PATH"))
+    # try_parse_url, not parse_url: the strict variant THROWS on malformed
+    # input (one bad row kills the stage); NULL falls through to the
+    # deterministic fallback name instead
+    path = F.try_parse_url(c, F.lit("PATH"))
     base = F.element_at(F.split(F.coalesce(path, F.lit("")), "/"), -1)
     fallback = F.concat(F.lit("file_"), F.md5(c))
     return F.when(scheme == "data", data_name).otherwise(

@@ -30,7 +30,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from nexgap_spark.operators import curation, dedup, sampling, text, timeseries
+from nexgap_spark.operators import curation, dedup, profiling, sampling, text, timeseries
 from nexgap_spark.operators.sessionize import sessionize
 from nexgap_spark.operators.similarity import brute_force_topk
 from nexgap_spark.operators.temporal_join import asof_join, range_join
@@ -178,6 +178,28 @@ def main() -> None:
                 [d],
                 lambda: curation.contamination_scores(
                     d, docs.limit(200), n=8
+                ),
+            ),
+            # single unpivot pass; shuffle ∝ per-partition distinct
+            # (column, value) pairs, which grows with M here because the
+            # multiplied ids are all distinct — worst case for the operator
+            "profile_columns": (
+                [e],
+                lambda: profiling.profile_columns(
+                    e, cols=["event_id", "user_id", "event_type", "value"]
+                ),
+            ),
+            # salted mega-bucket treatment: the replicas share salted text,
+            # so bucket sizes grow M× and the sub-bucket split must keep
+            # pair output ∝ size·cap, not size²
+            "lsh_pairs_salted": (
+                [d],
+                lambda: dedup.lsh_candidate_pairs(
+                    dedup.minhash_signatures(sh, num_hashes=8),
+                    bands=4,
+                    rows_per_band=2,
+                    max_bucket_size=500,
+                    oversized="salt",
                 ),
             ),
         }

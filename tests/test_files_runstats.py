@@ -161,3 +161,38 @@ def test_serper_contract_and_distributed_search(spark):
         spark.createDataFrame([("err q",)], "search_query string"), boom, cfg=cfg
     ).collect()
     assert len(failing) == 1 and "rate limited" in failing[0].error
+
+
+def test_url_parts_adversarial_inputs(spark):
+    # totality: parsing expressions must not raise and filename is always
+    # non-empty, whatever the input looks like
+    cases = [
+        "", ":", "https://", "data:", "data:;base64,", "no-scheme/path/x.bin",
+        "HTTPS://UPPER.example/F.TXT", "https://h/a//", "data:text/unknown,zz",
+        "https://example.com/percent%20name.txt", "x" * 5000,
+        "https://example.com/ünïcode.txt", "a:b:c://weird",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    rows = df.select(
+        "url",
+        files.url_scheme("url").alias("scheme"),
+        files.url_filename("url").alias("fname"),
+        files.url_allowed("url").alias("ok"),
+    ).collect()
+    by_url = {r.url: r for r in rows}
+    assert all(r.fname for r in rows)  # never empty
+    assert by_url["HTTPS://UPPER.example/F.TXT"].scheme == "https"
+    assert by_url["HTTPS://UPPER.example/F.TXT"].ok is True
+    assert by_url[""].scheme == "" and by_url[""].ok is False
+    assert by_url["no-scheme/path/x.bin"].ok is False
+
+
+def test_dup_groups_nonconvergence_warns(spark, capfd):
+    from nexgap_spark.operators.dedup import dup_groups
+
+    # a 12-node chain needs ~11 rounds; max_iterations=2 must warn loudly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    dup_groups(pairs, max_iterations=2).collect()
+    assert "did not converge" in capfd.readouterr().out
