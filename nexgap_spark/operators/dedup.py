@@ -486,13 +486,13 @@ def dedup_corpus_join(
     contract: a pathological corpus (mirror crawl, boilerplate flood) can
     make the dup-id set bigger than executor memory, so broadcast only under
     an explicit row cap and fall back to the AQE-planned shuffle join above
-    it. The persist makes the cap check cost one count of the small side,
-    not a second pass over membership's lineage (typically the whole
-    shingle→minhash→LSH→verify pipeline).
+    it. localCheckpoint (eager) materializes membership once so the cap
+    check costs one count, not a second pass over its lineage (typically
+    the whole shingle→minhash→LSH→verify pipeline) — and unlike persist(),
+    the blocks are released by the ContextCleaner when the DataFrame goes
+    out of scope, so repeated calls don't pin executor memory forever.
     """
-    from pyspark import StorageLevel
-
-    membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
+    membership = membership.localCheckpoint()
     if membership.count() <= max_broadcast_rows:  # default ≈120 MB of ids
         membership = F.broadcast(membership)
     return (

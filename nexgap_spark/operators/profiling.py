@@ -61,6 +61,20 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
         aggs.append(F.min(F.when(here, mine)).cast("string").alias(f"_min_{c}"))
         aggs.append(F.max(F.when(here, mine)).cast("string").alias(f"_max_{c}"))
     folded = per_value.groupBy("column_name").agg(*aggs)
+    # contract: one output row PER REQUESTED COLUMN even on empty input
+    # (the unpivot of zero rows would otherwise fold to zero groups and a
+    # consumer keyed by column_name would silently see no columns)
+    names = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column_name string"
+    )
+    folded = names.join(F.broadcast(folded), "column_name", "left").select(
+        "column_name",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("_nn", F.lit(0)).alias("_nn"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        *[F.col(f"_min_{c}") for c in cols],
+        *[F.col(f"_max_{c}") for c in cols],
+    )
     # each row matches exactly one _min_*/_max_* pair; the rest are NULL,
     # so coalesce picks the right one (and stays NULL for all-null columns)
     min_value = F.coalesce(

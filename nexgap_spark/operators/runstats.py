@@ -31,25 +31,24 @@ def run_summary(
     success_value: str = "success",
 ) -> DataFrame:
     """A8: one row — (n_total, n_success, n_failed, success_rate) plus a
-    per-status breakdown map. Single hash aggregate; the map is built from
-    the same pass (map_from_entries over a collected-small statuses agg
-    would add a shuffle, so the breakdown rides a pivot-free conditional
-    count only for the two reference statuses and the map covers the rest)."""
-    by_status = df.groupBy(status_col).agg(F.count("*").alias("n"))
+    per-status breakdown map, from one two-stage hash aggregate.
+
+    NULL statuses count as failures (anything-but-success, the reference's
+    binary view) and appear in the map under '__null__' — map keys cannot
+    be NULL and silently dropping rows would break n_total. Empty input
+    yields zeros (not NULLs) with a NULL rate (0/0 is undefined, not 0%).
+    """
+    status = F.coalesce(F.col(status_col).cast("string"), F.lit("__null__"))
+    by_status = df.groupBy(status.alias("_status")).agg(F.count("*").alias("n"))
+    n_success = F.sum(
+        F.when(F.col("_status") == success_value, F.col("n")).otherwise(0)
+    )
     return by_status.agg(
-        F.sum("n").cast("long").alias("n_total"),
-        F.sum(F.when(F.col(status_col) == success_value, F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("n_success"),
-        F.sum(F.when(F.col(status_col) != success_value, F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("n_failed"),
-        F.round(
-            F.sum(F.when(F.col(status_col) == success_value, F.col("n")).otherwise(0))
-            / F.sum("n"),
-            4,
-        ).alias("success_rate"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(n_success, F.lit(0)).cast("long").alias("n_success"),
+        F.coalesce(F.sum("n") - n_success, F.lit(0)).cast("long").alias("n_failed"),
+        F.round(n_success / F.sum("n"), 4).alias("success_rate"),
         F.map_from_entries(
-            F.collect_list(F.struct(F.col(status_col), F.col("n")))
+            F.collect_list(F.struct(F.col("_status"), F.col("n")))
         ).alias("by_status"),
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .timeutil import epoch_us
+from .timeutil import as_timestamp, epoch_us
 
 
 def interarrival_deltas(
@@ -37,6 +37,7 @@ def interarrival_deltas(
     first event). Deterministic under timestamp ties via ``tiebreak_cols``."""
     from pyspark.sql.window import Window
 
+    df = as_timestamp(df, ts_col)  # NTZ-tolerant, loud on bigint
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     us = epoch_us(ts_col)
@@ -225,6 +226,7 @@ def ordered_funnel(
     Returns the final-step rows plus ``chain_start`` (the matched first-step
     timestamp).
     """
+    df = as_timestamp(df, ts_col)  # NTZ-tolerant, loud on bigint
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, id_col)

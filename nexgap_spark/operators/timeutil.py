@@ -27,8 +27,18 @@ def epoch_us(col: Column | str) -> Column:
 def as_timestamp(df: DataFrame, col: str) -> DataFrame:
     """Normalize ``col`` to TIMESTAMP (ltz) if it is TIMESTAMP_NTZ.
 
-    Leaves other dtypes alone so callers keep their own error surfaces.
+    A ``bigint`` column is rejected loudly: it is almost certainly the
+    nanos-as-long parquet encoding, and ``epoch_us``'s cast would silently
+    reinterpret nanoseconds as SECONDS (year ~55 billion) — the silent
+    version of the DATATYPE_MISMATCH the raw unix_micros would have raised.
     """
-    if dict(df.dtypes).get(col) == "timestamp_ntz":
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
+    elif dtype == "bigint":
+        raise TypeError(
+            f"column {col!r} is bigint — likely the nanos-as-long events "
+            "encoding; load it via nexgap_spark.session.load_table, which "
+            "converts to a proper timestamp"
+        )
     return df

@@ -102,6 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session, not just ones built by get_spark (the __spark_entry__ harness
     # passes its own SparkSession without this conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→timestamp normalization below is value-identical ONLY under a
+    # UTC session; a driver-supplied session on a local timezone would
+    # silently shift every events.ts by the UTC offset
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
 

@@ -107,9 +107,23 @@ def download_files(
     the job. ``out_dir`` must be visible to the executors (local mode: any
     local path; cluster: a shared/NFS/object-store mount)."""
     import pandas as pd
+    from pyspark.sql import Window
 
     sel = df.select(
         F.col(url_col).alias("url"), url_filename(url_col).alias("_fname")
+    )
+    # distinct URLs can share a basename (a.example/report.csv vs
+    # b.example/report.csv); last-writer-wins would silently lose a payload
+    # while both rows claim 'downloaded'. Disambiguate ONLY colliding names
+    # with a content-derived prefix so the common case keeps the reference's
+    # plain basenames.
+    w = Window.partitionBy("_fname")
+    sel = sel.withColumn(
+        "_fname",
+        F.when(
+            F.count(F.lit(1)).over(w) > 1,
+            F.concat(F.substring(F.md5("url"), 1, 8), F.lit("_"), F.col("_fname")),
+        ).otherwise(F.col("_fname")),
     )
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -61,15 +61,20 @@ def read_event_stream(
         glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
     if schema is None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             sniff = spark.read
             if glob_filter:
                 sniff = sniff.option("pathGlobFilter", glob_filter)
             schema = sniff.parquet(path).schema
-        except Exception:
-            # empty-at-start stream directory (files arrive later) — fall
-            # back to the canonical events schema; pass an explicit schema
-            # for non-events streams that start empty
+        except AnalysisException as e:
+            # ONLY the empty-at-start stream directory (files arrive later)
+            # falls back to the canonical events schema; any other read
+            # failure (permissions, corrupt footer, encoding conf missing)
+            # must surface at the sniff, not 10 minutes later mid-stream
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
             schema = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger

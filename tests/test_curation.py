@@ -139,3 +139,11 @@ def test_quantize_digest_saturation_and_zero(spark):
     assert got[1].n_saturated == 2
     # all-zero vector must not divide by zero
     assert got[2].q_sum == 0 and got[2].l2_norm == 0.0
+
+
+def test_profile_columns_empty_input_keeps_column_rows(spark):
+    df = spark.createDataFrame([], "a long, s string")
+    prof = {r.column_name: r for r in profiling.profile_columns(df, cols=["a", "s"]).collect()}
+    assert set(prof) == {"a", "s"}
+    assert prof["a"].n_rows == 0 and prof["a"].n_null == 0 and prof["a"].n_distinct == 0
+    assert prof["a"].min_value is None

@@ -196,3 +196,33 @@ def test_dup_groups_nonconvergence_warns(spark, capfd):
     )
     dup_groups(pairs, max_iterations=2).collect()
     assert "did not converge" in capfd.readouterr().out
+
+
+def test_run_summary_null_status_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "success"), (2, None), (3, "failed")], "id long, status string"
+    )
+    s = run_summary(df).first()
+    assert s.n_total == 3 and s.n_success == 1 and s.n_failed == 2
+    assert s.by_status == {"success": 1, "__null__": 1, "failed": 1}
+    empty = run_summary(df.limit(0)).first()
+    assert (empty.n_total, empty.n_success, empty.n_failed) == (0, 0, 0)
+    assert empty.success_rate is None  # 0/0 is undefined, not 0%
+
+
+def test_download_basename_collisions_disambiguated(spark, tmp_path):
+    urls = spark.createDataFrame(
+        [("data:text/plain,from-a",), ("data:text/plain,from-b",)],
+        "url string",
+    )
+    # both data: URLs would otherwise collide only if filenames matched —
+    # force a collision via https basenames instead
+    urls = spark.createDataFrame(
+        [("https://a.example/report.csv",), ("https://b.example/report.csv",)],
+        "url string",
+    )
+    out = files.download_files(urls, str(tmp_path), fetcher=lambda u: u.encode()).collect()
+    paths = {r.local_path for r in out}
+    assert len(paths) == 2  # no silent overwrite
+    for r in out:
+        assert open(r.local_path, "rb").read().decode() == r.url

@@ -152,3 +152,14 @@ def test_new_operators_handle_empty_input(spark):
     assert similarity.centroid_outliers(empty_emb).count() == 0
     # month_spine on an empty frame: bounds are NULL → sequence yields no rows
     assert timeseries.month_spine(empty_ev, date_col="ts").count() == 0
+
+
+def test_bigint_ts_rejected_loudly(spark):
+    import pytest as _pytest
+
+    from nexgap_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame([(1, 1_700_000_000_000_000_000, 1)],
+                               "event_id long, ts long, user_id long")
+    with _pytest.raises(TypeError, match="nanos-as-long"):
+        ts.interarrival_deltas(df, partition_cols=["user_id"])
