@@ -319,7 +319,9 @@ class Engine:
                 prompts, prompt_col="prompt", client_factory=client_factory
             )
             picked = sampling.pick_by_distribution(
-                resp, distribution=dist, seed=seed + rnd
+                # offset so the pick draws are independent of the round's
+                # weighted_sample draws (shared seed = correlated uniforms)
+                resp, distribution=dist, seed=seed + rnd + sampling.SEED_PICK
             )
             kept = (
                 picked.withColumn("variant", F.explode(parse_udf(F.col("response"))))

@@ -15,6 +15,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+# Distinct default seeds per operator: F.rand(seed) is a pure function of
+# (partition, row position), so two operators sharing one default seed over
+# the same DataFrame draw IDENTICAL uniforms per row — e.g. the difficulty
+# bucket would fully determine the template pick. Each marginal looks fine;
+# the joint distribution is degenerate. Callers overriding seeds should
+# keep them distinct per operator for the same reason.
+SEED_TRUNCATE = 137
+SEED_PICK = 211
+SEED_UNIFORM = 307
+SEED_TEMPLATE = 401
+
 
 def inverse_frequency_weights(
     counts: DataFrame,
@@ -47,19 +58,35 @@ def weighted_sample(
     Build the cumulative distribution once (window over the weights table,
     small by construction — it is a histogram), generate ``n`` seeded uniform
     draws, and range-join each draw to the first CDF row covering it.
-    Returns (draw_id, key). Deterministic for a fixed seed.
+    Returns (draw_id, key). Deterministic for a fixed seed AND cluster size
+    (draws live on one fixed partition — rand(seed) depends on partition
+    layout, so `spark.range(n)`'s parallelism-dependent split would give a
+    different sample on a different cluster).
+
+    The last CDF interval is clamped to [cum_lo, ∞): probabilities that sum
+    just under 1.0 (float residue, or materially under round_to) would
+    otherwise leave draws in the uncovered tail matched to NO key — each
+    synthesis round would silently produce fewer than ``n`` picks.
 
     Scale: the CDF table is tiny (one row per distinct key) → broadcast;
-    draws are generated distributed via ``spark.range``.
+    n is a per-round batch size, so single-partition draw generation is
+    never the bottleneck.
     """
     spark = weighted.sparkSession
     w_cum = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
     cdf = (
         weighted.select(key_col, prob_col)
         .withColumn("cum_hi", F.sum(prob_col).over(w_cum))
         .withColumn("cum_lo", F.col("cum_hi") - F.col(prob_col))
+        .withColumn(
+            "cum_hi",
+            F.when(
+                F.col("cum_hi") == F.max("cum_hi").over(w_all), F.lit(float("inf"))
+            ).otherwise(F.col("cum_hi")),
+        )
     )
-    draws = spark.range(n).select(
+    draws = spark.range(0, n, 1, 1).select(
         F.col("id").alias("draw_id"), F.rand(seed).alias("u")
     )
     return (
@@ -88,14 +115,19 @@ def truncate_trace(
     paths: DataFrame,
     *,
     nodes_col: str = "node_ids",
-    seed: int = 42,
+    seed: int = SEED_TRUNCATE,
     min_nodes: int = 3,
 ) -> DataFrame:
     """R3: random trace truncation (reference tree_manager.py:488-527):
-    keep a random prefix of length in [2, len-1] (min 3 nodes enforced on the
-    input), last kept node becomes the problem type."""
+    keep a random STRICT prefix of length in [2, len-1] (min 3 nodes
+    enforced on the input), last kept node becomes the problem type. The
+    least() clamp keeps the prefix strict even for min_nodes=2 inputs
+    (size-2 == 0 would otherwise keep the whole path)."""
     size = F.size(F.col(nodes_col))
-    keep = (F.lit(2) + F.floor(F.rand(seed) * (size - F.lit(2)))).cast("int")
+    keep = F.least(
+        (F.lit(2) + F.floor(F.rand(seed) * (size - F.lit(2)))).cast("int"),
+        (size - F.lit(1)).cast("int"),
+    )
     truncated = F.slice(F.col(nodes_col), 1, keep)
     return (
         paths.filter(size >= min_nodes)
@@ -109,7 +141,7 @@ def pick_by_distribution(
     *,
     distribution: dict[str, float],
     out_col: str = "difficulty",
-    seed: int = 42,
+    seed: int = SEED_PICK,
 ) -> DataFrame:
     """R4: difficulty-weighted selection (reference
     query_synthesis_agent.py:155-186, default {easy .2, medium .5, hard .3}).
@@ -133,7 +165,7 @@ def pick_by_distribution(
     return df.withColumn(out_col, expr).drop(ucol)
 
 
-def uniform_pick(df: DataFrame, *, n: int = 1, seed: int = 42) -> DataFrame:
+def uniform_pick(df: DataFrame, *, n: int = 1, seed: int = SEED_UNIFORM) -> DataFrame:
     """R1: uniform sample of n rows (reference random.choice of personas,
     pipeline.py:714-716). orderBy(rand(seed)).limit(n) — the sort is on the
     sampled key only; for large inputs prefer df.sample() upstream."""
@@ -186,7 +218,7 @@ def random_template_choice(
     templates: list[str],
     *,
     out_col: str = "template",
-    seed: int = 42,
+    seed: int = SEED_TEMPLATE,
 ) -> DataFrame:
     """R6: random detail-level template choice (reference
     query_generator.py:568-598)."""

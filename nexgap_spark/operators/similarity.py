@@ -85,13 +85,10 @@ def brute_force_topk(
     q_ids_arr = q_pd[id_col].to_numpy()
     q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
 
-    def _seq_sq_norm(m: "np.ndarray") -> "np.ndarray":
-        acc = m[:, 0] * m[:, 0]
-        for i in range(1, m.shape[1]):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
-
-    q_norms = _seq_sq_norm(q_mat)
+    # shared bit-stability helpers (one definition of the sequential fold —
+    # an inline copy here would silently drift from the oracle contract if
+    # the float discipline is ever tweaked)
+    q_norms = _seq_sqrt_norms(q_mat)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids_arr, q_mat, q_norms))
     par = sc.defaultParallelism
@@ -103,10 +100,7 @@ def brute_force_topk(
                 continue
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n_ids = pdf[id_col].to_numpy()
-            acc = qm[:, 0][:, None] * cm[:, 0][None, :]
-            for i in range(1, qm.shape[1]):
-                acc = acc + qm[:, i][:, None] * cm[:, i][None, :]
-            cos = acc / (qn[:, None] * _seq_sq_norm(cm)[None, :])
+            cos = _seq_score_block(qm, cm) / (qn[:, None] * _seq_sqrt_norms(cm)[None, :])
             rows_q, rows_n, rows_c = [], [], []
             for qi in range(len(q_ids)):
                 row = cos[qi]
@@ -143,7 +137,15 @@ def assign_clusters(
 ) -> DataFrame:
     """IVF coarse quantization: route each vector to its nearest centroid
     (max cosine; deterministic tiebreak on centroid id). Centroids broadcast;
-    one pass over the corpus, no shuffle of the vectors themselves."""
+    one pass over the corpus.
+
+    Plan shape: argmax-per-vector is a ``max_by`` AGGREGATE, not a
+    row_number window — the broadcast join keeps a vector's k centroid rows
+    on their map partition, so the partial aggregate collapses them to ONE
+    row per vector before the exchange. The window alternative shuffles
+    |V|·k rows each carrying two embedding arrays; this shuffles |V| rows
+    carrying one payload struct. (The Arrow twin for the pure-numpy path is
+    ``_np_assign``, used by ivf_topk/kmeans.)"""
     cent = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_c_id"),
@@ -161,12 +163,18 @@ def assign_clusters(
             dot(F.col(vec_col), F.col("_c_vec"), dim) / (F.col("_v_norm") * F.col("_c_norm")),
         )
     )
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_c_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_sim", "_c_vec", "_c_norm", "_v_norm")
-        .withColumnRenamed("_c_id", centroid_id_col)
+    payload_cols = [c for c in vectors.columns if c != id_col]
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols], F.col("_c_id")),
+            # maximize similarity, then LOWEST centroid id on ties
+            F.struct(F.col("_sim"), (-F.col("_c_id")).alias("_neg_c")),
+        ).alias("_best")
+    )
+    return best.select(
+        id_col,
+        *[F.col(f"_best.{c}").alias(c) for c in payload_cols],
+        F.col("_best._c_id").alias(centroid_id_col),
     )
 
 
@@ -411,7 +419,13 @@ def hyperplane_lsh_pairs(
     on one task — cap bucket size or union rotated plane sets upstream."""
     from pyspark.sql import types as T
 
-    planes = np.asarray(HYPERPLANES, dtype=np.float64)[:, :dim]
+    planes_full = np.asarray(HYPERPLANES, dtype=np.float64)
+    if dim > planes_full.shape[1]:
+        raise ValueError(
+            f"dim={dim} exceeds the built-in hyperplane width "
+            f"{planes_full.shape[1]} — extend HYPERPLANES for wider vectors"
+        )
+    planes = planes_full[:, :dim]
     n_planes = planes.shape[0]
 
     in_schema = vectors.select(id_col, vec_col).schema
@@ -450,7 +464,10 @@ def hyperplane_lsh_pairs(
             return empty
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
-        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        # honor the dim contract: bucket AND cosine both restrict to the
+        # first `dim` components (full-width cosine would disagree with the
+        # dot(…, dim) expression and any dim-aware oracle)
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)[:, :dim]
         # D[i,j] accumulates v_i[k]*v_j[k] for k = 0..dim-1 IN ORDER — the
         # same sequential add order as the codegen'd chain / oracle fold.
         D = np.zeros((n, n), dtype=np.float64)
@@ -494,10 +511,7 @@ def quantize_int8_digest(
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            acc = m[:, 0] * m[:, 0]
-            for i in range(1, m.shape[1]):
-                acc = acc + m[:, i] * m[:, i]
-            nrm = np.sqrt(acc)
+            nrm = _seq_sqrt_norms(m)  # shared sequential fold, oracle order
             maxabs = np.abs(m).max(axis=1)
             safe = np.where(maxabs == 0.0, 1.0, maxabs)
             q = np.floor(127.0 * m / safe[:, None] + 0.5)

@@ -234,6 +234,8 @@ def number_rows_scalable(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("int"))
+        # long, not int: this function exists FOR frames too big to window —
+        # an int cast would silently wrap past 2^31-1 rows
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
         .drop("_pid", "_local", "_off")
     )

@@ -150,9 +150,13 @@ def append_jsonl_sink(
     *,
     trigger_seconds: int | None = None,
 ):
-    """T3+T6: incremental append sink with exactly-once bookkeeping via
-    foreachBatch (the reference appends per record with no resume; the
-    checkpoint gives restart-safety for free)."""
+    """T3: incremental append sink via foreachBatch. AT-LEAST-ONCE: a crash
+    between the batch write and the checkpoint commit replays the epoch and
+    appends its rows again (foreachBatch's documented contract for
+    non-idempotent writes). Use :func:`idempotent_jsonl_sink` when replays
+    must not duplicate — its per-epoch overwrite + commit marker is the
+    exactly-once variant. (The reference appends per record with no resume
+    at all, so even this sink is strictly safer.)"""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").json(out_dir)
@@ -173,16 +177,22 @@ def epoch_write_json(batch: DataFrame, epoch_id: int, out_dir: str) -> bool:
     last. A re-delivered epoch (task retry, post-crash replay from the
     checkpoint) is either skipped (marker present) or safely overwritten
     (partial dir without marker) — the exactly-once append the reference's
-    per-record file appends can't give. Returns False when skipped."""
-    import os
+    per-record file appends can't give. Returns False when skipped.
 
-    target = os.path.join(out_dir, f"epoch={epoch_id}")
-    marker = os.path.join(target, "_COMMITTED")
-    if os.path.exists(marker):
+    The marker goes through the Hadoop FileSystem of ``out_dir`` (same FS
+    as the data write), so hdfs://, s3a://, and plain local paths all work —
+    a driver-local ``open()`` would crash on the first epoch of any
+    non-local sink."""
+    spark = batch.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    target = f"{out_dir.rstrip('/')}/epoch={epoch_id}"
+    marker_path = jvm.org.apache.hadoop.fs.Path(f"{target}/_COMMITTED")
+    fs = marker_path.getFileSystem(conf)
+    if fs.exists(marker_path):
         return False
     batch.write.mode("overwrite").json(target)
-    with open(marker, "w"):
-        pass
+    fs.create(marker_path, True).close()
     return True
 
 
