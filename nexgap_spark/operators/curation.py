@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 from nexgap_spark.operators.text import tokenize
 
 # Engine-portable PII regexes (same semantics under Java regex and RE2):
-# character classes + bounded quantifiers only, no lookaround.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# character classes + bounded quantifiers only, no lookaround. The (?i)
+# inline flag works in both engines — real emails are routinely mixed-case
+# and a lowercase-only pattern would ship 'John.Doe@Gmail.COM' through
+# redaction unmatched.
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
@@ -284,6 +287,7 @@ def pack_chunks(
     part_cols: list[str] | None = None,
     budget: int = 2048,
     out_col: str = "chunk_id",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training chunk using
     concatenate-then-chunk semantics: within each partition group (ordered
@@ -291,14 +295,20 @@ def pack_chunks(
     stream is cut every ``budget`` tokens; a document belongs to the chunk
     where it STARTS. chunk_id = floor(running_tokens_before / budget).
 
+    Determinism requires a TOTAL order: pass ``tiebreak_cols`` when
+    ``order_col`` can repeat (e.g. a timestamp) — tied rows otherwise have
+    no defined window order, so chunk ids can differ between runs and even
+    between task retries within one job.
+
     One shuffle (the window partition); chunk assignment itself is a
     projection. At 100 TB, partition by shard/source so no single window
     partition exceeds an executor.
     """
     part_cols = part_cols or []
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0))

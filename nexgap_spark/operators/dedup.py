@@ -21,6 +21,9 @@ from nexgap_spark.operators.text import tokenize, word_shingles
 
 # Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
 # offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
+# per-call suffix for observe() metric names (must be unique per plan)
+_OBSERVE_SEQ = 0
+
 MINHASH_PRIME = 4_294_967_311
 MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
     (1_103_515_245, 12_345),
@@ -225,9 +228,14 @@ def lsh_candidate_pairs(
         over = F.col("_bsz") > max_bucket_size
         # observe() forbids DISTINCT aggregates → approx sketch for the
         # bucket count (exact rows, approx distinct buckets is plenty for a
-        # telemetry signal)
+        # telemetry signal). Metric names must be unique within ONE plan —
+        # two capped pairings composed lazily (chained minhash_dedup, a
+        # union of two corpora's pipelines) would otherwise fail analysis —
+        # so each call numbers its metric.
+        global _OBSERVE_SEQ
+        _OBSERVE_SEQ += 1
         sized = sized.observe(
-            "lsh_bucket_cap",
+            f"lsh_bucket_cap_{_OBSERVE_SEQ}",
             F.sum(over.cast("long")).alias("dropped_rows"),
             F.approx_count_distinct(
                 F.when(over, F.concat_ws("/", "band", "bucket"))
@@ -436,7 +444,6 @@ def dup_groups(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
-    prev_ckpt = None
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
@@ -447,12 +454,13 @@ def dup_groups(
             .agg(F.min("label").alias("new_label"))
         )
         merged = labels.join(neigh, "n").localCheckpoint()
-        # previous round's blocks are dead once the new checkpoint exists;
-        # release them so state doesn't accumulate across rounds (and across
-        # repeated calls in a long-lived session)
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = merged
+        # previous round's checkpoint blocks are dead once the new one
+        # exists. DataFrame.unpersist() would NOT free them (it only
+        # uncaches CacheManager entries; checkpoint blocks belong to the
+        # underlying RDD) — the ContextCleaner releases them once the
+        # previous round's frame is garbage-collected, which the loop's
+        # rebinding of `labels`/`merged` enables. Bounded rounds keep the
+        # transient footprint small.
         changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = merged.select("n", F.col("new_label").alias("label"))
         if changed == 0:

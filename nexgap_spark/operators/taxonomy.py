@@ -133,15 +133,24 @@ def expand_tree_round(
         F.col("zh_labels").alias("p_zhs"),
         F.col("depth").alias("p_depth"),
     ).filter(F.col("p_depth") >= min_parent_depth)
+    # intra-batch dedupe first: two identical proposals in one round (LLM
+    # batches repeat themselves) must yield ONE new path, not duplicate
+    # path_id rows that downstream counts would double
+    proposals = proposals.dropDuplicates(["framework", "parent_path_id", "new_id"])
     valid = proposals.join(parents, ["framework", "parent_path_id"])
     prefixed = valid.withColumn(
         "child_id", F.concat(F.element_at("p_ids", -1), F.lit("_"), F.col("new_id"))
     )
-    # drop collisions with existing siblings (same parent prefix, same id)
-    existing = paths.select(
-        "framework", F.element_at("node_ids", -1).alias("child_id")
-    ).distinct()
-    fresh = prefixed.join(existing, ["framework", "child_id"], "left_anti")
+    # drop collisions with existing SIBLINGS — keyed by (framework, parent
+    # node list, child id). Keying on child_id alone would also drop valid
+    # proposals under different parents whose last node ids coincide (node
+    # ids are only unique per level, not globally).
+    existing = paths.filter(F.size("node_ids") >= 2).select(
+        "framework",
+        F.expr("slice(node_ids, 1, size(node_ids) - 1)").alias("p_ids"),
+        F.element_at("node_ids", -1).alias("child_id"),
+    )
+    fresh = prefixed.join(existing, ["framework", "p_ids", "child_id"], "left_anti")
     new_paths = fresh.select(
         "framework",
         F.concat_ws(PATH_SEP, F.concat(F.col("p_ids"), F.array(F.col("child_id")))).alias(

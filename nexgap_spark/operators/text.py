@@ -100,22 +100,32 @@ def language_id(
     markers: dict[str, tuple[str, ...]] | None = None,
     out_col: str = "pred_lang",
 ) -> DataFrame:
-    """Marker-lexicon language ID: count marker-token hits per language and
-    take the argmax (ties broken by language-code order, deterministic).
+    """Marker-lexicon language ID: count marker hits per language and take
+    the argmax (ties broken by language-code order, deterministic).
+
+    Space-delimited languages score by whole-token equality; CJK marker
+    sets (single chars, no whitespace segmentation in the source text)
+    score by substring occurrence — token equality would be dead code for
+    Chinese, whose whole sentence is one "token". Zero hits everywhere →
+    'und' (unknown), never an arbitrary alphabetically-first language.
     A real deployment swaps the lexicons for char-n-gram profiles; the
     dataflow (per-row scoring, no shuffle) is identical."""
     markers = markers or LANG_MARKERS
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = tokenize(text_col)
     langs = sorted(markers)
     score_cols = []
     for lang in langs:
-        arr = F.array(*[F.lit(m) for m in markers[lang]])
-        score_cols.append(
-            F.struct(
-                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
+        if all(ord(m[0]) > 0x2E80 for m in markers[lang]):
+            # CJK: substring-occurrence count via char-length delta
+            hits = None
+            for m in markers[lang]:
+                h = F.length(c) - F.length(F.replace(c, F.lit(m)))
+                hits = h if hits is None else hits + h
+        else:
+            arr = F.array(*[F.lit(m) for m in markers[lang]])
+            hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        score_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # argmax: sort by (hits desc, lang asc) → first. array_sort on structs
     # sorts ascending by field order, so negate hits.
     scored = F.transform(
@@ -123,9 +133,8 @@ def language_id(
         lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
     )
     best = F.element_at(F.array_sort(scored), 1)
-    return df.withColumn(out_col, best["lang"]).withColumn(
-        out_col + "_hits", -best["neg"]
-    )
+    pred = F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+    return df.withColumn(out_col, pred).withColumn(out_col + "_hits", -best["neg"])
 
 
 def term_counts(
@@ -157,10 +166,14 @@ def tfidf(
     """Per-(doc, term) TF-IDF: tf × ln((N+1)/(df+1)), the smoothed variant.
 
     One explode + two aggregations. The term-level document frequency is a
-    groupBy on term (Zipf-compressed after map-side combine) and joins back
-    broadcast — it is |vocabulary|-sized, tiny next to the corpus. N comes
-    from a 1-row aggregate cross-joined (broadcast) rather than a driver
-    collect, so the plan stays fully lazy/distributed."""
+    groupBy on term (Zipf-compressed after map-side combine) that joins
+    back WITHOUT a broadcast hint: natural-language vocabularies broadcast
+    fine, but a web-scale corpus's distinct-term set (typos, URLs, ids)
+    can reach hundreds of millions of rows, and a forced hint would ram it
+    into the 8 GB broadcast limit — AQE already converts to broadcast at
+    runtime whenever the actual size permits. N comes from a 1-row
+    aggregate cross-joined (broadcast) rather than a driver collect, so
+    the plan stays fully lazy/distributed."""
     toks = df.select(
         id_col, F.explode(tokenize(text_col)).alias("term")
     ).filter(F.length("term") > 0)
@@ -168,7 +181,7 @@ def tfidf(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -188,14 +201,22 @@ def length_zscore(
     """Per-group z-score of a numeric column (outlier scoring for corpus
     length filters). Group moments come from a groupBy + broadcast join back
     rather than two window passes: the aggregate side is tiny (one row per
-    group) and the fact side never re-shuffles."""
+    group) and the fact side never re-shuffles.
+
+    The join is null-safe: rows with a NULL group value (imperfect language
+    ID upstream is common) keep their row with z computed against the NULL
+    group's own moments — an inner equi-join would silently DROP them,
+    shrinking the corpus instead of scoring it. Singleton groups get a NULL
+    z (stddev of one value is undefined)."""
     stats = df.groupBy(group_col).agg(
         F.avg(value_col).alias("_mu"),
         F.stddev_samp(value_col).alias("_sd"),
+    ).withColumnRenamed(group_col, "_grp")
+    joined = df.join(
+        F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("_grp"))
     )
-    joined = df.join(F.broadcast(stats), group_col)
     z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
-    return joined.withColumn(out_col, z).drop("_mu", "_sd")
+    return joined.withColumn(out_col, z).drop("_grp", "_mu", "_sd")
 
 
 def fingerprint(

@@ -102,16 +102,28 @@ def q25_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
+    # mirror operators/text.language_id exactly: token equality for
+    # space-delimited languages, substring occurrence for CJK marker sets,
+    # 'und' when the best score is zero
     unions = []
     for lang in sorted(text.LANG_MARKERS):
-        markers = "', '".join(text.LANG_MARKERS[lang])
-        unions.append(
-            f"SELECT doc_id, lang, '{lang}' AS cand, "
-            f"len(list_filter(t, x -> list_contains(['{markers}'], x))) AS hits FROM toks"
-        )
+        ms = text.LANG_MARKERS[lang]
+        if all(ord(m[0]) > 0x2E80 for m in ms):
+            expr = " + ".join(
+                f"(len(text) - len(replace(text, '{m}', '')))" for m in ms
+            )
+            unions.append(
+                f"SELECT doc_id, lang, '{lang}' AS cand, {expr} AS hits FROM toks"
+            )
+        else:
+            markers = "', '".join(ms)
+            unions.append(
+                f"SELECT doc_id, lang, '{lang}' AS cand, "
+                f"len(list_filter(t, x -> list_contains(['{markers}'], x))) AS hits FROM toks"
+            )
     u = "\n      UNION ALL\n      ".join(unions)
     return f"""
-    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS t FROM documents),
     scores AS (
       {u}
     ),
@@ -120,8 +132,10 @@ def _langid_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
       FROM scores
     )
-    SELECT doc_id, lang, cand AS pred_lang, CAST(hits AS INT) AS pred_hits,
-           (cand = lang) AS lang_match
+    SELECT doc_id, lang,
+           CASE WHEN hits = 0 THEN 'und' ELSE cand END AS pred_lang,
+           CAST(hits AS INT) AS pred_hits,
+           (CASE WHEN hits = 0 THEN 'und' ELSE cand END = lang) AS lang_match
     FROM ranked WHERE rn = 1
     """
 

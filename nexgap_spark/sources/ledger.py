@@ -28,7 +28,14 @@ def mark_processed(done: DataFrame, ledger_path: str, key: str) -> None:
 
 
 def read_ledger(spark: SparkSession, ledger_path: str, key: str) -> DataFrame:
-    """Read the ledger; empty DataFrame when it does not exist yet."""
-    if not os.path.exists(ledger_path):
+    """Read the ledger; empty DataFrame when it does not exist yet.
+
+    Existence goes through the path's own Hadoop FileSystem — a driver-local
+    ``os.path.exists`` reads every remote scheme (s3a://, hdfs://) as
+    missing, which would silently disable idempotency and reprocess the
+    whole corpus on exactly the filesystems a large pipeline uses."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
         return spark.createDataFrame([], f"{key} string")
     return spark.read.parquet(ledger_path)

@@ -125,3 +125,12 @@ def test_lsh_salt_mode_bounds_pairs_keeps_recall(spark):
 
     with pytest.raises(ValueError):
         dedup.lsh_candidate_pairs(sigs, oversized="nope")
+
+
+def test_capped_lsh_twice_in_one_plan(spark, docs):
+    # two capped pairings composed lazily must not collide on the observe
+    # metric name
+    sigs = dedup.minhash_signatures(dedup.shingle_table(docs))
+    a = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
+    b = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
+    assert a.unionByName(b).count() == a.count() * 2

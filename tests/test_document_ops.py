@@ -274,3 +274,46 @@ def test_pairing_parity_with_reference():
     ref_out = conv.convert_tool_results_to_messages(copy.deepcopy(msgs))
     my_out = pair_tool_results(copy.deepcopy(msgs))
     assert my_out == ref_out
+
+
+def test_language_id_zh_and_unknown(spark):
+    from nexgap_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and happy"),
+            (2, "这是一个完全没有空格的中文句子和它的内容"),
+            (3, "xyzzy plugh qwerty"),  # no marker hits anywhere
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.pred_lang, r.pred_lang_hits) for r in text.language_id(df).collect()}
+    assert got[1][0] == "en"
+    assert got[2][0] == "zh" and got[2][1] > 0  # substring scoring, not dead code
+    assert got[3][0] == "und" and got[3][1] == 0  # unknown, not alphabetical-first
+
+
+def test_pii_scan_mixed_case_email(spark):
+    from nexgap_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "Contact John.Doe@Gmail.COM please")], "id long, text string"
+    )
+    r = curation.pii_scan(df).first()
+    assert r.n_emails == 1
+    assert "John.Doe@Gmail.COM" not in r.redacted
+
+
+def test_length_zscore_keeps_null_groups(spark):
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, None, 30), (4, None, 50)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = text.length_zscore(df)
+    assert out.count() == 4  # NULL-group rows scored, not dropped
+    z_null = {r.doc_id: r.z for r in out.filter(F.col("lang").isNull()).collect()}
+    assert z_null[3] is not None and abs(z_null[3] + z_null[4]) < 1e-9

@@ -116,3 +116,30 @@ def test_merge_histogram(spark):
     merged = sampling.merge_histogram(prior, delta, key_cols=["framework", "path_id"])
     got = {r.path_id: r.cnt for r in merged.collect()}
     assert got == {"p1": 7, "p2": 1}
+
+
+def test_expand_tree_round_batch_dupes_and_sibling_scope(spark):
+    from nexgap_spark.operators import taxonomy
+
+    paths = spark.createDataFrame(
+        [
+            ("fw", "root/a", ["root", "a"], ["r", "a"], ["r", "a"], 2),
+            ("fw", "root/b", ["root", "b"], ["r", "b"], ["r", "b"], 2),
+            ("fw", "root/a/a_x", ["root", "a", "a_x"], ["r", "a", "x"], ["r", "a", "x"], 3),
+        ],
+        "framework string, path_id string, node_ids array<string>, "
+        "en_labels array<string>, zh_labels array<string>, depth int",
+    )
+    proposals = spark.createDataFrame(
+        [
+            ("fw", "root/a", "x", "x-en", "x-zh"),   # collides with existing sibling a_x
+            ("fw", "root/b", "y", "y-en", "y-zh"),   # valid
+            ("fw", "root/b", "y", "y-en", "y-zh"),   # intra-batch duplicate
+        ],
+        "framework string, parent_path_id string, new_id string, new_en string, new_zh string",
+    )
+    out = taxonomy.expand_tree_round(paths, proposals, min_parent_depth=2)
+    new = {r.path_id for r in out.collect()} - {r.path_id for r in paths.collect()}
+    # exactly one new path: the duplicate proposal collapsed, the sibling
+    # collision dropped (path ids join with the operator's PATH_SEP)
+    assert new == {taxonomy.PATH_SEP.join(["root", "b", "b_y"])}
