@@ -162,16 +162,19 @@ def tfidf(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-(doc, term) TF-IDF: tf × ln((N+1)/(df+1)), the smoothed variant.
 
     One explode + two aggregations. The term-level document frequency is a
     groupBy on term (Zipf-compressed after map-side combine) that joins
-    back WITHOUT a broadcast hint: natural-language vocabularies broadcast
-    fine, but a web-scale corpus's distinct-term set (typos, URLs, ids)
-    can reach hundreds of millions of rows, and a forced hint would ram it
-    into the 8 GB broadcast limit — AQE already converts to broadcast at
-    runtime whenever the actual size permits. N comes from a 1-row
+    back broadcast by default — a natural-language vocabulary is
+    millions of rows at most. Set ``broadcast_vocab=False`` for corpora
+    whose distinct-term set is itself corpus-scale (web crawls full of
+    typos/URLs/ids): the hint would ram that into the 8 GB broadcast
+    limit, while the unhinted join lets AQE pick from actual sizes (its
+    runtime conversion costs one extra shuffle-write of tf, which is why
+    the hint stays the default for the common case). N comes from a 1-row
     aggregate cross-joined (broadcast) rather than a driver collect, so
     the plan stays fully lazy/distributed."""
     toks = df.select(
@@ -181,7 +184,7 @@ def tfidf(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
