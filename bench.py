@@ -83,32 +83,42 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
 
     spark = get_spark("nexgap_bench")
     # Warm the JVM + parquet footers with one tiny action so per-query times
-    # measure the queries, not session startup.
-    QUERIES["q06_revenue_filter"](spark, sf_dir).collect()
-    # Spin the Python worker pool (one worker per core) before any timed
-    # pandas-UDF stage — on a cluster this is executor warmup, not query cost.
-    spark.range(32 * 1024).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # measure the queries, not session startup. Fault-isolated like the
+    # queries themselves: a warm-up failure must degrade timings, not kill
+    # the whole artifact (the r3/r4 lesson).
+    try:
+        QUERIES["q06_revenue_filter"](spark, sf_dir).collect()
+        # Spin the Python worker pool (one worker per core) before any timed
+        # pandas-UDF stage — on a cluster this is executor warmup, not query
+        # cost.
+        spark.range(32 * 1024).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] warmup failed (continuing cold): {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     for name in HEADLINE:
-        best, n = None, 0
-        # per-query fault isolation: one failing query must cost ONE "err"
+        best, n, err = None, 0, None
+        # per-TRIAL fault isolation: one failing query must cost ONE "err"
         # entry, never the whole artifact (r3/r4 shipped no bench at all
-        # because a single raising query aborted the loop with rc=1)
-        try:
-            for _ in range(trials):
+        # because a single raising query aborted the loop with rc=1) — and
+        # a transient failure on trial 2 must not discard trial 1's valid
+        # measurement.
+        for _ in range(trials):
+            try:
                 t0 = time.perf_counter()
                 out = QUERIES[name](spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
                 n = len(out)
-        except Exception as e:  # noqa: BLE001 — record and move on
-            errs[name] = f"{type(e).__name__}: {e}"[:300]
+            except Exception as e:  # noqa: BLE001 — record and move on
+                err = f"{type(e).__name__}: {e}"[:300]
+        if best is None:
+            errs[name] = err or "no successful trial"
             print(f"[bench] {name}: ERROR {errs[name][:120]}", file=sys.stderr)
             continue
         times[name] = round(best, 3)
@@ -124,7 +134,10 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
     from nexgap_spark.session import TABLES
 
     con = duckdb.connect()
-    con.sql(f"SET threads TO {os.cpu_count()}")
+    # same CPU budget as the Spark side, or the ratio compares different
+    # hardware allocations
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count()
+    con.sql(f"SET threads TO {cpus}")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -170,7 +183,13 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_DUCKDB"):
         duck_times = _run_duckdb(sf_dir)
         detail["duckdb"] = duck_times
-        result["duckdb_total"] = round(sum(duck_times.values()), 3)
+        # the headline ratio must compare the SAME query set on both
+        # engines: a Spark-errored query keeps its oracle time out of the
+        # total, and oracle-less queries keep their Spark time out of the
+        # comparable sum (raw sums stay in "value"/"duckdb" for detail)
+        common = sorted(set(spark_times) & set(duck_times))
+        result["duckdb_total"] = round(sum(duck_times[q] for q in common), 3)
+        result["spark_comparable"] = round(sum(spark_times[q] for q in common), 3)
     # The driver captures only the LAST 2000 chars of output and parses the
     # JSON from there — the compact stdout line must be the FINAL output and
     # the only JSON in that window. Round 1's bench dumped the full detail

@@ -29,25 +29,34 @@ def apply_changes(
     set carries ``version_col`` > 0. For each key the row with the highest
     (version, is-change) wins; winners marked delete are dropped.
 
-    Deterministic: ties on version resolve toward the change side.
+    Deterministic: ties on version resolve toward the change side (an
+    explicit side marker — base and change rows both carry op='U', so the
+    op column alone cannot express it), then toward 'U' over 'D', then by
+    a payload hash so even duplicate change rows pick a stable winner.
     """
     if op_col is None:
         changes = changes.withColumn("_op", F.lit("U"))
         op_col = "_op"
-    b = base.withColumn(version_col, F.lit(0).cast("long")).withColumn(
-        op_col, F.lit("U")
+    b = (
+        base.withColumn(version_col, F.lit(0).cast("long"))
+        .withColumn(op_col, F.lit("U"))
+        .withColumn("_src", F.lit(0))
     )
     cols = b.columns
     merged = b.select(cols).unionByName(
-        changes.withColumn(version_col, F.col(version_col).cast("long")).select(cols)
+        changes.withColumn(version_col, F.col(version_col).cast("long"))
+        .withColumn("_src", F.lit(1))
+        .select(cols)
     )
-    # Secondary sort on the op marker keeps winners deterministic when a
-    # version collides ('U' sorts above 'D').
+    payload = [c for c in cols if c not in (*key_cols, version_col, op_col, "_src")]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col(op_col).desc()
+        F.col(version_col).desc(),
+        F.col("_src").desc(),
+        F.col(op_col).desc(),
+        F.xxhash64(*[F.col(c) for c in payload]) if payload else F.lit(0),
     )
     return (
         merged.withColumn("_rk", F.row_number().over(w))
         .filter((F.col("_rk") == 1) & (F.col(op_col) != DELETE_OP))
-        .drop("_rk", op_col)
+        .drop("_rk", op_col, "_src")
     )

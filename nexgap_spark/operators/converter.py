@@ -95,7 +95,12 @@ def convert_span_record(
         role = msg.get("role")
         if role == "system":
             messages.append({"role": "system", "content": clean_system_prompt(msg.get("content") or "")})
-            if agent_tools and agent_name and agent_name in agent_tools:
+            # attach once — a conversation that re-injects its system
+            # prompt mid-stream must not duplicate every tool definition.
+            # (The reference extends per system message, but its tools are
+            # EXTRACTED from each message's content (:1544-1561) — ours
+            # come from the config map, where repeating is pure duplication.)
+            if not tools and agent_tools and agent_name and agent_name in agent_tools:
                 tools.extend(agent_tools[agent_name])
         elif role == "assistant":
             cleaned, calls = extract_tool_calls(msg.get("content") or "", next_id)
@@ -187,8 +192,15 @@ def convert_spans(
     # split, which would serialize the Python transform on one core. Fan out
     # only when below cluster parallelism; at scale the scan's splits already
     # exceed it and this is a no-op (no shuffle added).
+    #
+    # Probe the partition count on the RAW SCAN, not on `resolved`: under
+    # AQE, df.rdd on a plan with exchanges EXECUTES every upstream stage
+    # just to read the count, and the real action then recomputes them —
+    # the whole relational chain would run twice per invocation. The plain
+    # scan has no exchanges, so its rdd conversion is free, and its split
+    # count is what decides fan-out anyway.
     par = resolved.sparkSession.sparkContext.defaultParallelism
-    if resolved.rdd.getNumPartitions() < par:
+    if spans.rdd.getNumPartitions() < par:
         resolved = resolved.repartition(par)
 
     out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]

@@ -77,6 +77,10 @@ def pair_tool_results(
                         "role": "tool",
                         "tool_call_id": info.get("id") or next_id(),
                         "name": FALLBACK_TOOL_NAME,
+                        # replace-ALL, faithfully: the reference strips every
+                        # occurrence (:1499-1501), so a body quoting the
+                        # marker text loses those too — that is the wire
+                        # semantic parity is measured against, not a bug to fix
                         "content": content.replace(TOOL_RESULT_PREFIX, "").strip(),
                     }
                 )

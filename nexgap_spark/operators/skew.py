@@ -50,7 +50,15 @@ def salted_agg(
     for name, (fn, _) in aggs.items():
         if fn not in _MERGEABLE:
             raise ValueError(f"{name}: {fn} is not mergeable; use sum/count/min/max")
-    salted = df.withColumn(_SALT, F.floor(F.rand(seed) * buckets))
+    # DETERMINISTIC salt (hash of the whole row), not rand(): under partial
+    # stage recomputation a retried map task must send each row to the SAME
+    # reduce partition the first attempt did, or already-fetched outputs
+    # double-count/lose rows. Full-duplicate rows share a salt — at full-row
+    # granularity that residual hotspot is acceptable; rand()'s correctness
+    # hole is not.
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(buckets))
+    )
     partial = salted.groupBy(*keys, _SALT).agg(
         *[
             _MERGEABLE[fn][0](F.lit(1) if col == "*" else F.col(col)).alias(name)
@@ -87,7 +95,11 @@ def salted_join(
     salt_values = skewed.sparkSession.range(buckets).select(
         F.col("id").cast("int").alias(_SALT)
     )
-    left = skewed.withColumn(_SALT, F.floor(F.rand(seed) * buckets).cast("int"))
+    # deterministic for the same retry-safety reason as salted_agg
+    left = skewed.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*skewed.columns, F.lit(seed)), F.lit(buckets)).cast("int"),
+    )
     right = other.crossJoin(F.broadcast(salt_values))
     return left.join(right, on + [_SALT], how).drop(_SALT)
 

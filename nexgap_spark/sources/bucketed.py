@@ -18,6 +18,7 @@ bucketed on the same key with the same bucket count.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -32,7 +33,14 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as an external parquet table bucketed (and optionally
     sorted) by ``bucket_cols``. Sorting within buckets additionally removes
-    the Sort from sort-merge joins on the same key."""
+    the Sort from sort-merge joins on the same key.
+
+    The pre-write repartition on the bucket columns is load-bearing: each
+    write TASK emits one file per bucket it holds rows for, so an
+    unrepartitioned wide DataFrame (say 2 000 partitions × 32 buckets)
+    writes up to 64 000 small files; clustering first caps it at ~1 file
+    per bucket."""
+    df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
     writer = (
         df.write.mode(mode)
         .format("parquet")

@@ -91,17 +91,28 @@ def compact_parquet(
 
     This is the maintenance job every streaming/append pipeline needs —
     micro-batch sinks leave thousands of KB-scale files whose per-file open
-    cost dominates scans. coalesce() (not repartition) when not sorting:
-    it avoids a shuffle entirely and just glues splits together.
+    cost dominates scans.
+
+    Plan shape: the source is persisted so the row count and the rewrite
+    share one scan of the fragmented directory (listing+opening 50k files
+    twice is the dominant cost). The unsorted path uses repartition, NOT
+    coalesce — coalesce propagates its low partition count INTO the scan,
+    serializing the very read this job exists to speed up; the repartition
+    shuffle costs one pass of right-sized blocks and keeps the scan wide.
     """
-    df = spark.read.parquet(src)
-    n_rows = df.count()
-    n_files = max(1, -(-n_rows // target_rows_per_file))
-    if sort_cols:
-        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    else:
-        out = df.coalesce(n_files)
-    out.write.mode("overwrite").parquet(dst)
+    from pyspark import StorageLevel
+
+    df = spark.read.parquet(src).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if sort_cols:
+            out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(dst)
+    finally:
+        df.unpersist()
     return n_files
