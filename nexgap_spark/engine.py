@@ -74,8 +74,16 @@ class Engine:
                 for f in SPAN_SCHEMA.fields
             ]
         )
-        good, _bad = jsonl.split_corrupt(
-            jsonl.read_jsonl(self.spark, path, schema=ingest_schema)
+        # DROPMALFORMED, not split_corrupt: this path only needs the good
+        # rows, and the corrupt-column split requires caching the full raw
+        # scan (a Spark constraint) — a cache nothing here could ever
+        # unpersist, leaking one session-lifetime copy of the input per
+        # call. Callers who want to INSPECT bad lines use
+        # sources.jsonl.read_jsonl + split_corrupt directly.
+        good = (
+            self.spark.read.schema(ingest_schema)
+            .option("mode", "DROPMALFORMED")
+            .json(path)
         )
         return good.select(
             *[
@@ -99,11 +107,22 @@ class Engine:
         *,
         config_agents: list[str],
         agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+        generation_marker: str | tuple[str, ...] | None = None,
     ) -> DataFrame:
         """Span tree → ChatCompletion records (P2→A1→J3→P3→document
-        transform); the whole reference converter as one call."""
+        transform); the whole reference converter as one call.
+
+        ``generation_marker`` selects which instrumentation's GENERATION
+        spans to convert — a single marker, or a tuple to take several in
+        one pass (default: every marker in span_tree.GENERATION_MARKERS, so
+        anthropic-instrumented traces aren't silently dropped)."""
+        from nexgap_spark.operators.span_tree import GENERATION_MARKERS
+
         return convert_spans(
-            spans, config_agents=config_agents, agent_tools=agent_tools
+            spans,
+            config_agents=config_agents,
+            agent_tools=agent_tools,
+            generation_marker=generation_marker or tuple(GENERATION_MARKERS),
         )
 
     def convert_framework(
@@ -156,8 +175,18 @@ class Engine:
         self, records: DataFrame, *, messages_col: str = "messages", mode: str = "a4a"
     ) -> tuple[DataFrame, DataFrame]:
         """(valid records without the helper column, error side-output) —
-        the filter_xml_errors.py contract."""
-        checked = self.validate(records, messages_col=messages_col, mode=mode)
+        the filter_xml_errors.py contract.
+
+        The validated frame is persisted so the Python validator (the most
+        expensive stage here) runs ONCE even when both branches are
+        consumed; the cache is released automatically once both outputs'
+        lineages are garbage-collected, or eagerly via
+        ``spark.catalog.clearCache()``."""
+        from pyspark import StorageLevel
+
+        checked = self.validate(records, messages_col=messages_col, mode=mode).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         valid = checked.filter(F.col("validation.valid")).drop("validation")
         errors = checked.filter(~F.col("validation.valid")).select(
             "*", F.col("validation.errors").alias("xml_errors")
@@ -240,8 +269,15 @@ class Engine:
         cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
         near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= min_jaccard)
         groups = dedup.dup_groups(near).select(F.col("n").alias("doc_id"), "group_id")
+        # broadcast only under dedup_corpus_join's row cap — a crawl-style
+        # corpus can put a large fraction of all docs into near-dup groups,
+        # and an unconditional broadcast of that set dies at exactly the
+        # high-duplication inputs dedup exists for
+        groups = groups.localCheckpoint()
+        if groups.count() <= 5_000_000:
+            groups = F.broadcast(groups)
         keep = (
-            renamed.join(F.broadcast(groups), "doc_id", "left")
+            renamed.join(groups, "doc_id", "left")
             .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
             .drop("group_id")
         )
@@ -282,6 +318,17 @@ class Engine:
         from nexgap_spark.operators import sampling, taxonomy
 
         dist = difficulty_dist or {"easy": 0.2, "medium": 0.5, "hard": 0.3}
+        # canonicalize + validate keys: the variant parser emits lowercase
+        # easy/medium/hard, and the kept-filter compares pick output against
+        # those — a caller's {'EASY': ...} would otherwise pass the sum
+        # check and silently yield ZERO rows every round
+        from nexgap_spark.external.parse import DIFFICULTIES
+
+        dist = {k.strip().lower(): v for k, v in dist.items()}
+        if set(dist) != set(DIFFICULTIES):
+            raise ValueError(
+                f"difficulty_dist keys must be {sorted(DIFFICULTIES)}, got {sorted(dist)}"
+            )
         client_factory = client_factory or MockLLMClient
         paths = taxonomy.label_string(
             taxonomy.paths_df(self.spark, tree, framework=framework),

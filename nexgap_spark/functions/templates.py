@@ -42,7 +42,12 @@ def template_column(template: str, **cols: Column) -> Column:
             if m.start() > last:
                 parts.append(F.lit(text[last : m.start()]))
             name = m.group(1)
-            parts.append(cols[name] if name in cols else F.lit(""))
+            # coalesce: F.concat null-propagates, so one NULL column would
+            # turn the WHOLE prompt NULL — fill_template substitutes '' for
+            # None, and the column builder must match that contract
+            parts.append(
+                F.coalesce(cols[name], F.lit("")) if name in cols else F.lit("")
+            )
             last = m.end()
         if last < len(text):
             parts.append(F.lit(text[last:]))

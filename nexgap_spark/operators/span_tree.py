@@ -22,12 +22,18 @@ EPOCH_FLOOR = "1970-01-01T00:00:00"
 SUBAGENT_PREFIX = "Sub-agent: "
 
 
-def filter_generation_spans(spans: DataFrame, marker: str = GENERATION_MARKERS[0]) -> DataFrame:
+def filter_generation_spans(
+    spans: DataFrame, marker: str | tuple[str, ...] = GENERATION_MARKERS[0]
+) -> DataFrame:
     """P2 (reference convert_spans_to_chatcompletion.py:1517-1521):
-    span_type == GENERATION and span_name contains the generation marker."""
-    return spans.filter(
-        (F.col("span_type") == "GENERATION") & F.col("span_name").contains(marker)
-    )
+    span_type == GENERATION and span_name contains the generation marker.
+    Accepts one marker or a tuple (a trace mix of OpenAI- and
+    anthropic-instrumented spans needs both in one pass)."""
+    markers = (marker,) if isinstance(marker, str) else tuple(marker)
+    cond = F.col("span_name").contains(markers[0])
+    for m in markers[1:]:
+        cond = cond | F.col("span_name").contains(m)
+    return spans.filter((F.col("span_type") == "GENERATION") & cond)
 
 
 def filter_nonempty_input(spans: DataFrame) -> DataFrame:
@@ -94,12 +100,17 @@ def resolve_agent_name(
     *,
     max_hops: int = 6,
     parent_source: DataFrame | None = None,
+    broadcast_parents: bool = True,
 ) -> DataFrame:
     """J3 (reference :460-509): walk each span's parent chain; the agent name
     is the first ancestor whose span_name (case-insensitively, after
     stripping the 'Sub-agent: ' prefix) matches a configured agent; falls
     back to the immediate parent's stripped name (J2 behavior) when no
     ancestor matches.
+
+    ``broadcast_parents=False`` falls back to shuffle joins when the
+    3-column parent projection of the FULL span table outgrows the
+    broadcast limit (same escape hatch as join_parent).
 
     Iterative broadcast self-join to a bounded fixpoint — tree depth is ≤ ~5
     in the reference data, so ``max_hops`` caps the loop; each hop joins only
@@ -110,13 +121,13 @@ def resolve_agent_name(
     itself, which is only correct when nothing has been filtered out yet.
     """
     agents_lc = [a.lower() for a in config_agents]
-    parents = F.broadcast(
-        (parent_source if parent_source is not None else spans).select(
-            F.col("span_id").alias("_p_id"),
-            F.col("span_name").alias("_p_name"),
-            F.col("parentObservationId").alias("_p_parent"),
-        )
+    parents = (parent_source if parent_source is not None else spans).select(
+        F.col("span_id").alias("_p_id"),
+        F.col("span_name").alias("_p_name"),
+        F.col("parentObservationId").alias("_p_parent"),
     )
+    if broadcast_parents:
+        parents = F.broadcast(parents)
 
     out = spans.withColumn("_cursor", F.col("parentObservationId")).withColumn(
         "agent_name", F.lit(None).cast("string")
@@ -155,14 +166,17 @@ def resolve_root(
     parent_col: str = "parentObservationId",
     max_hops: int = 6,
     out_col: str = "root_id",
+    broadcast_parents: bool = True,
 ) -> DataFrame:
     """J3 companion: resolve each span's root ancestor by iterative broadcast
-    self-join (bounded depth). Rows whose parent is null are their own root."""
-    parents = F.broadcast(
-        spans.select(
-            F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
-        )
+    self-join (bounded depth). Rows whose parent is null are their own root.
+    ``broadcast_parents=False`` for span tables whose 2-column projection
+    outgrows the broadcast limit."""
+    parents = spans.select(
+        F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
     )
+    if broadcast_parents:
+        parents = F.broadcast(parents)
     out = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )
