@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 
 DEFAULT_DIM = 64
 
+# Hard ceiling on any "small side by contract" collect. 200k rows × 64-dim
+# float64 ≈ 100 MB on the driver / in a broadcast — the practical broadcast
+# limit. Past it, the caller should pre-cluster or batch the query set;
+# silently collecting an unbounded side is how a driver OOMs at 100 TB.
+SMALL_SIDE_MAX_ROWS = 200_000
+
+
+def _collect_small_side(df: DataFrame, cols: list, what: str, cap: int | None = None):
+    """Enforce the small-side contract instead of assuming it: collect via
+    limit(cap+1) so an oversized side costs one extra row, not an OOM."""
+    cap = SMALL_SIDE_MAX_ROWS if cap is None else cap
+    pdf = df.select(*cols).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise ValueError(
+            f"{what} exceeds the small-side contract ({cap} rows): "
+            "batch the queries or pre-reduce (e.g. cluster) before top-k"
+        )
+    return pdf
+
 
 def dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
     """Σ aᵢ·bᵢ as double, strict left-to-right addition.
@@ -81,7 +100,7 @@ def brute_force_topk(
     to the ordered left-to-right fold the DuckDB oracle computes — numpy's
     pairwise-summing dot() would not be.
     """
-    q_pd = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_pd = _collect_small_side(queries, [F.col(id_col), F.col(vec_col)], "query side")
     q_ids_arr = q_pd[id_col].to_numpy()
     q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
 
@@ -228,14 +247,18 @@ def ivf_topk(
     partitioned on centroid, emitting per-partition partial top-k; a final
     window merges. Total score work = Σ_cluster |Q_c|·|C_c| — the IVF saving
     is real, not simulated."""
-    cent_pd = centroids.select(
-        F.col("centroid_id") if "centroid_id" in centroids.columns else F.col(id_col).alias("centroid_id"),
-        F.col(vec_col),
-    ).toPandas()
+    cent_pd = _collect_small_side(
+        centroids,
+        [
+            F.col("centroid_id") if "centroid_id" in centroids.columns else F.col(id_col).alias("centroid_id"),
+            F.col(vec_col),
+        ],
+        "centroid side",
+    )
     cent_ids = cent_pd["centroid_id"].to_numpy()
     cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)
 
-    q_pd = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_pd = _collect_small_side(queries, [F.col(id_col), F.col(vec_col)], "query side")
     q_ids = q_pd[id_col].to_numpy()
     q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
     q_cent = _np_assign(q_mat, cent_ids, cent_mat)
@@ -556,9 +579,9 @@ def kmeans_update(
     so partial sums are integer arithmetic and order-independent; the final
     agg divides once. Float summation would drift with shuffle order.
     """
-    cent_pd = centroids.select(
-        F.col(centroid_id_col), F.col(vec_col)
-    ).toPandas()
+    cent_pd = _collect_small_side(
+        centroids, [F.col(centroid_id_col), F.col(vec_col)], "centroid side"
+    )
     order = np.argsort(cent_pd[centroid_id_col].to_numpy(), kind="stable")
     cent_ids = cent_pd[centroid_id_col].to_numpy()[order]
     cent_mat = np.stack(cent_pd[vec_col].to_numpy()[order]).astype(np.float64)[:, :dim]

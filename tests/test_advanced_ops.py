@@ -136,3 +136,21 @@ def test_cdc_apply_without_op_col(spark):
         base, changes, key_cols=["k"], version_col="version"
     ).collect()
     assert len(got) == 1 and got[0].v == 11.0
+
+
+def test_small_side_cap_enforced(spark, monkeypatch):
+    # the "small by contract" query side of brute-force top-k must FAIL
+    # loudly past the cap, not silently collect an unbounded frame
+    from nexgap_spark.operators import similarity
+
+    vecs = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    monkeypatch.setattr(similarity, "SMALL_SIDE_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="small-side contract"):
+        similarity.brute_force_topk(vecs, vecs, k=2, dim=4)
+    # under the cap the collect proceeds
+    monkeypatch.setattr(similarity, "SMALL_SIDE_MAX_ROWS", 50)
+    out = similarity.brute_force_topk(vecs, vecs, k=2, dim=4)
+    assert out.count() == 20
