@@ -179,9 +179,15 @@ class Engine:
 
         The validated frame is persisted so the Python validator (the most
         expensive stage here) runs ONCE even when both branches are
-        consumed; the cache is released automatically once both outputs'
-        lineages are garbage-collected, or eagerly via
-        ``spark.catalog.clearCache()``."""
+        consumed. CacheManager entries are NOT garbage-collected by Spark
+        (only RDD blocks are), so the unpersist is wired explicitly: a
+        ``weakref.finalize`` on each returned frame drops the cache once
+        BOTH outputs have been garbage-collected. A long-lived session
+        calling this per input file therefore does not accumulate one
+        session-lifetime cached copy per call; ``spark.catalog.clearCache()``
+        still releases eagerly."""
+        import weakref
+
         from pyspark import StorageLevel
 
         checked = self.validate(records, messages_col=messages_col, mode=mode).persist(
@@ -191,6 +197,18 @@ class Engine:
         errors = checked.filter(~F.col("validation.valid")).select(
             "*", F.col("validation.errors").alias("xml_errors")
         ).drop("validation")
+        remaining = {"n": 2}
+
+        def _release(_checked=checked, _remaining=remaining):
+            _remaining["n"] -= 1
+            if _remaining["n"] == 0:
+                try:
+                    _checked.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — session may already be gone
+                    pass
+
+        weakref.finalize(valid, _release)
+        weakref.finalize(errors, _release)
         return valid, errors
 
     # -- emitters (F7/F8) ---------------------------------------------------
@@ -269,13 +287,11 @@ class Engine:
         cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
         near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= min_jaccard)
         groups = dedup.dup_groups(near).select(F.col("n").alias("doc_id"), "group_id")
-        # broadcast only under dedup_corpus_join's row cap — a crawl-style
-        # corpus can put a large fraction of all docs into near-dup groups,
-        # and an unconditional broadcast of that set dies at exactly the
+        # broadcast only under the shared row cap — a crawl-style corpus can
+        # put a large fraction of all docs into near-dup groups, and an
+        # unconditional broadcast of that set dies at exactly the
         # high-duplication inputs dedup exists for
-        groups = groups.localCheckpoint()
-        if groups.count() <= 5_000_000:
-            groups = F.broadcast(groups)
+        groups = dedup.capped_broadcast(groups)
         keep = (
             renamed.join(groups, "doc_id", "left")
             .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))

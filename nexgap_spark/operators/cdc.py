@@ -49,11 +49,15 @@ def apply_changes(
         .select(cols)
     )
     payload = [c for c in cols if c not in (*key_cols, version_col, op_col, "_src")]
+    # hashable_cols: a map-typed payload column (e.g. events.props) would
+    # make the raw xxhash64 an analysis error
+    from nexgap_spark.operators.skew import hashable_cols
+
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
         F.col("_src").desc(),
         F.col(op_col).desc(),
-        F.xxhash64(*[F.col(c) for c in payload]) if payload else F.lit(0),
+        F.xxhash64(*hashable_cols(merged, payload)) if payload else F.lit(0),
     )
     return (
         merged.withColumn("_rk", F.row_number().over(w))

@@ -168,7 +168,7 @@ def convert_spans(
     *,
     config_agents: list[str],
     agent_tools: dict[str, list[dict[str, Any]]] | None = None,
-    generation_marker: str | tuple[str, ...] = span_tree.GENERATION_MARKERS[0],
+    generation_marker: str | tuple[str, ...] = span_tree.GENERATION_MARKERS,
 ) -> DataFrame:
     """Full converter pipeline: P2 → P10 → A1 window dedup → J3 agent
     resolution → P3 → per-row document transform (mapInPandas).

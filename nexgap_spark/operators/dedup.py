@@ -478,6 +478,20 @@ def dup_groups(
     return labels.select(F.col("n"), F.col("label").alias("group_id"))
 
 
+def capped_broadcast(small: DataFrame, *, max_rows: int = 5_000_000) -> DataFrame:
+    """Broadcast ``small`` only under an explicit row cap; above it, return
+    it un-hinted so AQE plans the shuffle join. localCheckpoint (eager)
+    materializes the frame once so the cap check costs one count, not a
+    second pass over its lineage — and unlike persist(), the blocks are
+    released by the ContextCleaner when the DataFrame goes out of scope.
+    The single definition of the membership-join policy: engine.dedup_corpus
+    and dedup_corpus_join both route here so the cap can't drift."""
+    small = small.localCheckpoint()
+    if small.count() <= max_rows:  # default ≈120 MB of ids
+        small = F.broadcast(small)
+    return small
+
+
 def dedup_corpus_join(
     docs: DataFrame,
     membership: DataFrame,
@@ -500,9 +514,7 @@ def dedup_corpus_join(
     the blocks are released by the ContextCleaner when the DataFrame goes
     out of scope, so repeated calls don't pin executor memory forever.
     """
-    membership = membership.localCheckpoint()
-    if membership.count() <= max_broadcast_rows:  # default ≈120 MB of ids
-        membership = F.broadcast(membership)
+    membership = capped_broadcast(membership, max_rows=max_broadcast_rows)
     return (
         docs.join(membership, id_col, "left")
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col(id_col)))

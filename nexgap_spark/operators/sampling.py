@@ -76,7 +76,14 @@ def weighted_sample(
     w_cum = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     w_all = W.partitionBy()
     cdf = (
+        # zero-probability keys (round_to can floor rare keys to 0.0) must
+        # never be pickable — and dropping them makes cum_hi STRICTLY
+        # increasing, so the ∞-clamp below hits exactly one row. With them
+        # kept, a trailing zero-width interval shares max(cum_hi) and the
+        # clamp would produce overlapping [max, ∞) rows: one tail draw
+        # would match several keys and return > n picks.
         weighted.select(key_col, prob_col)
+        .filter(F.col(prob_col) > 0)
         .withColumn("cum_hi", F.sum(prob_col).over(w_cum))
         .withColumn("cum_lo", F.col("cum_hi") - F.col(prob_col))
         .withColumn(

@@ -184,10 +184,13 @@ def assign_clusters(
     )
     payload_cols = [c for c in vectors.columns if c != id_col]
     best = scored.groupBy(id_col).agg(
-        F.max_by(
+        F.min_by(
             F.struct(*[F.col(c) for c in payload_cols], F.col("_c_id")),
-            # maximize similarity, then LOWEST centroid id on ties
-            F.struct(F.col("_sim"), (-F.col("_c_id")).alias("_neg_c")),
+            # min over (-sim, id) = max similarity, then LOWEST centroid id
+            # on ties. The negation goes on _sim (always double) rather than
+            # the id: negating the id breaks non-numeric centroid ids
+            # (analysis error under ANSI, NULL tiebreak otherwise).
+            F.struct((-F.col("_sim")).alias("_neg_sim"), F.col("_c_id")),
         ).alias("_best")
     )
     return best.select(

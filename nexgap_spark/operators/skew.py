@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 
 _SALT = "_salt"
 
+
+def hashable_cols(df: DataFrame, cols: list[str] | None = None) -> list[Column]:
+    """Columns made safe for xxhash64/hash: MapType is not hashable in Spark
+    (HASH_MAP_TYPE analysis error by default), so map columns go through
+    to_json first. Deterministic per physical row — the same row binary
+    always serializes the same way — which is exactly the retry-safety
+    property the salting/tiebreak hashes need."""
+    cols = df.columns if cols is None else cols
+    types = dict(df.dtypes)
+    return [
+        F.to_json(F.col(c)) if types.get(c, "").startswith("map<") else F.col(c)
+        for c in cols
+    ]
+
 # (partial expr per (key, salt) group, final re-combine over salt groups)
 _MERGEABLE = {
     "sum": (F.sum, F.sum),
@@ -57,7 +71,7 @@ def salted_agg(
     # granularity that residual hotspot is acceptable; rand()'s correctness
     # hole is not.
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(buckets))
+        _SALT, F.pmod(F.xxhash64(*hashable_cols(df), F.lit(seed)), F.lit(buckets))
     )
     partial = salted.groupBy(*keys, _SALT).agg(
         *[
@@ -98,7 +112,7 @@ def salted_join(
     # deterministic for the same retry-safety reason as salted_agg
     left = skewed.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(*skewed.columns, F.lit(seed)), F.lit(buckets)).cast("int"),
+        F.pmod(F.xxhash64(*hashable_cols(skewed), F.lit(seed)), F.lit(buckets)).cast("int"),
     )
     right = other.crossJoin(F.broadcast(salt_values))
     return left.join(right, on + [_SALT], how).drop(_SALT)

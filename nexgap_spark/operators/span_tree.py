@@ -23,7 +23,7 @@ SUBAGENT_PREFIX = "Sub-agent: "
 
 
 def filter_generation_spans(
-    spans: DataFrame, marker: str | tuple[str, ...] = GENERATION_MARKERS[0]
+    spans: DataFrame, marker: str | tuple[str, ...] = GENERATION_MARKERS
 ) -> DataFrame:
     """P2 (reference convert_spans_to_chatcompletion.py:1517-1521):
     span_type == GENERATION and span_name contains the generation marker.

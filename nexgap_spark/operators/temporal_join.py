@@ -112,6 +112,11 @@ def range_join(
     probes its own bucket and the previous one — every qualifying pair is in
     one of the two — then the exact range predicate filters. Two hash joins
     instead of a nested loop."""
+    # same dtype guard as asof_join: normalize NTZ, reject bigint loudly —
+    # epoch_us on a raw nanos-as-long column would silently reinterpret
+    # nanoseconds as seconds and the range predicate would match nothing
+    left = as_timestamp(left, left_ts)
+    right = as_timestamp(right, right_ts)
     win_us = int(window_s * 1_000_000)
     l = left.select(
         *left.columns,

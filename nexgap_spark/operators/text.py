@@ -116,15 +116,23 @@ def language_id(
     langs = sorted(markers)
     score_cols = []
     for lang in langs:
-        if all(ord(m[0]) > 0x2E80 for m in markers[lang]):
-            # CJK: substring-occurrence count via char-length delta
+        if all(ord(ch) > 0x2E80 for m in markers[lang] for ch in m):
+            # CJK: substring-occurrence count via char-length delta,
+            # normalized by marker length so a multi-char marker ('です')
+            # scores 1 per occurrence, not len(marker). The branch guard
+            # checks EVERY char — a mixed marker ('的s') belongs to the
+            # whole-token branch, where its ASCII tail is meaningful.
             hits = None
             for m in markers[lang]:
-                h = F.length(c) - F.length(F.replace(c, F.lit(m)))
+                h = (
+                    (F.length(c) - F.length(F.replace(c, F.lit(m)))) / F.lit(len(m))
+                ).cast("long")
                 hits = h if hits is None else hits + h
         else:
             arr = F.array(*[F.lit(m) for m in markers[lang]])
-            hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+            # long, matching the CJK branch: the per-language score structs
+            # live in one array, whose element type must be uniform
+            hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
         score_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # argmax: sort by (hits desc, lang asc) → first. array_sort on structs
     # sorts ascending by field order, so negate hits.

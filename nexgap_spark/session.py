@@ -113,7 +113,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the NTZ→timestamp normalization below is value-identical ONLY under a
     # UTC session; a driver-supplied session on a local timezone would
-    # silently shift every events.ts by the UTC offset
+    # silently shift every events.ts by the UTC offset. This mutates the
+    # caller's session globally (runtime SQL confs are session-wide), so a
+    # non-UTC session gets a warning rather than a silent semantics change
+    # to its own timestamp parsing/rendering.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"nexgap_spark.load_table pins spark.sql.session.timeZone=UTC "
+            f"(was {prev_tz!r}); timestamp string conversions in this "
+            "session now render in UTC",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F

@@ -93,26 +93,27 @@ def compact_parquet(
     micro-batch sinks leave thousands of KB-scale files whose per-file open
     cost dominates scans.
 
-    Plan shape: the source is persisted so the row count and the rewrite
-    share one scan of the fragmented directory (listing+opening 50k files
-    twice is the dominant cost). The unsorted path uses repartition, NOT
-    coalesce — coalesce propagates its low partition count INTO the scan,
-    serializing the very read this job exists to speed up; the repartition
-    shuffle costs one pass of right-sized blocks and keeps the scan wide.
+    Plan shape: the count pass is nearly free — count() over a bare parquet
+    scan is answered from footer row counts (an empty projection, no data
+    pages), and the expensive part it shares with the rewrite (the 50k-file
+    directory listing) is cached in the session's shared FileIndex. Do NOT
+    persist the source to "share the scan": that forces a full
+    materialization of every column into the block store — strictly more
+    I/O than the footer-only count, and it can fill executor disks on
+    exactly the large inputs compaction targets. The unsorted path uses
+    repartition, NOT coalesce — coalesce propagates its low partition count
+    INTO the scan, serializing the very read this job exists to speed up;
+    the repartition shuffle costs one pass of right-sized blocks and keeps
+    the scan wide.
     """
-    from pyspark import StorageLevel
-
-    df = spark.read.parquet(src).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_rows = df.count()
-        n_files = max(1, -(-n_rows // target_rows_per_file))
-        if sort_cols:
-            out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-                *sort_cols
-            )
-        else:
-            out = df.repartition(n_files)
-        out.write.mode("overwrite").parquet(dst)
-    finally:
-        df.unpersist()
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
     return n_files

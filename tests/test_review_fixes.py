@@ -1,0 +1,149 @@
+"""Regression tests for the round-5 diff-review findings: each test pins
+the exact failure scenario the review identified, so the fix can't rot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+
+def test_convert_default_includes_anthropic_spans(spark):
+    # the dispatch path (strategy.convert without an explicit marker) must
+    # not silently drop anthropic-instrumented generation spans
+    from nexgap_spark.operators.converter import convert_spans
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+    spans = []
+    for s in build_spans():
+        s = dict(s)
+        if isinstance(s["output"], dict):
+            s["output"] = [s["output"]]
+        spans.append(s)
+    anthro = dict(spans[1])
+    anthro.update(
+        {
+            "trace_id": "trace_z",
+            "span_id": "span_9001",
+            "span_name": "anthropic.chat",
+            "parentObservationId": None,
+        }
+    )
+    df = spark.createDataFrame(spans + [anthro], schema=SPAN_SCHEMA)
+    out = convert_spans(df, config_agents=CONFIG_AGENTS)
+    assert "span_9001" in {r.span_id for r in out.collect()}
+
+
+def test_range_join_rejects_bigint_ts(spark):
+    # a nanos-as-long ts column must raise, not silently produce an empty
+    # join (epoch_us would reinterpret nanoseconds as seconds)
+    from nexgap_spark.operators.temporal_join import range_join
+
+    df = spark.createDataFrame([(1, 1_700_000_000_000_000_000)], "user_id long, ts long")
+    with pytest.raises(TypeError, match="bigint"):
+        range_join(df, df, on="user_id").collect()
+
+
+def test_weighted_sample_zero_prob_key_never_picked(spark):
+    # a zero-probability key trailing the CDF used to share max(cum_hi),
+    # get the infinity clamp too, and double-match tail draws
+    from nexgap_spark.operators.sampling import weighted_sample
+
+    weighted = spark.createDataFrame(
+        [("a", 0.6), ("b", 0.3995), ("z", 0.0)], "key string, prob double"
+    )
+    out = weighted_sample(weighted, n=200, key_col="key", seed=7).collect()
+    assert len(out) == 200, "overlapping CDF intervals multiplied tail draws"
+    picked = {r.key for r in out}
+    assert "z" not in picked
+    assert picked <= {"a", "b"}
+
+
+def test_assign_clusters_string_centroid_ids(spark):
+    # the tiebreak must not negate the centroid id — string ids are valid
+    from nexgap_spark.operators.similarity import assign_clusters
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        # c_x and c_dup are identical: the tie must resolve to the LOWEST id
+        [("c_x", [1.0, 0.0]), ("c_dup", [1.0, 0.0]), ("c_y", [0.0, 1.0])],
+        "centroid_id string, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in assign_clusters(vecs, cents, dim=2).collect()
+    }
+    assert got == {1: "c_dup", 2: "c_y"}
+
+
+def test_salted_ops_and_cdc_handle_map_columns(spark):
+    # xxhash64 refuses MapType; the salting/tiebreak hash must route maps
+    # through to_json (events.props is a map column)
+    from nexgap_spark.operators.cdc import apply_changes
+    from nexgap_spark.operators.skew import salted_agg, salted_join
+
+    df = spark.createDataFrame(
+        [(1, 10.0, {"k": "v"}), (1, 5.0, {"k": "w"}), (2, 1.0, None)],
+        "user_id long, value double, props map<string,string>",
+    )
+    agg = salted_agg(df, ["user_id"], {"total": ("sum", "value")}, buckets=4)
+    assert {(r.user_id, r.total) for r in agg.collect()} == {(1, 15.0), (2, 1.0)}
+
+    dims = spark.createDataFrame([(1, "gold"), (2, "basic")], "user_id long, tier string")
+    joined = salted_join(df, dims, ["user_id"], buckets=4)
+    assert joined.count() == 3
+
+    base = spark.createDataFrame(
+        [(1, "a", {"m": "1"})], "id long, name string, attrs map<string,string>"
+    )
+    changes = spark.createDataFrame(
+        [(1, "b", {"m": "2"}, 5)], "id long, name string, attrs map<string,string>, v long"
+    )
+    out = apply_changes(base, changes, key_cols=["id"], version_col="v").collect()
+    assert len(out) == 1 and out[0].name == "b"
+
+
+def test_language_id_multichar_cjk_markers(spark):
+    # a multi-char CJK marker must count occurrences, not characters
+    from nexgap_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        # one です (ja, 1 occurrence) vs two 的 (zh, 2 occurrences):
+        # char-length-delta scoring would give ja 2 hits and mis-tie
+        [(1, "今日です 的的",)],
+        "doc_id long, text string",
+    )
+    out = language_id(
+        df, markers={"ja": ("です",), "zh": ("的",)}
+    ).collect()[0]
+    assert out.pred_lang == "zh"
+    assert out.pred_lang_hits == 2
+
+
+def test_filter_valid_cache_released_on_gc(spark):
+    # filter_valid's persist must drop out of the CacheManager once both
+    # returned frames are garbage-collected
+    import gc
+
+    from nexgap_spark.engine import Engine
+
+    eng = Engine(spark)
+    records = spark.createDataFrame(
+        [(1, [{"role": "assistant", "content": "hello"}])],
+        "rec_id long, messages array<struct<role:string,content:string>>",
+    )
+    valid, errors = eng.filter_valid(records)
+    n_valid, n_err = valid.count(), errors.count()
+    assert (n_valid, n_err) == (1, 0)
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcache.isEmpty()
+    del valid, errors
+    gc.collect()
+    assert jcache.isEmpty(), "filter_valid cache leaked after both outputs died"
