@@ -109,6 +109,56 @@ def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q85 — IVF with nprobe=2: each query searches its TWO nearest clusters.
+# The recall knob of a real IVF index; score work = Σ |Q probing c|·|C_c|,
+# i.e. 2/k_clusters of brute force instead of 1/k_clusters.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_ivf_nprobe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, c_id FROM assigned WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_cos('q.embedding', 'c.embedding')} AS cos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN clusters c ON c.centroid_id = p.c_id AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q85_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.ivf_topk(queries, emb, centroids, k=3, nprobe=2)
+    return topk.select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+# ---------------------------------------------------------------------------
 # q36 — blocked embedding near-dup scan: per label (the blocking key),
 # pair count above threshold + the maximum cosine observed.
 # ---------------------------------------------------------------------------

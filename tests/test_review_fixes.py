@@ -147,3 +147,29 @@ def test_filter_valid_cache_released_on_gc(spark):
     del valid, errors
     gc.collect()
     assert jcache.isEmpty(), "filter_valid cache leaked after both outputs died"
+
+
+def test_ivf_nprobe_recall(spark):
+    # nprobe = n_centroids degenerates to exact brute force; recall is
+    # monotone in nprobe on the way there
+    from nexgap_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(queries, emb, k=3).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r.q_id, r.n_id)
+            for r in ivf_topk(queries, emb, cents, k=3, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact), got
+
+    r1, _ = recall(1)
+    r2, _ = recall(2)
+    r8, got8 = recall(8)
+    assert r8 == 1.0 and got8 == exact, "full probe must equal brute force"
+    assert r1 <= r2 <= r8
