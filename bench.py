@@ -47,6 +47,7 @@ HEADLINE = [
     "q44_dedup_corpus",
     "q34_cosine_topk",
     "q35_ivf_topk",
+    "q85_ivf_nprobe",
     "q45_hyperplane_lsh",
     # round-2 analytics: SQL coverage / time series / sampling / TF-IDF
     "q48_pivot_event_matrix",
@@ -65,6 +66,7 @@ HEADLINE = [
     "q71_quality_gate",
     "q72_split_assign",
     "q73_pack_chunks",
+    "q86_chunk_text",
     "q74_cohort_retention",
     "q75_column_profile",
     "q76_quantize_digest",

@@ -313,3 +313,54 @@ def pack_chunks(
     )
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn(out_col, F.floor(before / F.lit(budget)).cast("long"))
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 0,
+    out_prefix: str = "chunk",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    windows of ``max_tokens`` tokens advancing by ``stride = max_tokens -
+    overlap`` — the context-window chunking step of a pretraining/RAG
+    pipeline (pack_chunks assigns whole docs to budgets; this splits WITHIN
+    a document). One output row per (doc, window): ``{prefix}_idx`` (0-based),
+    ``{prefix}_text`` (tokens re-joined with single spaces), ``{prefix}_n``
+    (tokens in the window).
+
+    Window starts are 0, stride, 2·stride, … while start < n_tokens; an
+    empty/blank document yields one empty chunk (row-count preservation —
+    downstream joins back to the doc table must not silently lose docs).
+    The last window may be shorter than ``max_tokens`` (it is kept even when
+    the previous window's overlap already covers its tokens — the standard
+    fixed-stride contract, which keeps chunk boundaries a pure function of
+    position so reruns and distributed retries agree).
+
+    Pure JVM expression chain (tokenize → sequence → explode → slice →
+    array_join): no Python, no shuffle — chunking is row-local, and the
+    explode multiplies rows by ceil(n/stride), which is the output's true
+    size. At 100 TB: runs in the scan stage, pairs with split_assign /
+    pack_chunks downstream.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # number of window starts: 1 + floor((n-1)/stride) for n >= 1, else 1
+    n_chunks = F.when(n <= 0, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - 1) / F.lit(stride))
+    )
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    out = df.withColumn("_toks", toks).withColumn(f"{out_prefix}_idx", idx)
+    window = F.slice(
+        F.col("_toks"), F.col(f"{out_prefix}_idx") * stride + 1, max_tokens
+    )
+    return (
+        out.withColumn(f"{out_prefix}_text", F.array_join(window, " "))
+        .withColumn(f"{out_prefix}_n", F.size(window).cast("long"))
+        .drop("_toks")
+    )

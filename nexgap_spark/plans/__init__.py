@@ -72,6 +72,7 @@ _DRIVER_WINDOW = [
     "q84_url_parse",
     # new this round / re-planned this round — prove externally
     "q85_ivf_nprobe",
+    "q86_chunk_text",
     "q31_minhash_lsh_pairs",
     "q44_dedup_corpus",
     # one representative per long-green family (4 green rounds each);
@@ -87,7 +88,6 @@ _DRIVER_WINDOW = [
     "q35_ivf_topk",
     "q37_convert_pipeline",
     "q38_validate_xml",
-    "q43_dup_groups",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -459,3 +459,47 @@ def q75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q76_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return similarity.quantize_int8_digest(emb)
+
+
+# ---------------------------------------------------------------------------
+# q86 — sliding-window chunking (max 32 tokens, overlap 8 → stride 24):
+# the context-window split of a pretraining/RAG pipeline. The oracle
+# reproduces start arithmetic, slice bounds, and the space re-join exactly;
+# chunk text is md5'd on both sides to keep the compare row compact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_chunk_text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 0 THEN 1
+                  ELSE 1 + CAST(FLOOR((len(t) - 1) / 24.0) AS BIGINT) END AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+             len(t[i * 24 + 1 : i * 24 + 32]) AS chunk_n
+      FROM sized, UNNEST(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_n AS BIGINT) AS chunk_n,
+           md5(chunk_text) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q86_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = curation.chunk_text(docs, max_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_n",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

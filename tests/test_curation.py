@@ -147,3 +147,31 @@ def test_profile_columns_empty_input_keeps_column_rows(spark):
     assert set(prof) == {"a", "s"}
     assert prof["a"].n_rows == 0 and prof["a"].n_null == 0 and prof["a"].n_distinct == 0
     assert prof["a"].min_value is None
+
+
+def test_chunk_text_windows(spark):
+    from nexgap_spark.operators.curation import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_n))
+    # stride 3 over 10 tokens: starts 0,3,6,9 → 4 windows, tail shorter
+    assert by_doc[1] == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+        (3, "j", 1),
+    ]
+    # single-token and blank docs each keep exactly one row (count preserved)
+    assert by_doc[2] == [(0, "x", 1)]
+    assert len(by_doc[3]) == 1 and by_doc[3][0][0] == 0
+    # invalid overlap rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_text(df, max_tokens=4, overlap=4)
