@@ -217,3 +217,32 @@ def test_q67_moment_aggs_single_shuffle(spark):
     plan = plan_of(spark, "q67_corr_stats")
     exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
     assert len(exchanges) == 1, exchanges
+
+
+def test_no_unbounded_nested_loops_anywhere(spark):
+    """Catalog-wide physical-plan sweep: CartesianProduct must appear in NO
+    registered query, and BroadcastNestedLoopJoin only where one side is
+    bounded by construction (1-row aggregates or a pre-aggregated spine ×
+    dims grid) — the shapes that stay O(rows) at any corpus size. A new
+    query that accidentally plans an unbounded cross/NLJ fails here before
+    it ever reaches a cluster."""
+    from nexgap_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    # every entry documents WHY its nested-loop side is bounded
+    BNLJ_OK = {
+        "q56_monthly_gap_fill",      # month spine × distinct dims (both pre-aggregated)
+        "q62_tfidf_top_terms",       # 1-row corpus doc-count broadcast
+        "q64_funnel_conversions",    # two 1-row aggregates cross-joined
+        "q77_rolling_active_users",  # 1-row (min,max) date-bounds broadcast
+        "q79_rebalance_domains",     # 1-row min-group-size broadcast
+    }
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
