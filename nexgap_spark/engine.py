@@ -268,6 +268,23 @@ class Engine:
 
     # -- scale extensions ---------------------------------------------------
 
+    def chunk(
+        self,
+        docs: DataFrame,
+        *,
+        text_col: str = "text",
+        max_tokens: int = 128,
+        overlap: int = 0,
+    ) -> DataFrame:
+        """Sliding-window chunking (curation.chunk_text): one row per
+        (doc, context window), row-local, no shuffle — the pretraining/RAG
+        split step that pairs with `dedup_corpus` and `pack` downstream."""
+        from nexgap_spark.operators.curation import chunk_text
+
+        return chunk_text(
+            docs, text_col=text_col, max_tokens=max_tokens, overlap=overlap
+        )
+
     def dedup_corpus(
         self,
         docs: DataFrame,

@@ -246,3 +246,17 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_driver_window_is_valid():
+    """The driver records only the first 50 registry entries; the rotation
+    list must stay exactly 50 resolvable, duplicate-free names, and the
+    registry must actually begin with it — silent drift here would quietly
+    un-check queries the round claims to prove."""
+    from nexgap_spark.plans import QUERIES
+    from nexgap_spark.plans import _DRIVER_WINDOW
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert [n for n in _DRIVER_WINDOW if n not in QUERIES] == []
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
