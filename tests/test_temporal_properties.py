@@ -141,3 +141,72 @@ def test_pack_chunks_matches_bruteforce(spark, tokens, budget):
             f"{run // budget}, got {got[i]}"
         )
         run += t
+
+
+@st.composite
+def range_case(draw):
+    left = draw(st.lists(st.tuples(keys, offsets), min_size=1, max_size=20))
+    right = draw(st.lists(st.tuples(keys, offsets), min_size=1, max_size=20))
+    window = draw(st.integers(min_value=1, max_value=1800))
+    return left, right, window
+
+
+@PROP
+@given(range_case())
+def test_range_join_matches_bruteforce(spark, case):
+    from nexgap_spark.operators.temporal_join import range_join
+
+    left_rows, right_rows, window = case
+    left = spark.createDataFrame(
+        [(i, k, _ts(o)) for i, (k, o) in enumerate(left_rows)],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, k, _ts(o)) for j, (k, o) in enumerate(right_rows)],
+        "rid long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid_r)  # right-side value columns come back suffixed
+        for r in range_join(left, right, on="user_id", window_s=float(window)).collect()
+    )
+    # right.ts in [left.ts - window, left.ts): half-open, per key
+    want = sorted(
+        (i, j)
+        for i, (lk, lo) in enumerate(left_rows)
+        for j, (rk, ro) in enumerate(right_rows)
+        if lk == rk and lo - window <= ro < lo
+    )
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dup_groups_matches_bruteforce_components(spark, edges):
+    from nexgap_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.n: r.group_id for r in dup_groups(pairs).collect()}
+    # brute-force union-find: group id = min node id of the component
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
