@@ -42,3 +42,43 @@ def as_timestamp(df: DataFrame, col: str) -> DataFrame:
             "converts to a proper timestamp"
         )
     return df
+
+
+def pin_utc_session(spark) -> None:
+    """Pin the session timezone to UTC (required for NTZ→timestamp casts to
+    be value-identical) and make the nanos-as-long parquet read work on ANY
+    caller-supplied session. A non-UTC session gets a warning rather than a
+    silent semantics change to its own timestamp parsing/rendering — the
+    shared guard for session.load_table AND streaming.read_event_stream
+    (one definition, so the two load paths cannot drift)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"nexgap_spark pins spark.sql.session.timeZone=UTC (was "
+            f"{prev_tz!r}); timestamp string conversions in this session "
+            "now render in UTC",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_ts_encoding(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Normalize every known driver ts encoding to TIMESTAMP: bigint
+    (TIMESTAMP(NANOS) under nanosAsLong — integer div, not float: the double
+    path rounds ±1 µs at epoch magnitudes) and TIMESTAMP_NTZ (cast is
+    value-identical under the UTC session pin_utc_session establishes).
+    ``cols=None`` normalizes every bigint column named 'ts' and every NTZ
+    column of any name."""
+    dtypes = dict(df.dtypes)
+    targets = cols or [
+        c for c, t in dtypes.items() if t == "timestamp_ntz" or (c == "ts" and t == "bigint")
+    ]
+    for c in targets:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

@@ -107,45 +107,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanosecond longs (nanosAsLong) — normalize to Spark's native µs timestamp
     here so every downstream operator sees a timestamp column.
     """
-    # Runtime-settable SQL conf: make the catalog work on ANY driver-supplied
-    # session, not just ones built by get_spark (the __spark_entry__ harness
-    # passes its own SparkSession without this conf).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the NTZ→timestamp normalization below is value-identical ONLY under a
-    # UTC session; a driver-supplied session on a local timezone would
-    # silently shift every events.ts by the UTC offset. This mutates the
-    # caller's session globally (runtime SQL confs are session-wide), so a
-    # non-UTC session gets a warning rather than a silent semantics change
-    # to its own timestamp parsing/rendering.
-    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
-    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
-        import warnings
+    # Shared guard (operators/timeutil.py): works on ANY driver-supplied
+    # session — sets the runtime nanosAsLong conf and pins the session TZ
+    # to UTC (with a warning if it was something else: the NTZ→timestamp
+    # normalization is value-identical ONLY under UTC, and runtime SQL
+    # confs are session-wide). The encoding normalization handles both
+    # encodings the driver has shipped (nanos-as-bigint, timestamp_ntz) on
+    # every column — don't special-case one column and break on the next
+    # encoding change.
+    from nexgap_spark.operators.timeutil import normalize_ts_encoding, pin_utc_session
 
-        warnings.warn(
-            f"nexgap_spark.load_table pins spark.sql.session.timeZone=UTC "
-            f"(was {prev_tz!r}); timestamp string conversions in this "
-            "session now render in UTC",
-            stacklevel=2,
-        )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    from pyspark.sql import functions as F
-
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) footer read under nanosAsLong. Integer div,
-        # not float: (ts/1000).cast(long) rounds through double and
-        # lands ±1 µs off for large epochs (breaks oracle equality).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Plain timestamp[us] with no UTC flag reads as TIMESTAMP_NTZ. The
-    # session TZ is pinned UTC, so the cast is value-identical and gives
-    # downstream operators the TIMESTAMP type unix_micros/window() expect.
-    # Applied to every NTZ column of every table — the driver has changed
-    # the parquet encoding between rounds before; don't special-case one
-    # column and break on the next change.
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
-    return df
+    pin_utc_session(spark)
+    return normalize_ts_encoding(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -60,8 +60,16 @@ def read_event_stream(
     if os.path.isfile(path):
         glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
+    # same guard as session.load_table (shared helper): nanosAsLong must be
+    # set for the sniff to read TIMESTAMP(NANOS) files on a caller-supplied
+    # session, and the NTZ cast below is value-identical only under UTC
+    from nexgap_spark.operators.timeutil import normalize_ts_encoding, pin_utc_session
+
+    pin_utc_session(spark)
     if schema is None:
-        from pyspark.errors.exceptions.captured import AnalysisException
+        # public base class: covers classic AND connect subtypes (the
+        # captured.* spelling misses Spark Connect's sibling subclass)
+        from pyspark.errors import AnalysisException
 
         try:
             sniff = spark.read
@@ -81,16 +89,7 @@ def read_event_stream(
     )
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
-    df = reader.parquet(path)
-    ts_dtype = dict(df.dtypes).get("ts")
-    if ts_dtype == "bigint":
-        # nanos-as-long encoding. Integer div, not float: the double path
-        # rounds ±1 µs at epoch magnitudes (same fix as session.load_table)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype == "timestamp_ntz":
-        # UTC session TZ pinned in session.get_spark → value-identical cast
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return normalize_ts_encoding(reader.parquet(path))
 
 
 def windowed_counts(
@@ -104,7 +103,7 @@ def windowed_counts(
     """T1+T2: watermarked tumbling/sliding window aggregation per event type.
     The 10-second default watermark is the reference's trace-recording wait
     (run_end_to_end.py:1089-1094) expressed as allowed lateness."""
-    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    w = F.window(F.col(ts_col), window, slide)  # slide=None ≡ tumbling
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(w.alias("win"), F.col("event_type"))
@@ -216,13 +215,19 @@ def idempotent_jsonl_sink(
     )
 
 
-def running_user_totals(events: DataFrame, *, watermark: str = "10 seconds") -> DataFrame:
+def running_user_totals(events: DataFrame) -> DataFrame:
     """T5: the flock-guarded shared counter re-expressed as streaming state —
-    update-mode running totals per user; the shuffle is the merge."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    update-mode running totals per user; the shuffle is the merge.
+
+    No watermark: the grouping key carries no event-time column, so Spark
+    would build no watermark predicate anyway — late rows are never dropped
+    and state is NOT evicted; it grows with the number of distinct users
+    (which is the operator's contract: totals live forever, like the
+    reference's on-disk counter). A bounded-state variant is
+    ``windowed_counts`` (window the groupBy) — use it when the key space
+    is unbounded."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
     )
 
 
@@ -382,7 +387,9 @@ def stateful_sessions_buffered(
 
     def _flush(user_id, ts_arr, val_arr, wm_us):
         """Split sorted pending events into gap-sessions; emit the finalized
-        prefix, return (rows, remaining_ts, remaining_val)."""
+        prefix. Returns (rows, remaining_ts, remaining_val, next_flush_us) —
+        next_flush_us is the event-time at which the retained tail would
+        finalize with no further input; it drives the timeout timestamp."""
         order = sorted(range(len(ts_arr)), key=lambda i: ts_arr[i])
         ts_s = [int(ts_arr[i]) for i in order]
         val_s = [float(val_arr[i]) for i in order]
@@ -477,7 +484,10 @@ def stream_stream_conversions(
 
     Emits one row per (purchase, matching click); dedup to distinct
     purchases downstream (same contract as the batch range_join)."""
-    secs = int(window_s)
+    # microsecond interval: int(window_s) SECONDS would truncate fractional
+    # windows (0.5 s → unsatisfiable zero-width range, 1800.5 → silently
+    # 1800) and diverge from the batch range_join's µs arithmetic
+    win_us = int(window_s * 1_000_000)
     c = clicks.select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
     ).withWatermark("click_ts", watermark)
@@ -487,7 +497,7 @@ def stream_stream_conversions(
         F.col("ts").alias("purchase_ts"),
     ).withWatermark("purchase_ts", watermark)
     cond = F.expr(
-        f"c_user = p_user AND click_ts >= purchase_ts - interval {secs} seconds"
+        f"c_user = p_user AND click_ts >= purchase_ts - interval {win_us} microsecond"
         " AND click_ts < purchase_ts"
     )
     return p.join(c, cond, "inner").select(
