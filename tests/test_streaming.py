@@ -407,3 +407,40 @@ def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
         assert spark.sql("SELECT COUNT(*) n FROM empty_stream_counts").first().n == 0
     finally:
         q.stop()
+
+
+def test_stream_stream_fractional_window(spark, event_stream):
+    # window_s below one second must stay a real (microsecond) interval —
+    # int-second truncation made it a zero-width unsatisfiable range.
+    # A sub-second window over minute-spaced synthetic events matches
+    # nothing, but the query must be buildable and the batch twin must
+    # agree on a fractional window that DOES select (1800.5 s).
+    from nexgap_spark.operators.temporal_join import range_join
+
+    clicks = event_stream.filter(F.col("event_type") == "click")
+    purchases = event_stream.filter(F.col("event_type") == "purchase")
+    q = SP.run_batch_to_memory(
+        SP.stream_stream_conversions(clicks, purchases, window_s=1800.5),
+        "conv_frac",
+    )
+    try:
+        got = {
+            r.purchase_id
+            for r in spark.sql("SELECT DISTINCT purchase_id FROM conv_frac").collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events")
+        batch = {
+            r.event_id
+            for r in range_join(
+                ev.filter(F.col("event_type") == "purchase").select(
+                    "event_id", "user_id", "ts"
+                ),
+                ev.filter(F.col("event_type") == "click").select("user_id", "ts"),
+                on="user_id",
+                window_s=1800.5,
+                suffix="_c",
+            ).select("event_id").distinct().collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
