@@ -17,12 +17,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nexgap_spark.operators.text import tokenize, word_shingles
+from nexgap_spark.operators.text import tokenize
 
 # Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
 # offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
-# per-call suffix for observe() metric names (must be unique per plan)
-_OBSERVE_SEQ = 0
+# per-call suffix for observe() metric names (must be unique per plan).
+# itertools.count: next() is a single C call, atomic under the GIL — two
+# driver threads building plans concurrently must never mint the same name
+# (composing their frames into one plan would fail analysis).
+import itertools
+
+_OBSERVE_SEQ = itertools.count(1)
 
 MINHASH_PRIME = 4_294_967_311
 MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
@@ -63,8 +68,15 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min id) per distinct normalized text.
     Shuffle key is the md5 digest, not the document body — at 100 TB the
-    shuffle carries 16 bytes + id per row."""
+    shuffle carries 16 bytes + id per row.
+
+    NULL text carries no equality semantics (failed extraction, schema
+    drift) — md5(NULL) is NULL for every such row, and grouping on it
+    would silently collapse ALL null-text documents to one survivor. Each
+    NULL row instead gets a per-row key derived from its id, so they all
+    pass through."""
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    key = F.coalesce(key, F.concat(F.lit("\0null:"), F.col(id_col).cast("string")))
     return (
         df.withColumn("_h", key)
         .groupBy("_h")
@@ -75,8 +87,14 @@ def exact_dedup(
 
 def dup_stats(df: DataFrame, *, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """One-row dedup summary: docs, distinct digests, duplicate groups,
-    largest group."""
+    largest group. NULL-text rows count as singletons (same contract as
+    exact_dedup: NULL is not equal to NULL), each keyed uniquely — the \\0
+    prefix cannot collide with md5 hex output."""
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    key = F.coalesce(
+        key,
+        F.concat(F.lit("\0null:"), F.monotonically_increasing_id().cast("string")),
+    )
     groups = df.select(key.alias("h")).groupBy("h").agg(F.count("*").alias("c"))
     return groups.agg(
         F.sum("c").alias("n_docs"),
@@ -207,6 +225,15 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql import Window
 
+    if bands < 1 or rows_per_band < 1:
+        # rows_per_band=0 (e.g. minhash_dedup with bands > num_hashes)
+        # would make every band key md5('') — ONE bucket holding the whole
+        # corpus, i.e. the exact O(n²) self-join LSH exists to avoid (or,
+        # capped, zero candidate pairs). Fail loudly instead.
+        raise ValueError(
+            f"need bands >= 1 and rows_per_band >= 1, got bands={bands}, "
+            f"rows_per_band={rows_per_band}"
+        )
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -231,15 +258,17 @@ def lsh_candidate_pairs(
         # telemetry signal). Metric names must be unique within ONE plan —
         # two capped pairings composed lazily (chained minhash_dedup, a
         # union of two corpora's pipelines) would otherwise fail analysis —
-        # so each call numbers its metric.
-        global _OBSERVE_SEQ
-        _OBSERVE_SEQ += 1
+        # so each call numbers its metric. Labels reflect the ACTIVE
+        # treatment: drop mode excludes rows (recall loss), salt mode only
+        # re-partitions them (no loss) — calling salted rows "dropped"
+        # would mis-tune whoever reads the metric.
+        affected = "dropped" if oversized == "drop" else "salted"
         sized = sized.observe(
-            f"lsh_bucket_cap_{_OBSERVE_SEQ}",
-            F.sum(over.cast("long")).alias("dropped_rows"),
+            f"lsh_bucket_cap_{next(_OBSERVE_SEQ)}",
+            F.sum(over.cast("long")).alias(f"{affected}_rows"),
             F.approx_count_distinct(
                 F.when(over, F.concat_ws("/", "band", "bucket"))
-            ).alias("dropped_buckets"),
+            ).alias(f"{affected}_buckets"),
         )
         if log_drops:
             stats = sized.agg(
@@ -247,9 +276,14 @@ def lsh_candidate_pairs(
                 F.count_distinct(F.when(over, F.concat_ws("/", "band", "bucket"))).alias("buckets"),
             ).first()
             if stats["rows"]:
+                action = (
+                    "member rows excluded"
+                    if oversized == "drop"
+                    else "member rows salted into bounded sub-buckets (none excluded)"
+                )
                 print(
                     f"[lsh] capped {stats['buckets']} bucket(s) over "
-                    f"{max_bucket_size}: {stats['rows']} member rows excluded"
+                    f"{max_bucket_size}: {stats['rows']} {action}"
                 )
         if oversized == "drop":
             buckets = sized.filter(~over).drop("_bsz")
@@ -316,6 +350,13 @@ def minhash_dedup(
     sh = shingle_table(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, normalize=True
     )
+    if bands < 1 or num_hashes % bands != 0:
+        # floor division would silently discard the trailing hash functions
+        # (bands=3, num_hashes=8 → only mh0..mh5 used), changing the LSH
+        # probability curve the caller tuned for
+        raise ValueError(
+            f"bands must divide num_hashes, got num_hashes={num_hashes}, bands={bands}"
+        )
     sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
@@ -346,13 +387,22 @@ def simhash(
     Explode tokens once; per bit, sum ±1 contributions; reassemble the
     fingerprint. The explode is the cost driver — at scale prefer
     ``bits`` ≤ 32 and pre-filtered docs. Hamming-close fingerprints ⇒
-    near-duplicates."""
+    near-duplicates.
+
+    The token hash must be at least ``bits`` wide: hexint's 8-hex-char
+    default covers 32 bits; wider fingerprints draw 15 hex chars (60 bits).
+    Without this, every bit above the hash width would test shiftright==1
+    against a zero and come out constantly 0 — silently identical
+    discrimination to bits=32 at 2× the aggregate cost. bits > 60 is
+    rejected (and 1<<63 would overflow signed int64 anyway)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
     exploded = (
         df.repartition(par)
         .select(F.col(id_col), F.explode(toks).alias("tok"))
-        .withColumn("h", hexint(F.col("tok")))
+        .withColumn("h", hexint(F.col("tok"), 8 if bits <= 32 else 15))
     )
     bit_sums = exploded.groupBy(id_col).agg(
         *[

@@ -173,3 +173,51 @@ def test_ivf_nprobe_recall(spark):
     r8, got8 = recall(8)
     assert r8 == 1.0 and got8 == exact, "full probe must equal brute force"
     assert r1 <= r2 <= r8
+
+
+def test_exact_dedup_null_text_passes_through(spark):
+    # NULL is not equal to NULL: all-null-text docs must each survive,
+    # not collapse to one representative under the NULL md5 digest
+    from nexgap_spark.operators.dedup import dup_stats, exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in exact_dedup(df).collect()}
+    assert kept == {1, 2, 3}
+    stats = dup_stats(df).collect()[0]
+    assert (stats.n_docs, stats.n_distinct, stats.n_dup_groups, stats.max_group_size) == (4, 3, 1, 2)
+
+
+def test_lsh_rejects_degenerate_banding(spark):
+    import pytest as _pt
+
+    from nexgap_spark.operators.dedup import lsh_candidate_pairs, minhash_dedup
+
+    sigs = spark.createDataFrame([(1, 0, 0)], "doc_id long, mh0 long, mh1 long")
+    with _pt.raises(ValueError, match="rows_per_band"):
+        lsh_candidate_pairs(sigs, bands=2, rows_per_band=0)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # bands > num_hashes (rows_per_band would floor to 0) and non-dividing
+    # bands (trailing hashes silently discarded) both rejected
+    with _pt.raises(ValueError, match="divide"):
+        minhash_dedup(docs, num_hashes=8, bands=16)
+    with _pt.raises(ValueError, match="divide"):
+        minhash_dedup(docs, num_hashes=8, bands=3)
+
+
+def test_simhash_wide_bits_are_live(spark):
+    # bits above 32 must actually discriminate (the 8-hex-char token hash
+    # left them constantly zero); bits > 60 rejected
+    import pytest as _pt
+
+    from nexgap_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    fps = [r.simhash for r in simhash(df, bits=48).collect()]
+    assert any(fp >= (1 << 32) for fp in fps), "bits 32..47 never set — dead width"
+    with _pt.raises(ValueError, match=r"\[1, 60\]"):
+        simhash(df, bits=64)
