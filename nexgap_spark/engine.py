@@ -115,7 +115,8 @@ class Engine:
         ``generation_marker`` selects which instrumentation's GENERATION
         spans to convert — a single marker, or a tuple to take several in
         one pass (default: every marker in span_tree.GENERATION_MARKERS, so
-        anthropic-instrumented traces aren't silently dropped)."""
+        traces carrying the `anthropic.chat` marker aren't silently
+        dropped)."""
         from nexgap_spark.operators.span_tree import GENERATION_MARKERS
 
         return convert_spans(

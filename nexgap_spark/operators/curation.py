@@ -348,7 +348,9 @@ def chunk_text(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = tokenize(text_col)
+    # NULL text must take the n<=0 one-empty-chunk path, not vanish: under
+    # ANSI, size(NULL)=NULL -> sequence(0, NULL)=NULL -> explode emits 0 rows.
+    toks = F.coalesce(tokenize(text_col), F.array().cast("array<string>"))
     n = F.size(toks)
     # number of window starts: 1 + floor((n-1)/stride) for n >= 1, else 1
     n_chunks = F.when(n <= 0, F.lit(1)).otherwise(

@@ -76,7 +76,12 @@ def exact_dedup(
     NULL row instead gets a per-row key derived from its id, so they all
     pass through."""
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
-    key = F.coalesce(key, F.concat(F.lit("\0null:"), F.col(id_col).cast("string")))
+    # NULL id would NULL the concat and re-collapse all (NULL text, NULL id)
+    # rows into one group; fall back to a per-row id like dup_stats does.
+    null_id = F.coalesce(
+        F.col(id_col).cast("string"), F.monotonically_increasing_id().cast("string")
+    )
+    key = F.coalesce(key, F.concat(F.lit("\0null:"), null_id))
     return (
         df.withColumn("_h", key)
         .groupBy("_h")
@@ -494,6 +499,8 @@ def dup_groups(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
+    converged = False
+    rounds_used = 0
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
@@ -513,19 +520,35 @@ def dup_groups(
         # transient footprint small.
         changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = merged.select("n", F.col("new_label").alias("label"))
+        rounds_used += 1
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         # no silent caps: an unconverged run means some chain-shaped
         # component is longer than max_iterations and its labels are NOT
         # final — near-dup graphs should converge in a handful of rounds,
-        # so this firing at all is a data-shape signal worth surfacing
-        print(
-            f"[dup_groups] WARNING: label propagation did not converge in "
+        # so this firing at all is a data-shape signal worth surfacing. A
+        # driver print is invisible on a cluster; warn AND carry the status
+        # as an observed metric on the returned plan (below) so whoever
+        # runs the consuming action sees it in listener/CollectMetrics.
+        import warnings
+
+        warnings.warn(
+            f"[dup_groups] label propagation did not converge in "
             f"{max_iterations} rounds; group ids for long-chain components "
-            "are unstable — raise max_iterations"
+            "are unstable — raise max_iterations",
+            stacklevel=2,
         )
-    return labels.select(F.col("n"), F.col("label").alias("group_id"))
+    out = labels.select(F.col("n"), F.col("label").alias("group_id"))
+    # convergence is decided driver-side (the loop above ran eagerly via
+    # localCheckpoint), so the metric carries literals — zero extra compute
+    # on the consuming action, but visible wherever the plan is executed.
+    return out.observe(
+        f"dup_groups_convergence_{next(_OBSERVE_SEQ)}",
+        F.max(F.lit(1 if converged else 0)).alias("converged"),
+        F.max(F.lit(rounds_used)).alias("rounds_used"),
+    )
 
 
 def capped_broadcast(small: DataFrame, *, max_rows: int = 5_000_000) -> DataFrame:

@@ -449,6 +449,8 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    max_bucket_size: int | None = 10_000,
+    oversized: str = "salt",
 ) -> DataFrame:
     """Candidate pairs = same-bucket pairs (a < b) with exact cosine attached.
 
@@ -466,9 +468,22 @@ def hyperplane_lsh_pairs(
     plan; the numpy form keeps the plan tiny and the quadratic work
     BLAS-shaped. Accumulation is strict left-to-right over dimensions in
     float64, so cosines stay bit-identical to `dot`/`hyperplane_bucket` and
-    the ordered-fold DuckDB oracle. A pathologically hot bucket concentrates
-    on one task — cap bucket size or union rotated plane sets upstream."""
+    the ordered-fold DuckDB oracle.
+
+    ``max_bucket_size`` is the same mega-bucket guard as
+    ``dedup.lsh_candidate_pairs``: a boilerplate/near-constant embedding
+    cluster lands every row in ONE bucket, whose n×n pair matrix then runs
+    on a single task — the genuine 100 TB blow-up for sign-LSH. Buckets
+    over the cap are either ``"salt"``-split (default here, unlike minhash's
+    drop: sign buckets are coarse, so whole-bucket drop loses far more
+    recall) into ceil(size/cap) hash sub-buckets — pair output bounded by
+    size·cap, work per task bounded by cap² — or ``"drop"``ped outright.
+    Neither is silent: a ``hyperplane_bucket_cap`` observed metric carries
+    affected row / approx bucket counts. ``None`` disables the guard."""
+    from pyspark.sql import Window
     from pyspark.sql import types as T
+
+    from nexgap_spark.operators.dedup import _OBSERVE_SEQ
 
     planes_full = np.asarray(HYPERPLANES, dtype=np.float64)
     if dim > planes_full.shape[1]:
@@ -532,10 +547,35 @@ def hyperplane_lsh_pairs(
         iu, ju = np.triu_indices(n, 1)  # ids ascending → a < b
         return pd.DataFrame({"a": ids[iu], "b": ids[ju], "cos": cos[iu, ju]})
 
+    if oversized not in ("drop", "salt"):
+        raise ValueError(f"oversized must be 'drop' or 'salt', got {oversized!r}")
     bucketed = vectors.select(id_col, vec_col).mapInPandas(
         _bucketize, schema=bucketed_schema
     )
-    return bucketed.groupBy("bucket").applyInPandas(
+    group_keys = ["bucket"]
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        over = F.col("_bsz") > max_bucket_size
+        affected = "dropped" if oversized == "drop" else "salted"
+        sized = sized.observe(
+            f"hyperplane_bucket_cap_{next(_OBSERVE_SEQ)}",
+            F.sum(over.cast("long")).alias(f"{affected}_rows"),
+            F.approx_count_distinct(F.when(over, F.col("bucket"))).alias(
+                f"{affected}_buckets"
+            ),
+        )
+        if oversized == "drop":
+            bucketed = sized.filter(~over).drop("_bsz")
+        else:
+            n_sub = F.greatest(
+                F.ceil(F.col("_bsz") / F.lit(max_bucket_size)), F.lit(1)
+            )
+            bucketed = sized.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+            ).drop("_bsz")
+            group_keys = ["bucket", "_salt"]
+    return bucketed.groupBy(*group_keys).applyInPandas(
         _pairs, schema="a bigint, b bigint, cos double"
     )
 

@@ -27,8 +27,8 @@ def filter_generation_spans(
 ) -> DataFrame:
     """P2 (reference convert_spans_to_chatcompletion.py:1517-1521):
     span_type == GENERATION and span_name contains the generation marker.
-    Accepts one marker or a tuple (a trace mix of OpenAI- and
-    anthropic-instrumented spans needs both in one pass)."""
+    Accepts one marker or a tuple (a trace mixing `OpenAI-generation` and
+    `anthropic.chat` span markers needs both in one pass)."""
     markers = (marker,) if isinstance(marker, str) else tuple(marker)
     cond = F.col("span_name").contains(markers[0])
     for m in markers[1:]:

@@ -73,9 +73,11 @@ def normalize_ts_encoding(df: DataFrame, cols: list[str] | None = None) -> DataF
     ``cols=None`` normalizes every bigint column named 'ts' and every NTZ
     column of any name."""
     dtypes = dict(df.dtypes)
-    targets = cols or [
-        c for c, t in dtypes.items() if t == "timestamp_ntz" or (c == "ts" and t == "bigint")
-    ]
+    if cols is None:  # explicit cols=[] means "normalize nothing", not auto-detect
+        cols = [
+            c for c, t in dtypes.items() if t == "timestamp_ntz" or (c == "ts" and t == "bigint")
+        ]
+    targets = cols
     for c in targets:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))

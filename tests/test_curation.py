@@ -153,7 +153,7 @@ def test_chunk_text_windows(spark):
     from nexgap_spark.operators.curation import chunk_text
 
     df = spark.createDataFrame(
-        [(1, "a b c d e f g h i j"), (2, "x"), (3, "   ")],
+        [(1, "a b c d e f g h i j"), (2, "x"), (3, "   "), (4, None)],
         "doc_id long, text string",
     )
     out = chunk_text(df, max_tokens=4, overlap=1).collect()
@@ -167,9 +167,11 @@ def test_chunk_text_windows(spark):
         (2, "g h i j", 4),
         (3, "j", 1),
     ]
-    # single-token and blank docs each keep exactly one row (count preserved)
+    # single-token, blank, and NULL-text docs each keep exactly one row
+    # (count preserved — NULL must not vanish via sequence(0, NULL))
     assert by_doc[2] == [(0, "x", 1)]
     assert len(by_doc[3]) == 1 and by_doc[3][0][0] == 0
+    assert len(by_doc[4]) == 1 and by_doc[4][0][2] == 0
     # invalid overlap rejected
     import pytest as _pt
 

@@ -14,7 +14,7 @@ TS = dt.datetime
 
 def test_convert_default_includes_anthropic_spans(spark):
     # the dispatch path (strategy.convert without an explicit marker) must
-    # not silently drop anthropic-instrumented generation spans
+    # not silently drop generation spans carrying the `anthropic.chat` marker
     from nexgap_spark.operators.converter import convert_spans
     from nexgap_spark.schemas import SPAN_SCHEMA
     from tests.fixtures_spans import CONFIG_AGENTS, build_spans
@@ -187,6 +187,12 @@ def test_exact_dedup_null_text_passes_through(spark):
     assert kept == {1, 2, 3}
     stats = dup_stats(df).collect()[0]
     assert (stats.n_docs, stats.n_distinct, stats.n_dup_groups, stats.max_group_size) == (4, 3, 1, 2)
+    # (NULL text, NULL id) rows must ALSO each survive: a NULL id would
+    # NULL the fallback concat key and re-collapse them all into one group
+    df2 = spark.createDataFrame(
+        [(None, None), (None, None), (7, "t")], "doc_id long, text string"
+    )
+    assert exact_dedup(df2).count() == 3
 
 
 def test_lsh_rejects_degenerate_banding(spark):
@@ -221,3 +227,36 @@ def test_simhash_wide_bits_are_live(spark):
     assert any(fp >= (1 << 32) for fp in fps), "bits 32..47 never set — dead width"
     with _pt.raises(ValueError, match=r"\[1, 60\]"):
         simhash(df, bits=64)
+
+
+def test_hyperplane_lsh_mega_bucket_capped(spark):
+    # r6: identical vectors all land in ONE sign bucket, whose n×n pair
+    # matrix would run on a single task — the cap must bound per-task work
+    from nexgap_spark.operators.similarity import hyperplane_lsh_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = 30 * 29 // 2
+    assert hyperplane_lsh_pairs(df, dim=4, max_bucket_size=None).count() == full
+    salted = hyperplane_lsh_pairs(df, dim=4, max_bucket_size=10, oversized="salt")
+    n_salted = salted.count()
+    # pairs only within hash sub-buckets: strictly fewer than the full
+    # triangle, but the bucket is not silently emptied
+    assert 0 < n_salted < full
+    assert "hyperplane_bucket_cap" in salted._jdf.queryExecution().analyzed().toString()
+    dropped = hyperplane_lsh_pairs(df, dim=4, max_bucket_size=10, oversized="drop")
+    assert dropped.count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="drop' or 'salt"):
+        hyperplane_lsh_pairs(df, dim=4, oversized="explode")
+
+
+def test_normalize_ts_encoding_explicit_empty_cols_is_noop(spark):
+    # cols=[] means "normalize nothing" — it must not fall through to the
+    # auto-detect path via truthiness
+    from nexgap_spark.operators.timeutil import normalize_ts_encoding
+
+    df = spark.createDataFrame([(1_700_000_000_000_000_000,)], "ts bigint")
+    assert dict(normalize_ts_encoding(df, cols=[]).dtypes)["ts"] == "bigint"
+    assert dict(normalize_ts_encoding(df).dtypes)["ts"] == "timestamp"
