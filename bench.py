@@ -76,6 +76,11 @@ HEADLINE = [
     "q79_rebalance_domains",
     "q80_kmeans_step",
     "q81_cdc_apply",
+    # agent pure cores (X3–X10, round 6): parse contracts + batched
+    # validation / batch-iterative repair over the mock transports
+    "q87_fuzzifier_contract",
+    "q90_url_validate",
+    "q91_url_repair_loop",
 ]
 
 

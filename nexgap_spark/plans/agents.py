@@ -1,0 +1,523 @@
+"""Agent-core catalog queries (X3–X10): each reference agent's pure
+parse/validation contract exercised over deterministic synthesized
+"LLM responses" derived from the documents table, with DuckDB oracles that
+reproduce the expected outcome per response branch.
+
+The synthesis is the oracle trick used across this catalog: every response
+variant is a pure function of doc_id, so the branch each row takes is known
+a priori — the Spark side runs the REAL parser (external/agents.py,
+external/urlcheck.py); the oracle computes what that parser must produce.
+A parser regression on any branch breaks the value hash.
+
+External-call mocking: q90/q91 use ``hash_transport`` /
+``MockRepairClient`` (external/urlcheck.py) whose outcomes are md5-rule
+deterministic and therefore SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexgap_spark.plans.registry import query
+from nexgap_spark.session import load_table as t
+
+# ---------------------------------------------------------------------------
+# q87 — fuzzifier response contract (X4; fuzzifier_agent.py:210-255).
+# Five response branches: clean JSON, JSON embedded in prose (substring
+# salvage), missing fuzzy_query, no JSON at all, blank fuzzy_query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_fuzzifier_contract",
+    oracle="""
+    WITH resp AS (SELECT doc_id, doc_id % 5 AS variant FROM documents)
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN variant IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
+           MIN(CASE WHEN variant IN (0, 1) THEN 'fq-' || doc_id END) AS sample_fuzzy,
+           MIN(CASE variant
+                 WHEN 2 THEN 'Fuzzifier response lacks fuzzy_query'
+                 WHEN 3 THEN 'No JSON object detected in fuzzifier response'
+                 WHEN 4 THEN 'Fuzzifier response lacks fuzzy_query'
+               END) AS sample_error
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q87_fuzzifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_fuzzifier_col
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("long").alias("variant"),
+        F.concat(F.lit("q-"), F.col("doc_id")).alias("query"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string(
+                '{"analysis": "a", "fuzzy_query": "fq-%s", "strategy": "soften"}', "doc_id"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.format_string('Sure! {"analysis": "x", "fuzzy_query": "fq-%s"} done', "doc_id"),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit('{"analysis": "only"}'))
+        .when(F.col("doc_id") % 5 == 3, F.lit("no json here"))
+        .otherwise(F.lit('{"fuzzy_query": "   "}'))
+        .alias("response"),
+    )
+    parsed = parse_fuzzifier_col(docs, query_col="query", response_col="response")
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("applied").cast("long")).alias("n_applied"),
+            F.min("fuzzy_query").alias("sample_fuzzy"),
+            F.min("error").alias("sample_error"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — persona suitability parse (X3; rewrite_agent.py:142-149). The
+# oracle expresses the SAME containment rule in SQL over the same
+# synthesized responses — including the reference's quirk that
+# 'UNSUITABLE' reads as suitable (contains SUITABLE, lacks NOT).
+# ---------------------------------------------------------------------------
+
+_SUIT_RESPONSES_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'SUITABLE'
+        WHEN 1 THEN 'NOT_SUITABLE'
+        WHEN 2 THEN 'This persona is suitable for the task.'
+        WHEN 3 THEN 'suitable, but not ideal'
+        WHEN 4 THEN '  Suitable  '
+        ELSE 'UNSUITABLE'
+      END
+"""
+
+
+@query(
+    "q88_persona_suitability",
+    oracle=f"""
+    WITH resp AS (
+      SELECT doc_id, doc_id % 6 AS variant, {_SUIT_RESPONSES_SQL} AS response
+      FROM documents
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN contains(upper(trim(response)), 'SUITABLE')
+                          AND NOT contains(upper(trim(response)), 'NOT')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suitable
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q88_persona_suitability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import suitability_expr
+
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 6).cast("long").alias("variant"),
+        F.expr(_SUIT_RESPONSES_SQL).alias("response"),
+    )
+    return (
+        docs.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(suitability_expr("response").cast("long")).alias("n_suitable"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — URL extraction + placeholder filtering (X6;
+# url_extraction_agent.py:139-166): fenced JSON, mixed real/placeholder
+# lists, non-list urls, and garbage branches.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q89_url_extraction",
+    oracle="""
+    WITH resp AS (SELECT doc_id, doc_id % 4 AS variant FROM documents)
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN variant IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_urls,
+           MIN(CASE variant
+                 WHEN 0 THEN 'https://site' || doc_id || '.org/data'
+                 WHEN 1 THEN 'https://ok' || doc_id || '.net/f'
+               END) AS sample_url
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q89_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_extracted_urls
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("long").alias("variant"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.format_string(
+                '```json\n{"urls": [{"url": "https://site%s.org/data", '
+                '"description": "d", "context": "c"}]}\n```',
+                "doc_id",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.format_string(
+                '{"urls": [{"url": "https://example.com/x", "description": "", "context": ""},'
+                ' {"url": "https://ok%s.net/f", "description": "d2", "context": ""},'
+                ' {"url": "<placeholder>", "description": "", "context": ""}]}',
+                "doc_id",
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit('{"urls": "nope"}'))
+        .otherwise(F.lit("garbage"))
+        .alias("response"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = [parse_extracted_urls(r) for r in pdf["response"]]
+            yield pd.DataFrame(
+                {
+                    "variant": pdf["variant"],
+                    "n_urls": [len(u) for u in urls],
+                    "first_url": [u[0]["url"] if u else None for u in urls],
+                }
+            )
+
+    parsed = docs.mapInPandas(run, schema="variant long, n_urls int, first_url string")
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.min("first_url").alias("sample_url"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — URL validation (X7; url_validator_agent.py:118-197) through the
+# md5-rule transport: first hex digit of md5('0:'||url) < 3 → timeout,
+# 3..5 → HTTP 404, else 200. Failures consume max_retries (2) attempts,
+# successes one.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q90_url_validate",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://host' || doc_id || '.example.org/p' AS url FROM documents
+    ),
+    c AS (SELECT url, substr(md5('0:' || url), 1, 1) AS h FROM u)
+    SELECT CASE WHEN strpos('012', h) > 0 THEN 'Request timeout'
+                WHEN strpos('345', h) > 0 THEN 'HTTP 404'
+                ELSE 'ok' END AS outcome,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN strpos('012345', h) > 0 THEN 2 ELSE 1 END) AS BIGINT) AS total_attempts,
+           MIN(url) AS sample_url
+    FROM c
+    GROUP BY 1
+    ORDER BY outcome
+    """,
+)
+def q90_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.urlcheck import hash_transport, validate_urls
+
+    urls = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://host"), F.col("doc_id"), F.lit(".example.org/p")).alias("url")
+    )
+    checked = validate_urls(urls, hash_transport)
+    return (
+        checked.groupBy(F.coalesce("error", F.lit("ok")).alias("outcome"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("attempts").cast("long").alias("total_attempts"),
+            F.min("url").alias("sample_url"),
+        )
+        .orderBy("outcome")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — URL repair loop (X8; url_processing_agent.py:131-250): the broken
+# subset of q90's URLs through the ≤3-round batch-iterative state machine.
+# MockRepairClient proposes one md5-derived candidate per round; the oracle
+# unrolls the three rounds and picks the first accessible candidate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q91_url_repair_loop",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://host' || doc_id || '.example.org/p' AS url FROM documents
+      WHERE strpos('012345', substr(md5('0:https://host' || doc_id || '.example.org/p'), 1, 1)) > 0
+    ),
+    cand AS (
+      SELECT url,
+             'https://fixed.example/' || substr(md5(url), 1, 8) || '/r1' AS c1,
+             'https://fixed.example/' || substr(md5(url), 1, 8) || '/r2' AS c2,
+             'https://fixed.example/' || substr(md5(url), 1, 8) || '/r3' AS c3
+      FROM u
+    ),
+    ok AS (
+      SELECT url, c1, c2, c3,
+             strpos('6789abcdef', substr(md5('0:' || c1), 1, 1)) > 0 AS ok1,
+             strpos('6789abcdef', substr(md5('0:' || c2), 1, 1)) > 0 AS ok2,
+             strpos('6789abcdef', substr(md5('0:' || c3), 1, 1)) > 0 AS ok3
+      FROM cand
+    )
+    SELECT CASE WHEN ok1 OR ok2 OR ok3 THEN 'replace' ELSE 'remove' END AS action,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ok1 THEN 1 WHEN ok2 THEN 2 ELSE 3 END) AS BIGINT) AS total_rounds,
+           CAST(SUM(CASE WHEN ok1 THEN 1 WHEN ok2 THEN 2 ELSE 3 END) AS BIGINT) AS total_tested,
+           MIN(CASE WHEN ok1 THEN c1 WHEN ok2 THEN c2 WHEN ok3 THEN c3 END) AS sample_new_url
+    FROM ok
+    GROUP BY 1
+    ORDER BY action
+    """,
+)
+def q91_url_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.urlcheck import (
+        hash_transport,
+        repair_urls_loop,
+        validate_urls,
+    )
+
+    urls = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://host"), F.col("doc_id"), F.lit(".example.org/p")).alias("url")
+    )
+    broken = validate_urls(urls, hash_transport).filter(~F.col("accessible"))
+    changes = repair_urls_loop(broken, url_col="url", error_col="error")
+    return (
+        changes.groupBy("action")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rounds_used").cast("long").alias("total_rounds"),
+            F.sum("suggestions_tested").cast("long").alias("total_tested"),
+            F.min("new_url").alias("sample_new_url"),
+        )
+        .orderBy("action")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — file requirement contract (X9; file_requirement_agent.py:91-123):
+# bool coercion, falsy-item filtering, non-list coercion, garbage default.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_file_requirement",
+    oracle="""
+    WITH resp AS (SELECT doc_id, doc_id % 4 AS variant FROM documents)
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN variant IN (0, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_requires,
+           CAST(SUM(CASE WHEN variant = 0 THEN 2 ELSE 0 END) AS BIGINT) AS n_items,
+           MIN(CASE WHEN variant = 0 THEN 'needs csv' ELSE '' END) AS sample_reason
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q92_file_requirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_file_requirement
+
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("long").alias("variant"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                '{"requires_files": true, "reason": "needs csv", '
+                '"required_items": ["data.csv", "", "img.png"]}'
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit('{"requires_files": false}'))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit('{"requires_files": true, "required_items": "nope"}'),
+        )
+        .otherwise(F.lit("garbage"))
+        .alias("response"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_file_requirement(r) for r in pdf["response"]]
+            yield pd.DataFrame(
+                {
+                    "variant": pdf["variant"],
+                    "requires_files": [r["requires_files"] for r in recs],
+                    "n_items": [len(r["required_items"]) for r in recs],
+                    "reason": [r["reason"] for r in recs],
+                }
+            )
+
+    parsed = docs.mapInPandas(
+        run, schema="variant long, requires_files boolean, n_items int, reason string"
+    )
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("requires_files").cast("long")).alias("n_requires"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.min("reason").alias("sample_reason"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — file plan contract (X9; file_system_agent.py:133-173,278-287):
+# directory sanitization, url-required file entries, degenerate names.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_file_plan",
+    oracle="""
+    WITH resp AS (SELECT doc_id, doc_id % 4 AS variant FROM documents)
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+           MIN(CASE WHEN variant = 0 THEN 'my-data-set-' || doc_id END) AS sample_dir
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q93_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_file_plan
+
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("long").alias("variant"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.format_string(
+                '{"directory_name": "My Data Set! %s", "files": '
+                '[{"url": "https://a/b.csv", "description": " d "}, {"note": "no url"}]}',
+                "doc_id",
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit('{"files": "x"}'))
+        .when(F.col("doc_id") % 4 == 2, F.lit('Plan: {"directory_name": "---", "files": []}'))
+        .otherwise(F.lit("noise"))
+        .alias("response"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_file_plan(r) for r in pdf["response"]]
+            yield pd.DataFrame(
+                {
+                    "variant": pdf["variant"],
+                    "n_files": [len(r["files"]) for r in recs],
+                    "directory_name": [r["directory_name"] for r in recs],
+                }
+            )
+
+    parsed = docs.mapInPandas(run, schema="variant long, n_files int, directory_name string")
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.min("directory_name").alias("sample_dir"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — URL query rewrite (X8 rewrite half; url_query_rewrite_agent.py:
+# 86-130): JSON rewritten_query wins; any parse failure falls back to the
+# deterministic replace / '[URL removed]' application.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_url_rewrite",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, doc_id % 3 AS variant,
+             'see https://a' || doc_id || '.org and https://b' || doc_id || '.org' AS query
+      FROM documents
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CASE WHEN variant IN (0, 1) THEN 'NEW ' || doc_id
+                    ELSE 'see https://fixed' || doc_id || '.org and [URL removed]'
+               END) AS sample_rewritten
+    FROM q
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q94_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_rewritten_query
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("long").alias("variant"),
+        F.format_string("see https://a%s.org and https://b%s.org", "doc_id", "doc_id").alias(
+            "query"
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string('{"rewritten_query": "NEW %s"}', "doc_id"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string('```json\n{"rewritten_query": "NEW %s"}\n```', "doc_id"),
+        )
+        .otherwise(F.lit("sorry, here you go!"))
+        .alias("response"),
+        F.col("doc_id").cast("string").alias("id_str"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                changes = [
+                    {
+                        "action": "replace",
+                        "original_url": f"https://a{r.id_str}.org",
+                        "new_url": f"https://fixed{r.id_str}.org",
+                    },
+                    {"action": "remove", "original_url": f"https://b{r.id_str}.org"},
+                ]
+                out.append(
+                    {
+                        "variant": r.variant,
+                        "rewritten": parse_rewritten_query(r.response, r.query, changes),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["variant", "rewritten"])
+
+    parsed = docs.mapInPandas(run, schema="variant long, rewritten string")
+    return (
+        parsed.groupBy("variant")
+        .agg(F.count("*").alias("n"), F.min("rewritten").alias("sample_rewritten"))
+        .orderBy("variant")
+    )

@@ -1,0 +1,468 @@
+"""X3–X10 agent pure cores: table-driven parity with the reference's
+parse/validation semantics (fuzzifier_agent.py, rewrite_agent.py,
+url_extraction_agent.py, url_repair_agent.py, url_query_rewrite_agent.py,
+file_requirement_agent.py, file_system_agent.py, file_augmentation_agent.py,
+url_validator_agent.py, url_processing_agent.py), plus the S12 config
+schema validator (framework_config_schema.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from nexgap_spark.external import agents as A
+
+
+# ---------------------------------------------------------------------------
+# X4 fuzzifier
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "response, applied, fuzzy, error_frag",
+    [
+        ('{"analysis": "a", "fuzzy_query": "f", "strategy": "s"}', True, "f", None),
+        ('prose {"fuzzy_query": " f "} more prose', True, "f", None),
+        ('{"analysis": "only"}', False, None, "lacks fuzzy_query"),
+        ('{"fuzzy_query": "   "}', False, None, "lacks fuzzy_query"),
+        ("no json at all", False, None, "No JSON object detected"),
+        ("{broken json}", False, None, "Failed to parse"),
+        ('[1, 2] {"x": 1}', True, None, None),  # substring salvage: { .. } span
+        ("", False, None, "No JSON object detected"),
+    ],
+)
+def test_fuzzifier_contract_branches(response, applied, fuzzy, error_frag):
+    rec = A.parse_fuzzifier_response("q", response)
+    if response == '[1, 2] {"x": 1}':
+        # valid JSON object without fuzzy_query → the lacks-fuzzy error
+        assert not rec["applied"] and "lacks fuzzy_query" in rec["error"]
+        return
+    assert rec["applied"] is applied
+    if fuzzy is not None:
+        assert rec["fuzzy_query"] == fuzzy
+    if error_frag:
+        assert error_frag in rec["error"]
+    else:
+        assert rec["error"] is None
+    # the failure record keeps query+response attached (FAILURE_LOG shape)
+    assert rec["query"] == "q" and rec["response"] == response
+
+
+def test_fuzzifier_strategy_optional():
+    rec = A.parse_fuzzifier_response("q", '{"fuzzy_query": "f", "strategy": "  "}')
+    assert rec["applied"] and rec["strategy"] is None
+    rec = A.parse_fuzzifier_response("q", '{"fuzzy_query": "f", "strategy": "drop-detail"}')
+    assert rec["strategy"] == "drop-detail"
+
+
+def test_fuzzifier_spark_wrapper_and_failures(spark):
+    df = spark.createDataFrame(
+        [("q1", '{"fuzzy_query": "soft"}'), ("q2", "garbage")],
+        "query string, response string",
+    )
+    parsed = A.parse_fuzzifier_col(df)
+    rows = {r.query: r for r in parsed.collect()}
+    assert rows["q1"].applied and rows["q1"].fuzzy_query == "soft"
+    assert not rows["q2"].applied
+    fails = A.fuzzifier_failures(parsed).collect()
+    assert len(fails) == 1 and fails[0].query == "q2" and "No JSON object" in fails[0].error
+
+
+# ---------------------------------------------------------------------------
+# X3 persona suitability
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "response, suitable",
+    [
+        ("SUITABLE", True),
+        ("NOT_SUITABLE", False),
+        ("This persona is suitable for the task.", True),
+        ("suitable, but not ideal", False),  # stray 'not' flips it — ref quirk
+        ("  Suitable  ", True),
+        ("UNSUITABLE", True),  # containment quirk the reference has too
+        ("", False),
+        (None, False),
+    ],
+)
+def test_persona_suitability(spark, response, suitable):
+    assert A.persona_suitable(response) is suitable
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.range(1)
+        .select(A.suitability_expr(F.lit(response)).alias("s"))
+        .first()
+        .s
+    )
+    assert got is suitable
+
+
+def test_rewritten_persona_fallback():
+    assert A.rewritten_persona_or_original("  ", "orig") == "orig"
+    assert A.rewritten_persona_or_original(" new persona ", "orig") == "new persona"
+
+
+# ---------------------------------------------------------------------------
+# X6 URL extraction
+# ---------------------------------------------------------------------------
+
+
+def test_url_extraction_fences_and_filtering():
+    fenced = '```json\n{"urls": [{"url": "https://a.org/x", "description": "d", "context": "c"}]}\n```'
+    got = A.parse_extracted_urls(fenced)
+    assert got == [
+        {"url": "https://a.org/x", "description": "d", "context": "c", "is_placeholder": False}
+    ]
+    mixed = (
+        '{"urls": [{"url": "https://example.com/x"}, {"url": "{var}/y"},'
+        ' {"url": "<ph>"}, {"url": "ftp://f"}, {"url": "https://real.net/z"}]}'
+    )
+    assert [u["url"] for u in A.parse_extracted_urls(mixed)] == ["https://real.net/z"]
+    assert A.parse_extracted_urls("garbage") == []
+    assert A.parse_extracted_urls('{"urls": "nope"}') == []
+    assert A.parse_extracted_urls('{"other": 1}') == []
+    # generic fence (no json marker)
+    assert A.parse_extracted_urls('```\n{"urls": []}\n```') == []
+
+
+@pytest.mark.parametrize(
+    "url, placeholder",
+    [
+        ("https://real.org/p", False),
+        ("http://real.org/p", False),
+        ("https://example.com/data", True),
+        ("https://sub.example.com/data", True),
+        ("https://notexample.com/x", False),
+        ("https://a.org/{id}", True),
+        ("<placeholder>", True),
+        ("ftp://a.org", True),
+        ("", True),
+    ],
+)
+def test_is_placeholder_url(url, placeholder):
+    assert A.is_placeholder_url(url) is placeholder
+
+
+# ---------------------------------------------------------------------------
+# X8 repair response + query rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_repair_response_defaulting():
+    ok = A.parse_repair_response(
+        '{"repairable": true, "suggested_urls": ["https://x"], "action": "repair"}', "u"
+    )
+    assert ok["repairable"] and ok["suggested_urls"] == ["https://x"]
+    assert ok["reasoning"] == "No reasoning provided" and ok["original_url"] == "u"
+
+    # repairable without suggestions demotes to remove (consistency check)
+    demoted = A.parse_repair_response('{"repairable": true, "suggested_urls": []}', "u")
+    assert not demoted["repairable"] and demoted["action"] == "remove"
+
+    # non-list suggested_urls coerces to [] (then demotes)
+    coerced = A.parse_repair_response('{"repairable": true, "suggested_urls": "x"}', "u")
+    assert coerced["suggested_urls"] == [] and coerced["action"] == "remove"
+
+    # action derived from repairable when absent
+    derived = A.parse_repair_response('{"repairable": true, "suggested_urls": ["a"]}', "u")
+    assert derived["action"] == "repair"
+
+    # parse failure → remove with the error as reasoning
+    bad = A.parse_repair_response("not json", "u")
+    assert bad["action"] == "remove" and "JSON parse error" in bad["reasoning"]
+    notdict = A.parse_repair_response("[1]", "u")
+    assert notdict["action"] == "remove" and "not a dictionary" in notdict["reasoning"]
+
+
+def test_apply_url_changes_and_rewrite_fallback():
+    q = "see https://a.org and https://b.org"
+    changes = [
+        {"action": "replace", "original_url": "https://a.org", "new_url": "https://A.org"},
+        {"action": "remove", "original_url": "https://b.org"},
+    ]
+    assert A.apply_url_changes(q, changes) == "see https://A.org and [URL removed]"
+    # JSON response wins
+    assert A.parse_rewritten_query('{"rewritten_query": "NEW"}', q, changes) == "NEW"
+    # fenced JSON wins
+    assert A.parse_rewritten_query('```json\n{"rewritten_query": "NEW"}\n```', q, changes) == "NEW"
+    # absent key keeps the original query (reference .get(.., query))
+    assert A.parse_rewritten_query('{"other": 1}', q, changes) == q
+    # garbage → deterministic fallback
+    assert A.parse_rewritten_query("oops", q, changes) == "see https://A.org and [URL removed]"
+
+
+# ---------------------------------------------------------------------------
+# X9 file agents
+# ---------------------------------------------------------------------------
+
+
+def test_file_requirement_coercions():
+    full = A.parse_file_requirement(
+        '{"requires_files": true, "reason": "csv", "required_items": ["a.csv", "", 0, "b"]}'
+    )
+    assert full == {"requires_files": True, "reason": "csv", "required_items": ["a.csv", "b"]}
+    assert A.parse_file_requirement('{"requires_files": true, "required_items": "x"}')[
+        "required_items"
+    ] == []
+    empty = A.parse_file_requirement("garbage")
+    assert empty == {"requires_files": False, "reason": "", "required_items": []}
+    assert A.parse_file_requirement('{"requires_files": 1}')["requires_files"] is True
+
+
+def test_file_plan_and_sanitize():
+    plan = A.parse_file_plan(
+        'Plan: {"directory_name": "My Data! Set", "files": '
+        '[{"url": "https://a/b.csv", "description": " d "}, {"note": "no url"}, "junk"]}'
+    )
+    assert plan["directory_name"] == "my-data-set"
+    assert plan["files"] == [{"url": "https://a/b.csv", "description": "d"}]
+    assert A.parse_file_plan("noise") == {"directory_name": None, "files": []}
+    assert A.parse_file_plan('{"files": "x"}')["files"] == []
+    assert A.sanitize_directory_name("---") is None
+    assert A.sanitize_directory_name(None) is None
+    assert A.sanitize_directory_name("A" * 100) == "a" * 60
+    assert A.sanitize_directory_name("(Data) 42") == "data-42"
+
+
+def test_augmented_query_parse():
+    assert A.parse_augmented_query("") is None
+    assert A.parse_augmented_query("   ") is None
+    assert A.parse_augmented_query('{"rewritten_query": " new q "}') == "new q"
+    assert A.parse_augmented_query('{"rewritten_query": ""}') == '{"rewritten_query": ""}'
+    assert A.parse_augmented_query("plain rewrite") == "plain rewrite"
+
+
+# ---------------------------------------------------------------------------
+# X7 URL validation
+# ---------------------------------------------------------------------------
+
+
+def test_check_url_retry_ladder():
+    from nexgap_spark.external.urlcheck import ValidatorConfig, check_url
+
+    cfg = ValidatorConfig(max_retries=2)
+
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise TimeoutError("slow")
+        return (200, url + "/final", "text/html")
+
+    rec = check_url("https://x", flaky, cfg)
+    assert rec["accessible"] and rec["attempts"] == 2
+    assert rec["redirect_url"] == "https://x/final" and rec["content_type"] == "text/html"
+
+    def always_timeout(url):
+        raise TimeoutError("slow")
+
+    rec = check_url("https://x", always_timeout, cfg)
+    assert not rec["accessible"] and rec["error"] == "Request timeout" and rec["attempts"] == 2
+
+    def not_found(url):
+        return (404, url, None)
+
+    rec = check_url("https://x", not_found, cfg)
+    assert rec["error"] == "HTTP 404" and rec["status_code"] == 404 and rec["attempts"] == 2
+
+    def refused(url):
+        raise ConnectionError("refused by peer")
+
+    rec = check_url("https://x", refused, cfg)
+    assert rec["error"] == "refused by peer" and rec["status_code"] is None
+
+    def redirectless(url):
+        return (200, url, "text/csv")
+
+    rec = check_url("https://x", redirectless, cfg)
+    assert rec["accessible"] and rec["redirect_url"] is None and rec["attempts"] == 1
+
+
+def test_validate_urls_spark(spark):
+    from nexgap_spark.external.urlcheck import hash_transport, validate_urls
+
+    urls = [f"https://u{i}.org" for i in range(40)]
+    df = spark.createDataFrame([(u,) for u in urls] + [(None,), ("",)], "url string")
+    got = {r.url: r for r in validate_urls(df, hash_transport).collect()}
+    assert len(got) == 40  # null/empty skipped like the reference's falsy guard
+    for u in urls:
+        d = int(hashlib.md5(f"0:{u}".encode()).hexdigest()[0], 16)
+        if d < 3:
+            assert not got[u].accessible and got[u].error == "Request timeout"
+        elif d < 6:
+            assert not got[u].accessible and got[u].error == "HTTP 404"
+        else:
+            assert got[u].accessible and got[u].attempts == 1
+
+
+# ---------------------------------------------------------------------------
+# X8 repair loop vs a brute-force simulation of the reference orchestrator
+# ---------------------------------------------------------------------------
+
+
+def test_repair_urls_loop_matches_simulation(spark):
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        ValidatorConfig,
+        check_url,
+        hash_transport,
+        repair_urls_loop,
+    )
+
+    urls = [f"https://broken{i}.org/x" for i in range(25)]
+    broken = spark.createDataFrame(
+        [(u, "HTTP 404") for u in urls], "url string, error string"
+    )
+    got = {
+        r.original_url: (r.action, r.new_url, r.rounds_used, r.suggestions_tested)
+        for r in repair_urls_loop(broken).collect()
+    }
+    assert set(got) == set(urls)
+
+    transport = hash_transport()
+    cfg = ValidatorConfig()
+    for u in urls:
+        digest = hashlib.md5(u.encode()).hexdigest()[:8]
+        expect = ("remove", None, 3, 3)
+        for rnd in (1, 2, 3):
+            cand = f"https://fixed.example/{digest}/r{rnd}"
+            if check_url(cand, transport, cfg)["accessible"]:
+                expect = ("replace", cand, rnd, rnd)
+                break
+        assert got[u] == expect, u
+
+    both = {g[0] for g in got.values()}
+    assert both == {"replace", "remove"}, "fixture must exercise both outcomes"
+
+
+def test_repair_urls_loop_remove_verdict(spark):
+    # a client that declares the URL irreparable ends the loop in round 1
+    from nexgap_spark.external.urlcheck import repair_urls_loop
+
+    class GiveUp:
+        def complete(self, prompt):
+            return '{"repairable": false, "suggested_urls": [], "action": "remove"}'
+
+    broken = spark.createDataFrame([("https://x.org", "HTTP 404")], "url string, error string")
+    rows = repair_urls_loop(broken, client_factory=GiveUp).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.action == "remove" and r.rounds_used == 1 and r.suggestions_tested == 0
+
+
+def test_repair_urls_loop_error_carry(spark):
+    # round 2's prompt must carry 'Previous attempt: <suggestion> - <error>'.
+    # The client runs inside Python workers, so verify behaviorally: it
+    # proposes a working candidate ONLY when the prompt shows the carried
+    # error from round 1 — a repair in round 2 proves the carry arrived.
+    from nexgap_spark.external.urlcheck import repair_urls_loop
+
+    class CarryAware:
+        def complete(self, prompt):
+            if "Previous attempt: https://dead.example/cand - HTTP 404" in prompt:
+                return '{"repairable": true, "suggested_urls": ["https://ok.example/good"], "action": "repair"}'
+            return '{"repairable": true, "suggested_urls": ["https://dead.example/cand"], "action": "repair"}'
+
+    def split_transport():
+        def _t(url):
+            return (200, url, "text/html") if url.endswith("/good") else (404, url, None)
+
+        return _t
+
+    broken = spark.createDataFrame([("https://x.org", "HTTP 404")], "url string, error string")
+    rows = repair_urls_loop(
+        broken, client_factory=CarryAware, transport_factory=split_transport
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.action, r.new_url, r.rounds_used, r.suggestions_tested) == (
+        "replace", "https://ok.example/good", 2, 2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 config schema validation
+# ---------------------------------------------------------------------------
+
+VALID_CFG = {
+    "agents": [
+        {"agent_name": "root", "sysprompt_path": "p/root.md", "llm_config": "main",
+         "tools": ["search"]},
+        {"agent_name": "worker", "sysprompt_path": "p/w.md", "llm_config": "main"},
+    ],
+    "llm_configs": [
+        {"llm_name": "main", "provider": "openai", "model": "gpt-4",
+         "max_tokens": 4000, "temperature": 0.7, "timeout": 60},
+    ],
+    "tools": [
+        {"tool_name": "search", "description": "d", "config_path": "t/s.yaml",
+         "binding": "mod.path:fn"},
+    ],
+    "workflow": {
+        "name": "wf",
+        "nodes": [{"id": "root", "type": "agent"}, {"id": "worker", "type": "agent"}],
+        "edges": [{"from": "root", "to": "worker"}],
+    },
+    "mcp_servers": [{"name": "m", "type": "sse", "url": "https://mcp"}],
+    "framework_name": "demo",
+    "extra_future_key": {"allowed": True},
+}
+
+
+def test_config_schema_valid_passes():
+    from nexgap_spark.sources.config_schema import (
+        require_valid_framework_config,
+        validate_framework_config,
+    )
+
+    assert validate_framework_config(VALID_CFG) == []
+    assert require_valid_framework_config(VALID_CFG) is VALID_CFG
+
+
+def test_config_schema_empty_sections_rejected():
+    from nexgap_spark.sources.config_schema import validate_framework_config
+
+    errs = validate_framework_config({"agents": [], "llm_configs": []})
+    assert any("at least one agent" in e for e in errs)
+    assert any("at least one LLM config" in e for e in errs)
+
+
+def test_config_schema_unresolved_refs_and_edges():
+    import copy
+
+    from nexgap_spark.sources.config_schema import (
+        require_valid_framework_config,
+        validate_framework_config,
+    )
+
+    cfg = copy.deepcopy(VALID_CFG)
+    cfg["agents"][0]["llm_config"] = "ghost"
+    cfg["agents"][0]["tools"] = ["missing_tool"]
+    cfg["workflow"]["edges"].append({"from": "root", "to": "nowhere"})
+    errs = validate_framework_config(cfg)
+    assert any("llm_config 'ghost' does not resolve" in e for e in errs)
+    assert any("tool 'missing_tool' does not resolve" in e for e in errs)
+    assert any("to='nowhere' is not a declared workflow node" in e for e in errs)
+    with pytest.raises(ValueError, match="invalid framework config"):
+        require_valid_framework_config(cfg)
+
+
+def test_config_schema_bounds_and_types():
+    import copy
+
+    from nexgap_spark.sources.config_schema import validate_framework_config
+
+    cfg = copy.deepcopy(VALID_CFG)
+    cfg["llm_configs"][0]["temperature"] = 3.5
+    cfg["llm_configs"][0]["max_tokens"] = 0
+    cfg["workflow"]["nodes"].append({"id": "dup", "type": "robot"})
+    cfg["workflow"]["nodes"].append({"id": "dup", "type": "tool"})
+    errs = validate_framework_config(cfg)
+    assert any("temperature=3.5 outside [0.0, 2.0]" in e for e in errs)
+    assert any("max_tokens=0.0 outside [1, 200000]" in e for e in errs)
+    assert any("type must be one of" in e for e in errs)
+    assert any("duplicate node id 'dup'" in e for e in errs)
