@@ -122,3 +122,34 @@ def agent_tools_map(
             defs.append(sub_agent_tool_definition(succ, descriptions.get(succ)))
         out[name] = defs
     return out
+
+
+def agent_tools_map_from_config(cfg: dict[str, Any]) -> dict[str, list[dict[str, Any]]]:
+    """S12 → J5/J6 wiring: validate a framework config (sources.config_schema,
+    mirroring the reference's pydantic gate at
+    converter/schema/framework_config_schema.py:131-141) and ONLY THEN build
+    the broadcastable agent→tools map from it — a bad config fails on the
+    driver at plan time, not as executor-side KeyErrors.
+
+    Tool definitions are synthesized from the declared tool descriptions
+    (F10); workflow edges between agent-typed nodes become callable
+    sub-agent tools (J6, reference :174-198)."""
+    from nexgap_spark.sources.config_schema import require_valid_framework_config
+
+    require_valid_framework_config(cfg)
+    tool_defs = {
+        t["tool_name"]: tool_definition_from_description(t["tool_name"], t["description"])
+        for t in cfg.get("tools") or []
+    }
+    tools_by_agent = {
+        a["agent_name"]: [tool_defs[ref] for ref in a.get("tools", []) if ref in tool_defs]
+        for a in cfg["agents"]
+    }
+    workflow = cfg.get("workflow") or {}
+    agent_nodes = {n["id"] for n in workflow.get("nodes") or [] if n.get("type") == "agent"}
+    edges = [
+        (e["from"], e["to"])
+        for e in workflow.get("edges") or []
+        if e.get("from") in agent_nodes and e.get("to") in agent_nodes
+    ]
+    return agent_tools_map(cfg["agents"], tools_by_agent, workflow_edges=edges)

@@ -30,7 +30,15 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from nexgap_spark.operators import curation, dedup, profiling, sampling, text, timeseries
+from nexgap_spark.operators import (
+    curation,
+    dedup,
+    profiling,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
 from nexgap_spark.operators.sessionize import sessionize
 from nexgap_spark.operators.similarity import brute_force_topk
 from nexgap_spark.operators.temporal_join import asof_join, range_join
@@ -202,11 +210,26 @@ def main() -> None:
                     oversized="salt",
                 ),
             ),
+            # sign-LSH with the round-6 bucket cap: replicas share embedding
+            # VALUES (only ids shift), so every bucket grows M× — without
+            # the cap, pair output and single-task work grow M²; salted,
+            # output is bounded by size·cap and must scale ~linearly
+            "hyperplane_lsh_capped": (
+                [c],
+                lambda: similarity.hyperplane_lsh_pairs(
+                    c, max_bucket_size=500, oversized="salt"
+                ),
+            ),
         }
+
+    only = os.environ.get("SPARK_GRAFT_STRESS_OPS")
+    wanted = {s.strip() for s in only.split(",")} if only else None
 
     results: dict[str, dict[str, float | int]] = {}
     for mult, tag in ((1, "1x"), (m, "mx")):
         for name, (inputs, build) in ops_for(mult).items():
+            if wanted is not None and name not in wanted:
+                continue
             sec, rows = _timed(build, cache_inputs=inputs)
             results.setdefault(name, {})[f"sec_{tag}"] = sec
             results[name][f"rows_{tag}"] = rows

@@ -466,3 +466,20 @@ def test_config_schema_bounds_and_types():
     assert any("max_tokens=0.0 outside [1, 200000]" in e for e in errs)
     assert any("type must be one of" in e for e in errs)
     assert any("duplicate node id 'dup'" in e for e in errs)
+
+
+def test_agent_tools_map_from_config_validates_then_builds():
+    import copy
+
+    from nexgap_spark.functions.prompts import agent_tools_map_from_config
+
+    m = agent_tools_map_from_config(VALID_CFG)
+    root_tools = [d["function"]["name"] for d in m["root"]]
+    assert "search" in root_tools  # declared tool resolved
+    assert any("worker" in n for n in root_tools)  # workflow successor attached
+    assert m["worker"] == []
+
+    bad = copy.deepcopy(VALID_CFG)
+    bad["workflow"]["edges"].append({"from": "root", "to": "ghost"})
+    with pytest.raises(ValueError, match="not a declared workflow node"):
+        agent_tools_map_from_config(bad)

@@ -260,3 +260,24 @@ def test_driver_window_is_valid():
     assert len(set(_DRIVER_WINDOW)) == 50
     assert [n for n in _DRIVER_WINDOW if n not in QUERIES] == []
     assert list(QUERIES)[:50] == _DRIVER_WINDOW
+
+
+def test_q88_suitability_is_pure_jvm(spark):
+    # the X3 parse is a string-containment expression — it must stay in
+    # whole-stage codegen, with no Python evaluation node anywhere
+    plan = plan_of(spark, "q88_persona_suitability")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q87_q90_single_arrow_stage(spark):
+    # agent parse / URL validation each run as exactly ONE Arrow-batched
+    # stage (mapInPandas), never a row-at-a-time Python UDF
+    import re
+
+    for name in ("q87_fuzzifier_contract", "q90_url_validate"):
+        plan = plan_of(spark, name)
+        # formatted explain lists each physical node once in the tree and
+        # once in the detail section — count the "(N) MapInPandas" headers
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
+        assert "BatchEvalPython" not in plan, name
