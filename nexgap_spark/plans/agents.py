@@ -521,3 +521,66 @@ def q94_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("rewritten").alias("sample_rewritten"))
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — new-tag generation parse (X5; sampling_manager.py:461-491):
+# first-brace-span regex (nested objects legitimately fail), required
+# en/zh/id keys, parent-prefixed ids.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_new_tag_parse",
+    oracle="""
+    WITH resp AS (SELECT doc_id, doc_id % 5 AS variant FROM documents)
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN variant IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           MIN(CASE variant
+                 WHEN 0 THEN 'root_tag_' || doc_id
+                 WHEN 1 THEN 'root_x'
+               END) AS sample_id
+    FROM resp
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q95_new_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.agents import parse_new_tag
+
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).cast("long").alias("variant"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string('{"en": "Type %s", "zh": "类型%s", "id": "tag_%s"}',
+                            "doc_id", "doc_id", "doc_id"),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit('Sure: {"en": "E", "zh": "Z", "id": "x"} thanks'))
+        .when(F.col("doc_id") % 5 == 2, F.lit('{"en": "E", "zh": "Z"}'))
+        .when(F.col("doc_id") % 5 == 3, F.lit('{"en": "E", "zh": "Z", "id": {"nested": 1}}'))
+        .otherwise(F.lit("no braces"))
+        .alias("response"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            tags = [parse_new_tag(r, "root") for r in pdf["response"]]
+            yield pd.DataFrame(
+                {
+                    "variant": pdf["variant"],
+                    "valid": [tg is not None for tg in tags],
+                    "tag_id": [tg["id"] if tg else None for tg in tags],
+                }
+            )
+
+    parsed = docs.mapInPandas(run, schema="variant long, valid boolean, tag_id string")
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.min("tag_id").alias("sample_id"),
+        )
+        .orderBy("variant")
+    )

@@ -483,3 +483,42 @@ def test_agent_tools_map_from_config_validates_then_builds():
     bad["workflow"]["edges"].append({"from": "root", "to": "ghost"})
     with pytest.raises(ValueError, match="not a declared workflow node"):
         agent_tools_map_from_config(bad)
+
+
+def test_parse_new_tag_contract():
+    ok = A.parse_new_tag('{"en": "Data Cleaning", "zh": "数据清洗", "id": "clean"}', "p1")
+    assert ok == {"en": "Data Cleaning", "zh": "数据清洗", "id": "p1_clean"}
+    # prose around the span is fine — the regex finds the first brace span
+    assert A.parse_new_tag('Sure: {"en": "E", "zh": "Z", "id": "x"} thanks', "p")["id"] == "p_x"
+    # missing any required key → None
+    assert A.parse_new_tag('{"en": "E", "zh": "Z"}', "p") is None
+    # nested-object ids fail the reference's non-nested brace regex → None
+    assert A.parse_new_tag('{"en": "E", "zh": "Z", "id": {"n": 1}}', "p") is None
+    assert A.parse_new_tag("no braces", "p") is None
+    assert A.parse_new_tag("", "p") is None
+    # unprefixed form for expand_tree_round (which applies the prefix itself)
+    raw = A.parse_new_tag('{"en": "E", "zh": "Z", "id": "x"}', "p", prefix_parent=False)
+    assert raw["id"] == "x"
+
+
+def test_parse_new_tag_feeds_expansion_round(spark):
+    # end-to-end: X5 parse (raw suffix) → R5 expand_tree_round prefix rule
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.taxonomy import expand_tree_round
+
+    paths = spark.createDataFrame(
+        [("fw", "a/b", ["a", "b"], ["A", "B"], ["甲", "乙"], 2)],
+        "framework string, path_id string, node_ids array<string>, "
+        "en_labels array<string>, zh_labels array<string>, depth int",
+    )
+    tag = A.parse_new_tag(
+        '{"en": "New", "zh": "新", "id": "fresh"}', "b", prefix_parent=False
+    )
+    proposals = spark.createDataFrame(
+        [("fw", "a/b", tag["id"], tag["en"], tag["zh"])],
+        "framework string, parent_path_id string, new_id string, new_en string, new_zh string",
+    )
+    out = expand_tree_round(paths, proposals)
+    new = [r for r in out.collect() if r.path_id != "a/b"]
+    assert len(new) == 1 and new[0].node_ids[-1] == "b_fresh"
