@@ -81,6 +81,7 @@ HEADLINE = [
     "q87_fuzzifier_contract",
     "q90_url_validate",
     "q91_url_repair_loop",
+    "q96_url_pipeline",
 ]
 
 

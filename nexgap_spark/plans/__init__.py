@@ -50,6 +50,7 @@ _DRIVER_WINDOW = [
     "q93_file_plan",
     "q94_url_rewrite",
     "q95_new_tag_parse",
+    "q96_url_pipeline",
     # (a) last external green row is r01–r04
     "q02_regional_revenue",
     "q03_top_orders",
@@ -85,8 +86,6 @@ _DRIVER_WINDOW = [
     "q60_length_zscore",
     "q61_centroid_outliers",
     "q62_tfidf_top_terms",
-    # padding to 50 with the longest-idle representative
-    "q41_asof_join",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

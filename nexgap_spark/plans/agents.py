@@ -584,3 +584,88 @@ def q95_new_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — full URL processing pipeline (X8 orchestration;
+# url_processing_agent.py:38-321): extract → validate → repair → rewrite
+# in one row-local Arrow stage. The mock extraction client returns the
+# query's literal URLs; the rewrite client answers prose, so the
+# deterministic replace/'[URL removed]' fallback is what lands in
+# processed_query — every step SQL-reproducible via the md5 transport rule.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_url_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             'check https://hostA' || doc_id || '.example.org/p and https://hostB' || doc_id || '.example.org/p' AS query,
+             'https://hostA' || doc_id || '.example.org/p' AS u1,
+             'https://hostB' || doc_id || '.example.org/p' AS u2
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, query, u1, u2,
+             strpos('6789abcdef', substr(md5('0:' || u1), 1, 1)) > 0 AS ok1,
+             strpos('6789abcdef', substr(md5('0:' || u2), 1, 1)) > 0 AS ok2,
+             'https://fixed.example/' || substr(md5(u1), 1, 8) AS f1,
+             'https://fixed.example/' || substr(md5(u2), 1, 8) AS f2
+      FROM q
+    ),
+    v AS (
+      SELECT doc_id, query, u1, u2, ok1, ok2,
+             CASE WHEN strpos('6789abcdef', substr(md5('0:' || f1 || '/r1'), 1, 1)) > 0 THEN f1 || '/r1'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f1 || '/r2'), 1, 1)) > 0 THEN f1 || '/r2'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f1 || '/r3'), 1, 1)) > 0 THEN f1 || '/r3'
+             END AS fix1,
+             CASE WHEN strpos('6789abcdef', substr(md5('0:' || f2 || '/r1'), 1, 1)) > 0 THEN f2 || '/r1'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f2 || '/r2'), 1, 1)) > 0 THEN f2 || '/r2'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f2 || '/r3'), 1, 1)) > 0 THEN f2 || '/r3'
+             END AS fix2
+      FROM r
+    ),
+    p AS (
+      SELECT CAST(ok1 AS INT) + CAST(ok2 AS INT) AS n_accessible,
+             (CASE WHEN NOT ok1 AND fix1 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN NOT ok2 AND fix2 IS NOT NULL THEN 1 ELSE 0 END) AS n_repaired,
+             (CASE WHEN NOT ok1 AND fix1 IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN NOT ok2 AND fix2 IS NULL THEN 1 ELSE 0 END) AS n_removed,
+             replace(replace(query,
+                 u1, CASE WHEN ok1 THEN u1 WHEN fix1 IS NOT NULL THEN fix1 ELSE '[URL removed]' END),
+                 u2, CASE WHEN ok2 THEN u2 WHEN fix2 IS NOT NULL THEN fix2 ELSE '[URL removed]' END) AS processed
+      FROM v
+    )
+    SELECT CAST(n_accessible AS BIGINT) AS n_accessible,
+           CAST(n_repaired AS BIGINT) AS n_repaired,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(processed) AS sample_processed
+    FROM p
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.urlcheck import process_query_urls
+
+    queries = t(spark, sf_dir, "documents").select(
+        F.format_string(
+            "check https://hostA%s.example.org/p and https://hostB%s.example.org/p",
+            "doc_id", "doc_id",
+        ).alias("query")
+    )
+    out = process_query_urls(queries)
+    return (
+        out.groupBy(
+            F.col("n_accessible").cast("long").alias("n_accessible"),
+            F.col("n_repaired").cast("long").alias("n_repaired"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("processed_query").alias("sample_processed"),
+        )
+        .orderBy("n_accessible", "n_repaired", "n_removed")
+    )

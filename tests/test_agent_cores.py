@@ -522,3 +522,82 @@ def test_parse_new_tag_feeds_expansion_round(spark):
     out = expand_tree_round(paths, proposals)
     new = [r for r in out.collect() if r.path_id != "a/b"]
     assert len(new) == 1 and new[0].node_ids[-1] == "b_fresh"
+
+
+def test_process_query_urls_end_to_end(spark):
+    # the full X8 orchestration: extract -> validate -> repair -> rewrite,
+    # checked against a hand-computed expectation per URL under the md5 rule
+    from nexgap_spark.external.urlcheck import (
+        ValidatorConfig,
+        check_url,
+        hash_transport,
+        process_query_urls,
+    )
+
+    urls = [f"https://site{i}.example.org/x" for i in range(12)]
+    df = spark.createDataFrame(
+        [(f"fetch {u} please",) for u in urls] + [("no urls here",)], "query string"
+    )
+    got = {r.query: r for r in process_query_urls(df).collect()}
+    assert got["no urls here"].n_extracted == 0
+    assert got["no urls here"].processed_query == "no urls here"
+
+    transport = hash_transport()
+    cfg = ValidatorConfig()
+    for u in urls:
+        q = f"fetch {u} please"
+        r = got[q]
+        assert r.n_extracted == 1
+        ok = check_url(u, transport, cfg)["accessible"]
+        if ok:
+            assert (r.n_accessible, r.n_repaired, r.n_removed) == (1, 0, 0)
+            assert r.processed_query == q
+        else:
+            digest = hashlib.md5(u.encode()).hexdigest()[:8]
+            fix = None
+            for rnd in (1, 2, 3):
+                cand = f"https://fixed.example/{digest}/r{rnd}"
+                if check_url(cand, transport, cfg)["accessible"]:
+                    fix = cand
+                    break
+            if fix:
+                assert (r.n_accessible, r.n_repaired, r.n_removed) == (0, 1, 0)
+                assert r.processed_query == f"fetch {fix} please"
+            else:
+                assert (r.n_accessible, r.n_repaired, r.n_removed) == (0, 0, 1)
+                assert r.processed_query == "fetch [URL removed] please"
+
+
+def test_process_query_urls_json_rewrite_path(spark):
+    # a client whose rewrite answer IS valid JSON must win over the fallback
+    import json as _json
+    import re as _re
+
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        process_query_urls,
+    )
+
+    class JsonRewriteClient:
+        def complete(self, prompt):
+            if prompt.startswith("You are a URL extraction expert"):
+                query = prompt.split("Query:\n", 1)[1].split("\nRequirements:", 1)[0]
+                found = _re.findall(r"https?://\S+", query)
+                return _json.dumps(
+                    {"urls": [{"url": u, "description": "", "context": ""} for u in found]}
+                )
+            if prompt.startswith("You are a URL repair expert"):
+                return MockRepairClient().complete(prompt)
+            return '{"rewritten_query": "REWRITTEN BY LLM"}'
+
+    def dead_transport():
+        def _t(url):
+            return (404, url, None)
+
+        return _t
+
+    df = spark.createDataFrame([("get https://always.broken/x now",)], "query string")
+    r = process_query_urls(
+        df, client_factory=JsonRewriteClient, transport_factory=dead_transport
+    ).collect()[0]
+    assert r.n_removed == 1 and r.processed_query == "REWRITTEN BY LLM"
