@@ -484,13 +484,18 @@ def dup_groups(
     ONCE before the loop (its upstream is typically the whole
     shingle→minhash→LSH→verify pipeline — without this, every round AND every
     convergence check re-executes that pipeline from the parquet scan; fixing
-    it took q43 at sf0.1 from 43 s to ~5 s). Each round's merged frame is
-    likewise checkpointed so the convergence-check `count()` and the next
-    round both read materialized rows instead of replaying a lineage that
-    deepens by one join per round. On a real cluster the same calls apply —
+    it took q43 at sf0.1 from 43 s to ~5 s). Each round's label frame is
+    likewise checkpointed so the convergence check and the next round both
+    read materialized rows instead of replaying a lineage that deepens by
+    one join per round. On a real cluster the same calls apply —
     localCheckpoint persists to executor block storage; swap for
     `checkpoint()` + a reliable dir only if executor loss must be survivable
     mid-computation.
+
+    Convergence detection: labels are monotone non-increasing under
+    hash-min, so for numeric ids an unchanged label SUM (exact, decimal
+    accumulator) ⟺ a fixpoint — one cheap aggregate over the checkpointed
+    labels instead of an old⋈new compare join per round.
     """
     edges = (
         pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
@@ -499,6 +504,15 @@ def dup_groups(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
+    # hash-min labels only ever DECREASE, so for numeric node ids the label
+    # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels.
+    # That saves the old-vs-new compare join each round (one join + its
+    # shuffle per round, measured ~25% of q43). Non-numeric ids keep the
+    # exact per-row compare.
+    numeric = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dict(labels.dtypes)["label"].startswith("decimal")
+    prev_sum = object()  # sentinel: never equal to a first-round sum
     converged = False
     rounds_used = 0
     for _ in range(max_iterations):
@@ -510,20 +524,35 @@ def dup_groups(
             .groupBy("n")
             .agg(F.min("label").alias("new_label"))
         )
-        merged = labels.join(neigh, "n").localCheckpoint()
         # previous round's checkpoint blocks are dead once the new one
         # exists. DataFrame.unpersist() would NOT free them (it only
         # uncaches CacheManager entries; checkpoint blocks belong to the
         # underlying RDD) — the ContextCleaner releases them once the
         # previous round's frame is garbage-collected, which the loop's
-        # rebinding of `labels`/`merged` enables. Bounded rounds keep the
+        # rebinding of `labels` enables. Bounded rounds keep the
         # transient footprint small.
-        changed = merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = merged.select("n", F.col("new_label").alias("label"))
         rounds_used += 1
-        if changed == 0:
-            converged = True
-            break
+        if numeric:
+            new_labels = neigh.select(
+                "n", F.col("new_label").alias("label")
+            ).localCheckpoint()
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        else:
+            merged = labels.join(neigh, "n").localCheckpoint()
+            changed = (
+                merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
+            )
+            labels = merged.select("n", F.col("new_label").alias("label"))
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # no silent caps: an unconverged run means some chain-shaped
         # component is longer than max_iterations and its labels are NOT
