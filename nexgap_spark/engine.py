@@ -455,6 +455,34 @@ class Engine:
 
         return run_summary(df, **kw)
 
+    def fuzzify(self, df: DataFrame, **kw: Any) -> tuple[DataFrame, DataFrame]:
+        """X4: apply the fuzzifier response contract to (query, response)
+        columns; returns (parsed frame with applied/fuzzy_query/... fields,
+        failure side-output) — the FAILURE_LOG analog
+        (fuzzifier_agent.py:210-255). Produce the response column with
+        ``external_call`` (or any client) first; gating is P9's job."""
+        from nexgap_spark.external.agents import fuzzifier_failures, parse_fuzzifier_col
+
+        parsed = parse_fuzzifier_col(df, **kw)
+        return parsed, fuzzifier_failures(parsed)
+
+    def validate_urls(self, df: DataFrame, transport_factory: Any, **kw: Any) -> DataFrame:
+        """X7: HEAD-check each row's URL with the reference retry ladder
+        (url_validator_agent.py:118-197); returns (url, accessible,
+        status_code, error, redirect_url, content_type, attempts)."""
+        from nexgap_spark.external.urlcheck import validate_urls
+
+        return validate_urls(df, transport_factory, **kw)
+
+    def process_urls(self, df: DataFrame, **kw: Any) -> DataFrame:
+        """X8 orchestration: extract → validate → repair → rewrite per query
+        row (url_processing_agent.py:38-321); returns processed_query plus
+        the url_stats counters. Inject ``client_factory`` /
+        ``transport_factory`` for production IO."""
+        from nexgap_spark.external.urlcheck import process_query_urls
+
+        return process_query_urls(df, **kw)
+
     # -- catalog ------------------------------------------------------------
 
     def run_query(self, name: str, sf_dir: str) -> DataFrame:

@@ -164,3 +164,25 @@ def test_engine_side_channels(engine, tmp_path):
         engine.spark.createDataFrame([(1, "success"), (2, "failed")], "id long, status string")
     ).first()
     assert s.n_total == 2 and s.success_rate == 0.5
+
+
+def test_engine_agent_facades(spark):
+    from nexgap_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [("q1", '{"fuzzy_query": "soft"}'), ("q2", "junk")],
+        "query string, response string",
+    )
+    parsed, fails = eng.fuzzify(df)
+    assert {r.query: r.applied for r in parsed.collect()} == {"q1": True, "q2": False}
+    assert fails.count() == 1
+
+    from nexgap_spark.external.urlcheck import hash_transport
+
+    urls = spark.createDataFrame([("https://u0.org",)], "url string")
+    assert eng.validate_urls(urls, hash_transport).count() == 1
+
+    queries = spark.createDataFrame([("nothing to do",)], "query string")
+    out = eng.process_urls(queries).collect()[0]
+    assert out.n_extracted == 0 and out.processed_query == "nothing to do"

@@ -307,3 +307,78 @@ def test_fuzz_emitter_parity(target):
         ), f"[{target}] mismatch for: {doc!r}"
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# X3–X10 parse cores: totality — every parser accepts arbitrary text
+# without raising and returns its contract shape (the reference wraps all
+# of these in try/except; ours must be total by construction)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_agent_parsers_total_on_arbitrary_text(text):
+    from nexgap_spark.external import agents as A
+
+    rec = A.parse_fuzzifier_response("q", text)
+    assert isinstance(rec["applied"], bool)
+    assert (rec["error"] is None) == rec["applied"]
+
+    assert isinstance(A.persona_suitable(text), bool)
+
+    urls = A.parse_extracted_urls(text)
+    assert isinstance(urls, list)
+    assert all(not A.is_placeholder_url(u["url"]) for u in urls)
+
+    verdict = A.parse_repair_response(text, "u")
+    assert verdict["action"] in ("repair", "remove")
+    assert isinstance(verdict["suggested_urls"], list)
+    # consistency: repair always comes with at least one suggestion
+    assert verdict["action"] == "remove" or verdict["suggested_urls"]
+
+    req = A.parse_file_requirement(text)
+    assert isinstance(req["requires_files"], bool)
+    assert all(isinstance(i, str) and i for i in req["required_items"])
+
+    plan = A.parse_file_plan(text)
+    assert all("url" in f for f in plan["files"])
+    if plan["directory_name"] is not None:
+        assert re.fullmatch(r"[a-z0-9]([a-z0-9\-]*[a-z0-9])?", plan["directory_name"])
+        assert len(plan["directory_name"]) <= 60
+
+    aug = A.parse_augmented_query(text)
+    assert aug is None or (isinstance(aug, str) and aug.strip())
+
+    tag = A.parse_new_tag(text, "p")
+    assert tag is None or tag["id"].startswith("p_")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(max_size=120),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["replace", "remove"]),
+            st.text(min_size=1, max_size=20),
+            st.text(min_size=1, max_size=20),
+        ),
+        max_size=5,
+    ),
+)
+def test_rewrite_fallback_total_and_removals_marked(query, raw_changes):
+    from nexgap_spark.external.agents import apply_url_changes, parse_rewritten_query
+
+    changes = [
+        {"action": a, "original_url": orig, "new_url": new}
+        for a, orig, new in raw_changes
+    ]
+    out = apply_url_changes(query, changes)
+    assert isinstance(out, str)
+    # a removed URL that was present and is not a substring of any other
+    # change's output never survives verbatim... (replacement chains make
+    # stronger claims false); minimal invariant: function is total and
+    # deterministic
+    assert out == apply_url_changes(query, changes)
+    # parse_rewritten_query never raises on arbitrary responses
+    assert isinstance(parse_rewritten_query(query, query, changes), str)
