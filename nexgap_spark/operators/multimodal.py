@@ -194,3 +194,168 @@ def resize_media(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels for codec-free formats (round 6). The container has no
+# JPEG/PNG/MP4 codecs, but WAV is stdlib (`wave`) and PPM/PGM are plain
+# headers + raw rasters — so for these formats the decode/resize kernels
+# are genuine, not fakes. Formats that truly need codecs still raise.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, *, rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV from integer samples (stdlib `wave`). Fixture
+    generator for tests and the synthetic media catalog query — a data
+    pipeline needs deterministic media synthesis for its own harness."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Stdlib WAV decode → {rate, channels, n_samples, samples (np.int16/32
+    mono-mixed not applied — channels interleaved)}; raises ValueError on
+    non-WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, channels = w.getframerate(), w.getnchannels()
+            width, n = w.getsampwidth(), w.getnframes()
+            raw = w.readframes(n)
+    except Exception as exc:
+        raise ValueError(f"not a decodable WAV payload: {exc}") from exc
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = samples - 128.0
+    return {"rate": rate, "channels": channels, "n_samples": n, "samples": samples}
+
+
+def encode_ppm(arr) -> bytes:
+    """P6 (RGB) / P5 (gray) binary netpbm from a (h, w[, 3]) uint8 array."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, body = b"P5", a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, body = b"P6", a
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + body.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary netpbm decode (P5 gray / P6 RGB) → uint8 array (h, w[, 3]).
+    Raises ValueError on anything else (comments supported per spec)."""
+    import numpy as np
+
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = w * h * channels
+    body = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return body.reshape((h, w, 3)) if channels == 3 else body.reshape((h, w))
+
+
+def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
+    """REAL decoder for codec-free formats — the non-stub half of
+    real_decode_kernel's slot:
+
+    * WAV (RIFF/WAVE magic) → [duration_s, rms, peak, zcr, mean,
+      n_samples, rate, channels] in raw sample units;
+    * P5/P6 netpbm → [width, height, channels, mean, std, min, max,
+      aspect];
+    * anything else raises NotImplementedError exactly like
+      real_decode_kernel (JPEG/PNG/MP4 genuinely need codecs).
+    """
+    import numpy as np
+
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        d = decode_wav(p)
+        s = d["samples"]
+        n = len(s)
+        if n == 0:
+            return [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(d["rate"]), float(d["channels"])]
+        zcr = (
+            float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))) / (n - 1)
+            if n > 1
+            else 0.0
+        )
+        return [
+            d["n_samples"] / d["rate"],
+            float(np.sqrt(np.mean(s * s))),
+            float(np.max(np.abs(s))),
+            zcr,
+            float(np.mean(s)),
+            float(n),
+            float(d["rate"]),
+            float(d["channels"]),
+        ]
+    if p[:2] in (b"P5", b"P6"):
+        a = decode_ppm(p).astype(np.float64)
+        h, w = a.shape[0], a.shape[1]
+        channels = a.shape[2] if a.ndim == 3 else 1
+        return [
+            float(w),
+            float(h),
+            float(channels),
+            float(a.mean()),
+            float(a.std()),
+            float(a.min()),
+            float(a.max()),
+            w / h,
+        ]
+    raise NotImplementedError(
+        f"no codec-free decoder for this payload (kind={kind!r}); JPEG/PNG/MP4 "
+        "need codec libraries not present in this environment"
+    )
+
+
+def ppm_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for netpbm payloads: nearest-neighbor via numpy
+    index maps, re-encoded as the same P5/P6 format. Slots into
+    resize_media(kernel=...) — for raster formats the resize story needs no
+    codec at all."""
+    import numpy as np
+
+    a = decode_ppm(payload)
+    h, w = a.shape[0], a.shape[1]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_ppm(a[rows][:, cols])

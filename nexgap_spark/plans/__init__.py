@@ -51,6 +51,7 @@ _DRIVER_WINDOW = [
     "q94_url_rewrite",
     "q95_new_tag_parse",
     "q96_url_pipeline",
+    "q97_wav_features",
     # (a) last external green row is r01–r04
     "q02_regional_revenue",
     "q03_top_orders",
@@ -81,7 +82,6 @@ _DRIVER_WINDOW = [
     "q39_emit_qwen",
     "q40_media_features",
     "q46_cube_sales",
-    "q47_approx_distinct",
     "q59_top_terms",
     "q60_length_zscore",
     "q61_centroid_outliers",

@@ -669,3 +669,68 @@ def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_accessible", "n_repaired", "n_removed")
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — REAL WAV decode features (multimodal, round 6): stdlib-decodable
+# square-wave WAVs synthesized per doc (n = 64 + 2·(doc_id%32) samples of
+# ±amp, amp = 100 + doc_id%900, 8 kHz mono 16-bit) → extract_features with
+# the genuine stdlib_decode_kernel. A square wave has closed-form features
+# (rms = peak = amp, zcr = 1, mean = 0, duration = n/rate), so the oracle
+# reproduces the REAL decoder's output exactly — no fake kernel involved.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_wav_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 32 AS k, 100 + doc_id % 900 AS amp FROM documents)
+    SELECT CAST(64 + 2 * k AS BIGINT) AS n_samples,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(amp) AS DOUBLE), 2) AS sum_rms,
+           ROUND((64 + 2 * k) / 8000.0, 6) AS dur_s,
+           CAST(1.0 AS DOUBLE) AS zcr,
+           CAST(0.0 AS DOUBLE) AS abs_mean
+    FROM d
+    GROUP BY k
+    ORDER BY n_samples
+    """,
+)
+def q97_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.multimodal import encode_wav, extract_features, stdlib_decode_kernel
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                n = 64 + 2 * (int(i) % 32)
+                amp = 100 + int(i) % 900
+                payloads.append(encode_wav([amp, -amp] * (n // 2), rate=8000))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["audio"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    f = F.col("features")
+    return (
+        feats.select(
+            F.element_at(f, 6).cast("long").alias("n_samples"),
+            F.element_at(f, 2).alias("rms"),
+            F.element_at(f, 1).alias("dur"),
+            F.element_at(f, 4).alias("z"),
+            F.element_at(f, 5).alias("m"),
+        )
+        .groupBy("n_samples")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("rms"), 2).alias("sum_rms"),
+            F.round(F.min("dur"), 6).alias("dur_s"),
+            F.min("z").alias("zcr"),
+            F.max(F.abs("m")).alias("abs_mean"),
+        )
+        .orderBy("n_samples")
+    )
