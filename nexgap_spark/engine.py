@@ -464,7 +464,11 @@ class Engine:
         from nexgap_spark.external.agents import fuzzifier_failures, parse_fuzzifier_col
 
         parsed = parse_fuzzifier_col(df, **kw)
-        return parsed, fuzzifier_failures(parsed)
+        return parsed, fuzzifier_failures(
+            parsed,
+            query_col=kw.get("query_col", "query"),
+            response_col=kw.get("response_col", "response"),
+        )
 
     def validate_urls(self, df: DataFrame, transport_factory: Any, **kw: Any) -> DataFrame:
         """X7: HEAD-check each row's URL with the reference retry ladder

@@ -147,9 +147,11 @@ def agent_tools_map_from_config(cfg: dict[str, Any]) -> dict[str, list[dict[str,
     }
     workflow = cfg.get("workflow") or {}
     agent_nodes = {n["id"] for n in workflow.get("nodes") or [] if n.get("type") == "agent"}
-    edges = [
-        (e["from"], e["to"])
-        for e in workflow.get("edges") or []
-        if e.get("from") in agent_nodes and e.get("to") in agent_nodes
-    ]
+    # accept the same 'from'/'from_' key aliases the validator does (the
+    # reference's pydantic model uses from_ with alias 'from')
+    edges = []
+    for e in workflow.get("edges") or []:
+        frm = e.get("from", e.get("from_"))
+        if frm in agent_nodes and e.get("to") in agent_nodes:
+            edges.append((frm, e["to"]))
     return agent_tools_map(cfg["agents"], tools_by_agent, workflow_edges=edges)

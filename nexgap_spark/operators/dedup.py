@@ -504,14 +504,15 @@ def dup_groups(
         .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
-    # hash-min labels only ever DECREASE, so for numeric node ids the label
-    # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels.
-    # That saves the old-vs-new compare join each round (one join + its
-    # shuffle per round, measured ~25% of q43). Non-numeric ids keep the
-    # exact per-row compare.
-    numeric = dict(labels.dtypes)["label"] in (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-    ) or dict(labels.dtypes)["label"].startswith("decimal")
+    # hash-min labels only ever DECREASE, so for INTEGER node ids the label
+    # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels
+    # (the decimal(38,0) accumulator is exact for integers). That saves the
+    # old-vs-new compare join each round (one join + its shuffle per round,
+    # measured ~25% of q43). Float/decimal ids would round in the
+    # accumulator — a chain of labels closer than 1.0 apart could falsely
+    # report convergence — so they keep the exact per-row compare, as do
+    # strings.
+    numeric = dict(labels.dtypes)["label"] in ("tinyint", "smallint", "int", "bigint")
     prev_sum = object()  # sentinel: never equal to a first-round sum
     converged = False
     rounds_used = 0

@@ -308,7 +308,13 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         d = decode_wav(p)
+        # de-interleave and mix down to mono BEFORE featurizing: rms/zcr on
+        # the raw interleaved array would compare samples of DIFFERENT
+        # channels, and len(interleaved) would disagree with duration by the
+        # channel factor. Frame count is the sample axis everywhere.
         s = d["samples"]
+        if d["channels"] > 1:
+            s = s.reshape(-1, d["channels"]).mean(axis=1)
         n = len(s)
         if n == 0:
             return [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(d["rate"]), float(d["channels"])]
@@ -318,7 +324,7 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             else 0.0
         )
         return [
-            d["n_samples"] / d["rate"],
+            n / d["rate"],
             float(np.sqrt(np.mean(s * s))),
             float(np.max(np.abs(s))),
             zcr,

@@ -297,6 +297,7 @@ def q90_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q91_url_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
         hash_transport,
         repair_urls_loop,
         validate_urls,
@@ -306,7 +307,10 @@ def q91_url_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://host"), F.col("doc_id"), F.lit(".example.org/p")).alias("url")
     )
     broken = validate_urls(urls, hash_transport).filter(~F.col("accessible"))
-    changes = repair_urls_loop(broken, url_col="url", error_col="error")
+    changes = repair_urls_loop(
+        broken, url_col="url", error_col="error",
+        client_factory=MockRepairClient, transport_factory=hash_transport,
+    )
     return (
         changes.groupBy("action")
         .agg(
@@ -648,7 +652,11 @@ def q95_new_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexgap_spark.external.urlcheck import process_query_urls
+    from nexgap_spark.external.urlcheck import (
+        MockUrlPipelineClient,
+        hash_transport,
+        process_query_urls,
+    )
 
     queries = t(spark, sf_dir, "documents").select(
         F.format_string(
@@ -656,7 +664,9 @@ def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "doc_id",
         ).alias("query")
     )
-    out = process_query_urls(queries)
+    out = process_query_urls(
+        queries, client_factory=MockUrlPipelineClient, transport_factory=hash_transport
+    )
     return (
         out.groupBy(
             F.col("n_accessible").cast("long").alias("n_accessible"),

@@ -195,6 +195,14 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q45 — hyperplane sign-LSH bucketed similarity scan: the ANN scale path
 # that replaces the |V|² all-pairs with Σ_bucket |b|² (256 buckets from 8
 # deterministic integer hyperplanes shared verbatim with the oracle).
+#
+# The oracle models the UNCAPPED same-bucket pair set; the operator's
+# default mega-bucket guard (max_bucket_size=10_000, salt) only bites when
+# a single sign bucket exceeds 10k vectors — far above every driver SF
+# (sf0.1: ~750 rows TOTAL). The query pins max_bucket_size=None so the
+# oracle contract is exact at ANY scale; production callers keep the
+# scale-guard default (same split as q31, whose capped re-plan is the
+# documented precedent).
 # ---------------------------------------------------------------------------
 
 
@@ -232,7 +240,7 @@ def _bucket_sql(v: str) -> str:
 )
 def q45_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    pairs = sim.hyperplane_lsh_pairs(emb)
+    pairs = sim.hyperplane_lsh_pairs(emb, max_bucket_size=None)
     return pairs.agg(
         F.count("*").alias("n_candidates"),
         F.coalesce(

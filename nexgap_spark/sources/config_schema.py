@@ -161,7 +161,12 @@ def validate_framework_config(cfg: dict[str, Any]) -> list[str]:
             _require_str(errors, s, "url", where)
 
     # resolution checks — an agent referencing an undeclared llm_config or
-    # tool is the executor-side KeyError this validator exists to pre-empt
+    # tool is the executor-side KeyError this validator exists to pre-empt.
+    # Per the reference model (framework_config_schema.py:56-61), an
+    # agent's `tools` entries reference the `tools` SECTION (MCP tools ride
+    # the separate per-agent `mcp_servers` field), so a ref that doesn't
+    # resolve is dangling even when the section is absent entirely — that
+    # case would otherwise drop the agent's tools silently downstream.
     for i, a in enumerate(agents):
         if not isinstance(a, dict):
             continue
@@ -169,7 +174,7 @@ def validate_framework_config(cfg: dict[str, Any]) -> list[str]:
         ref = a.get("llm_config")
         if isinstance(ref, str) and ref and llm_names and ref not in llm_names:
             errors.append(f"{where}: llm_config {ref!r} does not resolve to a declared llm_name")
-        if tools is not None and isinstance(a.get("tools"), list):
+        if isinstance(a.get("tools"), list):
             for tref in a["tools"]:
                 if isinstance(tref, str) and tref and tref not in tool_names:
                     errors.append(

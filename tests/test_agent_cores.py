@@ -319,7 +319,9 @@ def test_repair_urls_loop_matches_simulation(spark):
     )
     got = {
         r.original_url: (r.action, r.new_url, r.rounds_used, r.suggestions_tested)
-        for r in repair_urls_loop(broken).collect()
+        for r in repair_urls_loop(
+            broken, client_factory=MockRepairClient, transport_factory=hash_transport
+        ).collect()
     }
     assert set(got) == set(urls)
 
@@ -347,8 +349,12 @@ def test_repair_urls_loop_remove_verdict(spark):
         def complete(self, prompt):
             return '{"repairable": false, "suggested_urls": [], "action": "remove"}'
 
+    from nexgap_spark.external.urlcheck import hash_transport
+
     broken = spark.createDataFrame([("https://x.org", "HTTP 404")], "url string, error string")
-    rows = repair_urls_loop(broken, client_factory=GiveUp).collect()
+    rows = repair_urls_loop(
+        broken, client_factory=GiveUp, transport_factory=hash_transport
+    ).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.action == "remove" and r.rounds_used == 1 and r.suggestions_tested == 0
@@ -538,7 +544,14 @@ def test_process_query_urls_end_to_end(spark):
     df = spark.createDataFrame(
         [(f"fetch {u} please",) for u in urls] + [("no urls here",)], "query string"
     )
-    got = {r.query: r for r in process_query_urls(df).collect()}
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient
+
+    got = {
+        r.query: r
+        for r in process_query_urls(
+            df, client_factory=MockUrlPipelineClient, transport_factory=hash_transport
+        ).collect()
+    }
     assert got["no urls here"].n_extracted == 0
     assert got["no urls here"].processed_query == "no urls here"
 
@@ -601,3 +614,37 @@ def test_process_query_urls_json_rewrite_path(spark):
         df, client_factory=JsonRewriteClient, transport_factory=dead_transport
     ).collect()[0]
     assert r.n_removed == 1 and r.processed_query == "REWRITTEN BY LLM"
+
+
+def test_config_edges_from_alias_and_dangling_tools_without_section():
+    import copy
+
+    from nexgap_spark.functions.prompts import agent_tools_map_from_config
+    from nexgap_spark.sources.config_schema import validate_framework_config
+
+    # pydantic-style 'from_' alias must work end-to-end: validator AND builder
+    cfg = copy.deepcopy(VALID_CFG)
+    cfg["workflow"]["edges"] = [{"from_": "root", "to": "worker"}]
+    assert validate_framework_config(cfg) == []
+    m = agent_tools_map_from_config(cfg)
+    assert any("worker" in d["function"]["name"] for d in m["root"])
+
+    # an agent tool ref with NO tools section is dangling (agent.tools
+    # references the tools section; MCP tools ride mcp_servers) — it must
+    # be flagged, not silently dropped downstream
+    cfg2 = copy.deepcopy(VALID_CFG)
+    del cfg2["tools"]
+    errs = validate_framework_config(cfg2)
+    assert any("tool 'search' does not resolve" in e for e in errs)
+
+
+def test_engine_fuzzify_custom_columns(spark):
+    from nexgap_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [("p1", '{"fuzzy_query": "s"}'), ("p2", "junk")], "prompt string, reply string"
+    )
+    parsed, fails = eng.fuzzify(df, query_col="prompt", response_col="reply")
+    assert parsed.count() == 2
+    assert fails.collect()[0].query == "p2"  # failure frame resolves correctly

@@ -183,6 +183,10 @@ def test_engine_agent_facades(spark):
     urls = spark.createDataFrame([("https://u0.org",)], "url string")
     assert eng.validate_urls(urls, hash_transport).count() == 1
 
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient
+
     queries = spark.createDataFrame([("nothing to do",)], "query string")
-    out = eng.process_urls(queries).collect()[0]
+    out = eng.process_urls(
+        queries, client_factory=MockUrlPipelineClient, transport_factory=hash_transport
+    ).collect()[0]
     assert out.n_extracted == 0 and out.processed_query == "nothing to do"

@@ -141,3 +141,31 @@ def test_stdlib_kernel_in_spark_ops(spark):
 
     with pytest.raises(NotImplementedError):
         M.stdlib_decode_kernel(b"\x89PNG\r\n", "image")
+
+
+def test_wav_stereo_features_consistent():
+    # interleaved stereo must be mixed down: duration, n_samples (frames),
+    # and zcr must agree on the FRAME axis, not the interleaved array
+    import io
+    import wave
+
+    import numpy as np
+
+    from nexgap_spark.operators import multimodal as M
+
+    frames = 40
+    left = np.array([200, -200] * (frames // 2), dtype="<i2")
+    right = np.array([100, -100] * (frames // 2), dtype="<i2")
+    inter = np.empty(frames * 2, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    dur, rms, peak, zcr, mean, n, rate, ch = M.stdlib_decode_kernel(buf.getvalue(), "audio")
+    assert (n, ch) == (float(frames), 2.0)
+    assert dur == frames / 8000  # frames, not frames*channels
+    # mixdown of (+200,+100)/(-200,-100) alternation: +-150 square wave
+    assert (rms, peak, zcr, mean) == (150.0, 150.0, 1.0, 0.0)
