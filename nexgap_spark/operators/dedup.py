@@ -623,3 +623,82 @@ def dedup_corpus_join(
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col(id_col)))
         .select(id_col, F.coalesce("group_size", F.lit(1)).alias("group_size"))
     )
+
+
+def keep_best_per_group(
+    docs: DataFrame,
+    membership: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware dedup representative selection: given a near-dup
+    membership table (e.g. dup_groups output joined back to doc ids), keep
+    the HIGHEST-quality document of each group (lowest id breaks ties, so
+    reruns and distributed retries agree) instead of exact_dedup's min-id
+    rule — the curation-grade end product: near-dup clusters collapse to
+    their best member, not an arbitrary one. Docs absent from the
+    membership table are singletons and pass through untouched.
+
+    Scale shape: one shuffle on group_id for the argmax (max_by over a
+    (quality, -id) struct — no window sort), then a semi-join of the corpus
+    against the winner-id set; the membership side is dup-cluster-sized,
+    candidates only. NULL quality ranks lowest (coalesced below every real
+    score), never wins against a scored sibling."""
+    m = membership.select(F.col(id_col), F.col(group_col))
+    joined = docs.select(F.col(id_col), F.col(quality_col)).join(m, id_col, "left")
+    q = F.coalesce(
+        F.col(quality_col).cast("double"), F.lit(float("-inf"))
+    )
+    winners = (
+        joined.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.max_by(F.col(id_col), F.struct(q, (-F.col(id_col)).alias("_neg"))).alias(id_col))
+        .select(id_col)
+    )
+    keep = winners.unionByName(
+        joined.filter(F.col(group_col).isNull()).select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def incremental_exact(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup against an existing corpus: (fresh docs,
+    their digests). A growing 100 TB corpus is deduped batch-by-batch, not
+    re-scanned — each new batch is (1) collapsed within itself (min id per
+    digest, exact_dedup semantics), then (2) anti-joined against the
+    processed-digest ledger (the S4/S5 skip-if-exists pattern applied to
+    content rather than trace ids). Union the returned digests into the
+    ledger for the next batch.
+
+    Shuffle carries (16-byte digest, id) — never the text. NULL-text rows
+    follow exact_dedup's contract: no equality semantics, every row
+    passes through (and contributes no ledger digest)."""
+    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    hashed = new_docs.withColumn("_h", key)
+    null_id = F.coalesce(
+        F.col(id_col).cast("string"), F.monotonically_increasing_id().cast("string")
+    )
+    batch_key = F.coalesce(F.col("_h"), F.concat(F.lit("\0null:"), null_id))
+    batch_rep = (
+        hashed.withColumn("_bk", batch_key)
+        .groupBy("_bk")
+        .agg(F.min(id_col).alias(id_col), F.first("_h").alias("_h"))
+        .drop("_bk")
+    )
+    ledger = seen_digests.select(F.col(digest_col).alias("_h")).distinct()
+    fresh = batch_rep.join(ledger, "_h", "left_anti")
+    fresh_ids = fresh.select(id_col)
+    fresh_digests = fresh.filter(F.col("_h").isNotNull()).select(
+        F.col("_h").alias(digest_col)
+    )
+    return new_docs.join(fresh_ids, id_col, "left_semi"), fresh_digests

@@ -52,8 +52,11 @@ _DRIVER_WINDOW = [
     "q95_new_tag_parse",
     "q96_url_pipeline",
     "q97_wav_features",
-    # (a) last external green row is r01–r04
-    "q02_regional_revenue",
+    "q98_keep_best_per_group",
+    "q99_incremental_dedup",
+    # (a) last external green row is r01–r04 (q02 cedes its slot — the
+    # driver's entry() smoke exercises it every round anyway; q46/q47 ceded
+    # to the new q97–q99)
     "q03_top_orders",
     "q04_priority_semi_join",
     "q05_customers_no_orders",
@@ -81,7 +84,6 @@ _DRIVER_WINDOW = [
     "q36_embedding_near_dup",
     "q39_emit_qwen",
     "q40_media_features",
-    "q46_cube_sales",
     "q59_top_terms",
     "q60_length_zscore",
     "q61_centroid_outliers",

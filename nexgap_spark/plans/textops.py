@@ -601,3 +601,96 @@ def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — quality-aware dedup representative (round 6): keep the highest-
+# quality member of each dup group (lowest id tiebreak), singletons pass
+# through. Membership synthesized deterministically (groups of ≤5 by id
+# range; docs with doc_id % 17 == 0 stay ungrouped), quality = text length.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q98_keep_best_per_group",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, doc_id - doc_id % 5 AS group_id FROM documents WHERE doc_id % 17 <> 0
+    ),
+    j AS (
+      SELECT d.doc_id, length(d.text) AS q, m.group_id
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    ),
+    w AS (
+      SELECT group_id, doc_id, q,
+             ROW_NUMBER() OVER (
+               PARTITION BY group_id
+               ORDER BY COALESCE(q, -1e308) DESC, doc_id ASC
+             ) AS rn
+      FROM j WHERE group_id IS NOT NULL
+    ),
+    keep AS (
+      SELECT doc_id, q FROM w WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, q FROM j WHERE group_id IS NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS sum_quality
+    FROM keep
+    """,
+)
+def q98_keep_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn("quality", F.length("text"))
+    membership = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("group_id")
+    )
+    kept = dedup.keep_best_per_group(docs, membership)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).cast("long").alias("sum_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — incremental exact dedup (round 6): dedupe a new batch against a
+# processed-digest ledger (prior corpus = docs with doc_id % 3 == 0), the
+# batch-by-batch growth path of a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_incremental_dedup",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5({_NORM}) AS h FROM documents),
+    seen AS (SELECT DISTINCT h FROM h WHERE doc_id % 3 = 0 AND h IS NOT NULL),
+    rep AS (
+      SELECT h, MIN(doc_id) AS doc_id FROM h WHERE h IS NOT NULL GROUP BY h
+      UNION ALL
+      SELECT NULL AS h, doc_id FROM h WHERE h IS NULL
+    ),
+    fresh AS (
+      SELECT r.h, r.doc_id FROM rep r LEFT JOIN seen s ON r.h = s.h WHERE s.h IS NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fresh,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_fresh_ids,
+           CAST(COUNT(h) AS BIGINT) AS n_new_digests
+    FROM fresh
+    """,
+)
+def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5(dedup.normalize_text("text")).alias("digest"))
+        .filter(F.col("digest").isNotNull())
+        .distinct()
+    )
+    fresh, new_digests = dedup.incremental_exact(docs, seen)
+    stats = fresh.agg(
+        F.count("*").alias("n_fresh"), F.sum("doc_id").alias("sum_fresh_ids")
+    )
+    return stats.crossJoin(  # 1-row agg × 1-row agg
+        new_digests.agg(F.count("*").alias("n_new_digests"))
+    )

@@ -134,3 +134,68 @@ def test_capped_lsh_twice_in_one_plan(spark, docs):
     a = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
     b = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
     assert a.unionByName(b).count() == a.count() * 2
+
+
+def test_keep_best_per_group(spark):
+    from nexgap_spark.operators.dedup import keep_best_per_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5), (2, "longer text", 11), (3, "mid", 7),   # group A
+            (4, None, None), (5, "x", 1),                             # group B (4: null quality)
+            (9, "solo", 4),                                           # ungrouped
+        ],
+        "doc_id long, text string, quality long",
+    )
+    membership = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200)],
+        "doc_id long, group_id long",
+    )
+    kept = {r.doc_id for r in keep_best_per_group(docs, membership).collect()}
+    # group A: highest quality (11) wins; group B: null quality never beats
+    # a scored sibling; ungrouped passes through
+    assert kept == {2, 5, 9}
+
+    # tie on quality → lowest id wins (determinism)
+    docs2 = spark.createDataFrame(
+        [(7, "a", 3), (6, "b", 3)], "doc_id long, text string, quality long"
+    )
+    m2 = spark.createDataFrame([(6, 1), (7, 1)], "doc_id long, group_id long")
+    assert {r.doc_id for r in keep_best_per_group(docs2, m2).collect()} == {6}
+
+    # all-null-quality group → lowest id wins
+    docs3 = spark.createDataFrame(
+        [(8, "a", None), (4, "b", None)], "doc_id long, text string, quality long"
+    )
+    m3 = spark.createDataFrame([(4, 1), (8, 1)], "doc_id long, group_id long")
+    assert {r.doc_id for r in keep_best_per_group(docs3, m3).collect()} == {4}
+
+
+def test_incremental_exact(spark):
+    from nexgap_spark.operators.dedup import incremental_exact, normalize_text
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Seen  before"),   # in the ledger (normalization collapses ws)
+            (2, "brand new"),
+            (3, "brand  NEW"),     # within-batch dup of 2 after normalization
+            (4, None),             # NULL text: passes through, no ledger digest
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    seen = (
+        spark.createDataFrame([("seen before",)], "text string")
+        .select(F.md5(normalize_text("text")).alias("digest"))
+    )
+    fresh, new_digests = incremental_exact(batch, seen)
+    assert {r.doc_id for r in fresh.collect()} == {2, 4, 5}
+    # ledger update: one digest for the 'brand new' group, none for NULLs
+    assert new_digests.count() == 1
+
+    # second pass with the updated ledger: nothing fresh but the NULLs
+    ledger2 = seen.unionByName(new_digests)
+    fresh2, nd2 = incremental_exact(batch, ledger2)
+    assert {r.doc_id for r in fresh2.collect()} == {4, 5}
+    assert nd2.count() == 0

@@ -236,6 +236,7 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q64_funnel_conversions",    # two 1-row aggregates cross-joined
         "q77_rolling_active_users",  # 1-row (min,max) date-bounds broadcast
         "q79_rebalance_domains",     # 1-row min-group-size broadcast
+        "q99_incremental_dedup",     # two 1-row aggregates cross-joined
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     offenders = {}
