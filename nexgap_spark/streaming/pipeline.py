@@ -534,3 +534,71 @@ def run_batch_to_memory(stream_df: DataFrame, name: str, *, output_mode: str = "
     )
     q.processAllAvailable()
     return q
+
+
+def read_committed_epochs(spark, out_dir: str, schema: str):
+    """Union of all COMMITTED epoch dirs under ``out_dir`` (uncommitted
+    partials from a mid-write crash are excluded — their epoch will be
+    replayed and overwritten). Empty frame when the sink has no epochs yet."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return spark.createDataFrame([], schema)
+    dirs = [
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("epoch=")
+        and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_COMMITTED"))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(dirs)
+
+
+def incremental_dedup_sink(
+    docs: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming twin of dedup.incremental_exact (T3+T6 + content dedup):
+    each micro-batch is collapsed within itself and anti-joined against the
+    cross-run digest ledger; fresh docs land in epoch-idempotent JSON dirs
+    and the batch's new digests append to the ledger the same way.
+
+    Exactly-once story: both writes go through epoch_write_json, so a
+    replayed epoch is skipped (committed) or recomputed against the
+    ledger-without-this-epoch — deterministic either way. Unlike
+    dedup_events (id-based, watermark-bounded state), the digest ledger IS
+    the state, persisted outside the stream: it survives restarts, spans
+    runs, and its size is the count of distinct documents ever seen —
+    exactly the batch pipeline's ledger, shared. At scale, swap the JSON
+    epoch dirs for a table format; the contract (committed-epoch union,
+    digest column) is unchanged."""
+    from nexgap_spark.operators.dedup import incremental_exact
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        seen = read_committed_epochs(spark, ledger_dir, "digest string")
+        fresh, new_digests = incremental_exact(
+            batch, seen, text_col=text_col, id_col=id_col
+        )
+        # localCheckpoint: the two writes below must not re-execute the
+        # dedup (and its ledger scan) twice per epoch
+        fresh = fresh.localCheckpoint()
+        new_digests = new_digests.localCheckpoint()
+        epoch_write_json(fresh, epoch_id, out_dir)
+        epoch_write_json(new_digests, epoch_id, ledger_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )

@@ -444,3 +444,37 @@ def test_stream_stream_fractional_window(spark, event_stream):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_incremental_dedup_sink_across_runs(spark, tmp_path):
+    # streaming twin of dedup.incremental_exact: content dedup against a
+    # persistent digest ledger, across a stream RESTART (T6)
+    in_dir, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ledger, ckpt = str(tmp_path / "ledger"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)], schema
+    )
+    b1.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = SP.incremental_dedup_sink(stream, out, ledger, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert {r.doc_id for r in spark.read.schema(schema).json(out + "/epoch=*").collect()} == {1, 2, 3}
+
+    # run 2 after restart: content dups of run 1 (different ids) must be
+    # dropped by the persisted ledger; genuinely new content passes
+    b2 = spark.createDataFrame(
+        [(10, "alpha  BETA"), (11, "delta"), (12, None)], schema
+    )
+    b2.write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(schema).parquet(in_dir)
+    q2 = SP.incremental_dedup_sink(stream2, out, ledger, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    kept = {r.doc_id for r in spark.read.schema(schema).json(out + "/epoch=*").collect()}
+    # 10 is a normalized dup of 1; 11 new; 12 NULL text passes through
+    assert kept == {1, 2, 3, 11, 12}
+    digests = SP.read_committed_epochs(spark, ledger, "digest string")
+    assert digests.count() == 3  # alpha-beta, gamma, delta — NULLs never ledger
