@@ -282,3 +282,11 @@ def test_q87_q90_single_arrow_stage(spark):
         # once in the detail section — count the "(N) MapInPandas" headers
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q98_argmax_no_window_sort(spark):
+    # representative selection must be a hash-aggregate argmax (max_by),
+    # never a per-group window sort
+    plan = plan_of(spark, "q98_keep_best_per_group")
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
