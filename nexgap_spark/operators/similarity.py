@@ -696,3 +696,108 @@ def kmeans_update(
             F.round(F.sum("isum") / F.lit(1e9), 6).alias("dim_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence (round 6): build once, query many. The serving-side
+# pattern a 100 TB corpus actually needs — assignment cost is paid at build
+# time, and a query run reads ONLY the probed clusters' files.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> None:
+    """Persist an IVF index: the corpus with its coarse-quantization
+    assignment, written as parquet PARTITIONED BY centroid_id — so a
+    query-time filter on probed centroids becomes partition PRUNING (the
+    scan literally skips the unprobed clusters' files) — plus the centroid
+    table alongside. Build cost = one assign_clusters pass + one write."""
+    assigned = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path.rstrip('/')}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned corpus, centroids) back from build_ivf_index's layout."""
+    root = path.rstrip("/")
+    return spark.read.parquet(f"{root}/corpus"), spark.read.parquet(f"{root}/centroids")
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = DEFAULT_DIM,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED index: route each query to its
+    ``nprobe`` nearest centroids (driver-side over the small centroid
+    table), filter the partitioned corpus to the probed centroid ids —
+    partition pruning, the real IO saving — then ONE broadcast join of the
+    per-centroid query blocks onto the pruned corpus and a per-query top-k
+    window. Declarative throughout: scan pruning, broadcast, and the
+    WindowGroupLimit rank pushdown are Catalyst's work, not hand-scheduled.
+
+    Same semantics as ivf_topk at equal (centroids, nprobe); at
+    nprobe = n_centroids it degenerates to exact brute force."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    corpus, centroids = load_ivf_index(spark, index_path)
+    cent_pd = _collect_small_side(
+        centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"
+    )
+    cent_ids = cent_pd["centroid_id"].to_numpy()
+    cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)
+    q_pd = _collect_small_side(queries, [F.col(id_col), F.col(vec_col)], "query side")
+    q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
+    q_probes = _np_assign_topm(q_mat, cent_ids, cent_mat, max(1, nprobe))
+
+    probe_rows = [
+        (int(q_pd[id_col].iloc[i]), list(map(float, q_mat[i])), cent_ids[c].item()
+         if hasattr(cent_ids[c], "item") else cent_ids[c])
+        for i in range(len(q_pd))
+        for c in map(int, q_probes[i])
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, f"q_id long, q_vec array<double>, centroid_id string"
+    ) if cent_ids.dtype.kind in "OU" else spark.createDataFrame(
+        probe_rows, "q_id long, q_vec array<double>, centroid_id bigint"
+    )
+    probed_ids = sorted({r[2] for r in probe_rows})
+    pruned = corpus.filter(F.col("centroid_id").isin(probed_ids))
+    scored = (
+        pruned.join(F.broadcast(probes), "centroid_id")
+        # self-matches excluded, same contract as brute_force_topk/ivf_topk
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cos",
+            dot(F.col(vec_col), F.col("q_vec"), dim)
+            / (norm(F.col(vec_col), dim) * norm(F.col("q_vec"), dim)),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("q_id"),
+            F.col(id_col).alias("n_id"),
+            F.round("cos", 6).alias("cos"),
+            F.col("_rn").alias("rank"),
+        )
+    )

@@ -154,3 +154,46 @@ def test_small_side_cap_enforced(spark, monkeypatch):
     monkeypatch.setattr(similarity, "SMALL_SIDE_MAX_ROWS", 50)
     out = similarity.brute_force_topk(vecs, vecs, k=2, dim=4)
     assert out.count() == 20
+
+
+def test_ivf_index_build_and_query(spark, tmp_path):
+    # build-once/query-many: persisted IVF index with partition-pruned search
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, path)
+    corpus, loaded_cents = load_ivf_index(spark, path)
+    assert corpus.count() == emb.count() and loaded_cents.count() == 8
+    assert "centroid_id" in corpus.columns
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # full probe degenerates to exact brute force
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(queries, emb, k=3).collect()}
+    full = ivf_topk_indexed(queries, path, k=3, nprobe=8)
+    got = {(r.q_id, r.n_id) for r in full.collect()}
+    assert got == exact
+
+    # nprobe=1 must actually PRUNE: the scan reads only probed partitions
+    one = ivf_topk_indexed(queries, path, k=3, nprobe=1)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    got1 = {(r.q_id, r.n_id) for r in one.collect()}
+    assert got1  # non-empty, recall <= exact
+    assert len(got1 & exact) <= len(exact)
