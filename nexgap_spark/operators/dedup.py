@@ -54,6 +54,26 @@ def hexint(col: Column, chars: int = 8) -> Column:
     return F.conv(F.substring(F.md5(col), 1, chars), 16, 10).cast("long")
 
 
+def content_key(
+    text_col: str, id_col: str | None = None, *, normalize: bool = True
+) -> Column:
+    """THE exact-dedup grouping key, shared by exact_dedup / dup_stats /
+    incremental_exact so the digest contract can never drift between batch
+    dedup, stats, and the incremental ledger: md5 of the (optionally
+    normalized) text, with a per-row ``\\0null:``-prefixed fallback for NULL
+    text (NULL carries no equality semantics — grouping on md5(NULL)=NULL
+    would silently collapse every null-text doc into one survivor). The \\0
+    prefix cannot collide with md5 hex output. When ``id_col`` is given the
+    fallback prefers the document id (stable across runs); a NULL id — or
+    id_col=None — falls back to monotonically_increasing_id so (NULL text,
+    NULL id) rows still key uniquely instead of re-collapsing."""
+    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    rid = F.monotonically_increasing_id().cast("string")
+    if id_col is not None:
+        rid = F.coalesce(F.col(id_col).cast("string"), rid)
+    return F.coalesce(key, F.concat(F.lit("\0null:"), rid))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -75,15 +95,8 @@ def exact_dedup(
     would silently collapse ALL null-text documents to one survivor. Each
     NULL row instead gets a per-row key derived from its id, so they all
     pass through."""
-    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
-    # NULL id would NULL the concat and re-collapse all (NULL text, NULL id)
-    # rows into one group; fall back to a per-row id like dup_stats does.
-    null_id = F.coalesce(
-        F.col(id_col).cast("string"), F.monotonically_increasing_id().cast("string")
-    )
-    key = F.coalesce(key, F.concat(F.lit("\0null:"), null_id))
     return (
-        df.withColumn("_h", key)
+        df.withColumn("_h", content_key(text_col, id_col, normalize=normalize))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col))
         .drop("_h")
@@ -95,11 +108,7 @@ def dup_stats(df: DataFrame, *, text_col: str = "text", normalize: bool = True) 
     largest group. NULL-text rows count as singletons (same contract as
     exact_dedup: NULL is not equal to NULL), each keyed uniquely — the \\0
     prefix cannot collide with md5 hex output."""
-    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
-    key = F.coalesce(
-        key,
-        F.concat(F.lit("\0null:"), F.monotonically_increasing_id().cast("string")),
-    )
+    key = content_key(text_col, None, normalize=normalize)
     groups = df.select(key.alias("h")).groupBy("h").agg(F.count("*").alias("c"))
     return groups.agg(
         F.sum("c").alias("n_docs"),
@@ -641,20 +650,30 @@ def keep_best_per_group(
     their best member, not an arbitrary one. Docs absent from the
     membership table are singletons and pass through untouched.
 
-    Scale shape: one shuffle on group_id for the argmax (max_by over a
-    (quality, -id) struct — no window sort), then a semi-join of the corpus
+    Scale shape: one shuffle on group_id for the argmax (min_by over a
+    (-quality, id) struct — no window sort), then a semi-join of the corpus
     against the winner-id set; the membership side is dup-cluster-sized,
-    candidates only. NULL quality ranks lowest (coalesced below every real
-    score), never wins against a scored sibling."""
+    candidates only. NULL *and NaN* quality rank lowest (NaN would
+    otherwise compare ABOVE every real double in Spark's ordering — a
+    failed scorer's garbage doc must not beat scored siblings); the
+    tiebreak is min-id via struct ordering, not id negation, so string/UUID
+    ids work (negating a string id is an ANSI analysis error — the same
+    hazard assign_clusters documents)."""
     m = membership.select(F.col(id_col), F.col(group_col))
     joined = docs.select(F.col(id_col), F.col(quality_col)).join(m, id_col, "left")
     q = F.coalesce(
-        F.col(quality_col).cast("double"), F.lit(float("-inf"))
+        F.nanvl(F.col(quality_col).cast("double"), F.lit(None).cast("double")),
+        F.lit(float("-inf")),
     )
     winners = (
         joined.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
-        .agg(F.max_by(F.col(id_col), F.struct(q, (-F.col(id_col)).alias("_neg"))).alias(id_col))
+        .agg(
+            F.min_by(
+                F.col(id_col),
+                F.struct((-q).alias("_negq"), F.col(id_col).alias("_id")),
+            ).alias(id_col)
+        )
         .select(id_col)
     )
     keep = winners.unionByName(
@@ -680,25 +699,36 @@ def incremental_exact(
     content rather than trace ids). Union the returned digests into the
     ledger for the next batch.
 
-    Shuffle carries (16-byte digest, id) — never the text. NULL-text rows
-    follow exact_dedup's contract: no equality semantics, every row
-    passes through (and contributes no ledger digest)."""
+    Shuffle carries (16-byte digest, row key) — never the text. NULL-text
+    rows follow exact_dedup's contract: no equality semantics, every row
+    passes through (and contributes no ledger digest). NULL-id rows pass
+    through too — the semi-join back to the batch runs on the same
+    never-NULL (_bk, _rid) pair the representative was chosen by, not on
+    the id column (a NULL id would never match itself and the row would be
+    dropped from the output while its digest still entered the ledger:
+    permanent content suppression)."""
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
-    hashed = new_docs.withColumn("_h", key)
-    null_id = F.coalesce(
+    rid = F.coalesce(
         F.col(id_col).cast("string"), F.monotonically_increasing_id().cast("string")
     )
-    batch_key = F.coalesce(F.col("_h"), F.concat(F.lit("\0null:"), null_id))
-    batch_rep = (
-        hashed.withColumn("_bk", batch_key)
-        .groupBy("_bk")
-        .agg(F.min(id_col).alias(id_col), F.first("_h").alias("_h"))
-        .drop("_bk")
+    hashed = (
+        new_docs.withColumn("_h", key)
+        .withColumn("_rid", rid)
+        .withColumn("_bk", F.coalesce(F.col("_h"), F.concat(F.lit("\0null:"), F.col("_rid"))))
+    )
+    # one representative per in-batch content key; min string _rid mirrors
+    # exact_dedup's min-id rule and is never NULL
+    batch_rep = hashed.groupBy("_bk").agg(
+        F.min("_rid").alias("_rid"), F.first("_h").alias("_h")
     )
     ledger = seen_digests.select(F.col(digest_col).alias("_h")).distinct()
+    # NULL _h (null-text rows) never matches the ledger → always fresh
     fresh = batch_rep.join(ledger, "_h", "left_anti")
-    fresh_ids = fresh.select(id_col)
     fresh_digests = fresh.filter(F.col("_h").isNotNull()).select(
         F.col("_h").alias(digest_col)
     )
-    return new_docs.join(fresh_ids, id_col, "left_semi"), fresh_digests
+    out = (
+        hashed.join(fresh.select("_bk", "_rid"), ["_bk", "_rid"], "left_semi")
+        .drop("_h", "_rid", "_bk")
+    )
+    return out, fresh_digests

@@ -767,11 +767,14 @@ def ivf_topk_indexed(
     q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
     q_probes = _np_assign_topm(q_mat, cent_ids, cent_mat, max(1, nprobe))
 
+    # _np_assign_topm returns the probed centroids' IDs (not positions) —
+    # use them verbatim; indexing cent_ids with them would silently probe
+    # the wrong cluster whenever ids aren't 0..n-1 in collect order.
     probe_rows = [
-        (int(q_pd[id_col].iloc[i]), list(map(float, q_mat[i])), cent_ids[c].item()
-         if hasattr(cent_ids[c], "item") else cent_ids[c])
+        (int(q_pd[id_col].iloc[i]), list(map(float, q_mat[i])),
+         cid.item() if hasattr(cid, "item") else cid)
         for i in range(len(q_pd))
-        for c in map(int, q_probes[i])
+        for cid in q_probes[i]
     ]
     probes = spark.createDataFrame(
         probe_rows, f"q_id long, q_vec array<double>, centroid_id string"
@@ -789,6 +792,10 @@ def ivf_topk_indexed(
             dot(F.col(vec_col), F.col("q_vec"), dim)
             / (norm(F.col(vec_col), dim) * norm(F.col("q_vec"), dim)),
         )
+        # zero-norm vectors give cos = 0/0 = NaN, which Spark orders ABOVE
+        # every real double — drop non-finite scores, same contract as
+        # brute_force_topk/ivf_topk's np.isfinite mask
+        .filter(~F.isnan("cos") & F.col("cos").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (

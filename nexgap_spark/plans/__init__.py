@@ -55,7 +55,7 @@ _DRIVER_WINDOW = [
     "q98_keep_best_per_group",
     "q99_incremental_dedup",
     # (a) last external green row is r01–r04 (q02 cedes its slot — the
-    # driver's entry() smoke exercises it every round anyway; q46/q47 ceded
+    # driver's entry() smoke exercises it every round anyway; q46 ceded
     # to the new q97–q99)
     "q03_top_orders",
     "q04_priority_semi_join",

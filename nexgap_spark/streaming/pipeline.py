@@ -581,18 +581,24 @@ def incremental_dedup_sink(
     exactly the batch pipeline's ledger, shared. At scale, swap the JSON
     epoch dirs for a table format; the contract (committed-epoch union,
     digest column) is unchanged."""
-    from nexgap_spark.operators.dedup import incremental_exact
+    from nexgap_spark.operators.dedup import incremental_exact, normalize_text
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         seen = read_committed_epochs(spark, ledger_dir, "digest string")
-        fresh, new_digests = incremental_exact(
+        fresh, _ = incremental_exact(
             batch, seen, text_col=text_col, id_col=id_col
         )
-        # localCheckpoint: the two writes below must not re-execute the
-        # dedup (and its ledger scan) twice per epoch
+        # ONE localCheckpoint materializes the dedup (and its ledger scan)
+        # exactly once per epoch; the digest write is then a projection over
+        # the checkpointed rows — each fresh row is exactly one content key,
+        # so re-hashing its text reproduces incremental_exact's digest set
+        # without re-executing the upstream plan (checkpointing both returned
+        # DataFrames would run the whole dedup twice: eager per-DataFrame).
         fresh = fresh.localCheckpoint()
-        new_digests = new_digests.localCheckpoint()
+        new_digests = fresh.select(
+            F.md5(normalize_text(text_col)).alias("digest")
+        ).filter(F.col("digest").isNotNull())
         epoch_write_json(fresh, epoch_id, out_dir)
         epoch_write_json(new_digests, epoch_id, ledger_dir)
 

@@ -168,8 +168,11 @@ def test_ivf_index_build_and_query(spark, tmp_path):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # NON-contiguous centroid ids (3, 13, ..., 73): centroid id must be used
+    # as an ID, never as a position into the collected centroid array — a
+    # double-indexing routing bug crashes or silently probes wrong clusters
     cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+        (F.col("vec_id") * 10 + 3).alias("centroid_id"), "embedding"
     )
     path = str(tmp_path / "ivf")
     build_ivf_index(emb, cents, path)
@@ -194,6 +197,37 @@ def test_ivf_index_build_and_query(spark, tmp_path):
         one.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "centroid_id" in plan
-    got1 = {(r.q_id, r.n_id) for r in one.collect()}
-    assert got1  # non-empty, recall <= exact
-    assert len(got1 & exact) <= len(exact)
+
+    # nprobe=1 semantics pinned for real: every returned neighbor lives in
+    # the query's OWN nearest cluster, and every reported cosine matches a
+    # recomputed value (a wrong-cluster probe or score bug fails here)
+    import numpy as np
+
+    from nexgap_spark.operators.similarity import _np_assign_topm
+
+    rows1 = one.collect()
+    assert rows1
+    cent_pd = loaded_cents.toPandas()
+    cent_ids = cent_pd["centroid_id"].to_numpy()
+    cent_mat = np.stack(cent_pd["embedding"].to_numpy()).astype(np.float64)
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in corpus.select("vec_id", "centroid_id").collect()
+    }
+    q_map = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in queries.select("vec_id", "embedding").collect()
+    }
+    emb_map = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for qid, qv in q_map.items():
+        probe = int(_np_assign_topm(qv[None, :], cent_ids, cent_mat, 1)[0][0])
+        for r in rows1:
+            if r.q_id != qid:
+                continue
+            assert assigned[r.n_id] == probe, (qid, r.n_id)
+            nv = emb_map[r.n_id]
+            ref = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            assert abs(ref - r.cos) < 1e-4

@@ -170,6 +170,29 @@ def test_keep_best_per_group(spark):
     m3 = spark.createDataFrame([(4, 1), (8, 1)], "doc_id long, group_id long")
     assert {r.doc_id for r in keep_best_per_group(docs3, m3).collect()} == {4}
 
+    # NaN quality (failed scorer) must NOT beat a scored sibling — Spark
+    # orders NaN above every real double, so an unguarded struct-argmax
+    # would pick the garbage-scored doc
+    docs4 = spark.createDataFrame(
+        [(10, "a", float("nan")), (11, "b", 0.2)],
+        "doc_id long, text string, quality double",
+    )
+    m4 = spark.createDataFrame([(10, 1), (11, 1)], "doc_id long, group_id long")
+    assert {r.doc_id for r in keep_best_per_group(docs4, m4).collect()} == {11}
+
+    # string/UUID doc ids: the tiebreak must not negate the id column
+    docs5 = spark.createDataFrame(
+        [("b-uuid", "x", 3.0), ("a-uuid", "y", 3.0), ("c-uuid", "z", 9.0)],
+        "doc_id string, text string, quality double",
+    )
+    m5 = spark.createDataFrame(
+        [("a-uuid", 1), ("b-uuid", 1), ("c-uuid", 2)], "doc_id string, group_id long"
+    )
+    assert {r.doc_id for r in keep_best_per_group(docs5, m5).collect()} == {
+        "a-uuid",  # quality tie → lexicographically lowest id
+        "c-uuid",
+    }
+
 
 def test_incremental_exact(spark):
     from nexgap_spark.operators.dedup import incremental_exact, normalize_text
@@ -199,3 +222,38 @@ def test_incremental_exact(spark):
     fresh2, nd2 = incremental_exact(batch, ledger2)
     assert {r.doc_id for r in fresh2.collect()} == {4, 5}
     assert nd2.count() == 0
+
+
+def test_incremental_exact_null_ids(spark):
+    # NULL-id rows must pass through (not be dropped while their digest is
+    # still ledgered — that would permanently suppress the content): the
+    # semi-join back to the batch runs on the never-NULL (_bk, _rid) pair
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.dedup import incremental_exact
+
+    batch = spark.createDataFrame(
+        [
+            (None, "only null-id content"),   # NULL id, unseen text
+            (None, None),                     # NULL id AND NULL text
+            (7, "normal row"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([], "digest string")
+    fresh, new_digests = incremental_exact(batch, seen)
+    got = [(r.doc_id, r.text) for r in fresh.collect()]
+    assert (None, "only null-id content") in got
+    assert (None, None) in got
+    assert (7, "normal row") in got
+    assert len(got) == 3
+    # ledger gets digests only for rows that were actually emitted, and
+    # none for NULL text
+    assert new_digests.count() == 2
+
+    # second pass: the null-TEXT row still passes (no equality semantics),
+    # but the null-ID row's content is now in the ledger → suppressed
+    ledger2 = seen.unionByName(new_digests)
+    fresh2, _ = incremental_exact(batch, ledger2)
+    got2 = [(r.doc_id, r.text) for r in fresh2.collect()]
+    assert got2 == [(None, None)]
