@@ -192,6 +192,33 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) rows: the signature banded into ``bands`` slices,
+    each bucketed by md5 of its slice (band id is part of the output key,
+    so cross-band bucket collisions cannot conflate). Shared by
+    lsh_candidate_pairs (self-join form) and incremental_minhash
+    (batch-vs-ledger join form) so both sides of an incremental run bucket
+    identically."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -248,20 +275,11 @@ def lsh_candidate_pairs(
             f"need bands >= 1 and rows_per_band >= 1, got bands={bands}, "
             f"rows_per_band={rows_per_band}"
         )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
-        )
     if oversized not in ("drop", "salt"):
         raise ValueError(f"oversized must be 'drop' or 'salt', got {oversized!r}")
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(
+        signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
     join_keys = ["band", "bucket"]
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
@@ -732,3 +750,123 @@ def incremental_exact(
         .drop("_h", "_rid", "_bk")
     )
     return out, fresh_digests
+
+
+def incremental_minhash(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup against a signature ledger: the fuzzy twin
+    of incremental_exact. A growing corpus is near-deduped batch-by-batch
+    without ever touching the already-ingested text — the ledger stores
+    only the MinHash signatures (k longs per doc), which is the entire
+    point of a signature sketch: similarity against 100 TB of history costs
+    a banded equi-join and a k-component compare, not a re-shingle of the
+    archive.
+
+    Per batch: (1) shingle + sign the batch; (2) LSH-band both the batch
+    signatures and the ledger signatures with the SAME banding
+    (_band_buckets), so candidates are an equi-join on (band, bucket) —
+    never an all-pairs scan; (3) estimate Jaccard for each candidate as the
+    fraction of equal signature components (the standard MinHash estimator
+    — unbiased, and the only estimate available once the original text is
+    gone); (4) suppress batch docs whose estimate against ANY ledger doc
+    reaches ``threshold``, plus the larger id of any within-batch candidate
+    pair at/over threshold (one-pass min-id-survives rule — the transitive
+    end-product is dup_groups' job, not the ingest gate's). Docs too short
+    to shingle (or NULL text) have no signature, cannot be suppressed, and
+    contribute nothing to the ledger — exact_dedup's NULL contract, lifted
+    to the fuzzy path.
+
+    Returns (fresh docs, their signatures); union the signatures into the
+    ledger for the next batch. Scale shape: the batch shuffles on
+    (band, bucket) — 16-byte keys — the ledger side is read-only and
+    prunable by bucket; hot buckets on EITHER side are dropped past
+    ``max_bucket_size`` (same mega-bucket guard as lsh_candidate_pairs —
+    a boilerplate flood in the archive must not turn one ingest batch into
+    a k² join)."""
+    sh = shingle_table(
+        new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    mh = [f"mh{j}" for j in range(num_hashes)]
+
+    def _cap(buckets: DataFrame) -> DataFrame:
+        if max_bucket_size is None:
+            return buckets
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        over = F.col("_bsz") > max_bucket_size
+        sized = sized.observe(
+            f"incr_minhash_bucket_cap_{next(_OBSERVE_SEQ)}",
+            F.sum(over.cast("long")).alias("dropped_rows"),
+        )
+        return sized.filter(~over).drop("_bsz")
+
+    bb_new = _cap(
+        _band_buckets(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    )
+    bb_led = _cap(
+        _band_buckets(
+            seen_sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        )
+    )
+    cand_led = (
+        bb_new.select(F.col(id_col).alias("_n"), "band", "bucket")
+        .join(bb_led.select(F.col(id_col).alias("_l"), "band", "bucket"), ["band", "bucket"])
+        .select("_n", "_l")
+        .distinct()
+    )
+    sig_n = sigs.select(
+        F.col(id_col).alias("_n"), *[F.col(c).alias(f"_n_{c}") for c in mh]
+    )
+    sig_l = seen_sigs.select(
+        F.col(id_col).alias("_l"), *[F.col(c).alias(f"_l_{c}") for c in mh]
+    )
+    def _est(pfx_a: str, pfx_b: str):
+        import functools
+        import operator as _op
+
+        eq = [
+            (F.col(f"{pfx_a}{c}") == F.col(f"{pfx_b}{c}")).cast("int") for c in mh
+        ]
+        return functools.reduce(_op.add, eq) / F.lit(num_hashes)
+
+    sup_led = (
+        cand_led.join(sig_n, "_n")
+        .join(sig_l, "_l")
+        .filter(_est("_n_", "_l_") >= threshold)
+        .select(F.col("_n").alias(id_col))
+        .distinct()
+    )
+    cand_in = lsh_candidate_pairs(
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    sig_a = sigs.select(F.col(id_col).alias("a"), *[F.col(c).alias(f"_a_{c}") for c in mh])
+    sig_b = sigs.select(F.col(id_col).alias("b"), *[F.col(c).alias(f"_b_{c}") for c in mh])
+    drop_in = (
+        cand_in.join(sig_a, "a")
+        .join(sig_b, "b")
+        .filter(_est("_a_", "_b_") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    suppressed = sup_led.unionByName(drop_in).distinct()
+    fresh = new_docs.join(suppressed, id_col, "left_anti")
+    fresh_sigs = sigs.join(fresh.select(id_col), id_col, "left_semi")
+    return fresh, fresh_sigs

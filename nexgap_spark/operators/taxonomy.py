@@ -162,3 +162,103 @@ def expand_tree_round(
         (F.col("p_depth") + 1).cast("int").alias("depth"),
     )
     return paths.unionByName(new_paths)
+
+
+def write_tree_html(
+    paths: DataFrame,
+    out_path: str,
+    *,
+    language: str = "english",
+    counts: DataFrame | None = None,
+    max_paths: int = 100_000,
+) -> str:
+    """S10 (reference problem_type_tree/visualizer.py:37-74): render the
+    taxonomy tree + statistics to ONE self-contained HTML file. The
+    reference collects the in-memory tree and emits a D3 page; here the
+    paths TABLE is the tree, so the sink re-nests the (capped) collected
+    paths driver-side and renders a dependency-free collapsible tree —
+    no CDN scripts, so the artifact works air-gapped. Driver-side by
+    contract (single output file, like S8); the explicit cap turns an
+    accidental huge collect into an error. Returns ``out_path``."""
+    import html as _html
+    from pathlib import Path
+
+    label_col = (
+        "zh_labels" if language.lower() in ("chinese", "zh", "zh-cn") else "en_labels"
+    )
+    rows = paths.select(
+        "framework", "path_id", "node_ids", label_col, "depth"
+    ).limit(max_paths + 1).collect()
+    if len(rows) > max_paths:
+        raise ValueError(
+            f"write_tree_html: tree exceeds max_paths={max_paths}; "
+            "a taxonomy this size needs a paged/sharded render, not one file"
+        )
+    count_map: dict[tuple[str, str], int] = {}
+    if counts is not None:
+        count_map = {
+            (r["framework"], r["path_id"]): r["n_samples"]
+            for r in counts.select("framework", "path_id", "n_samples").collect()
+        }
+
+    # re-nest: per framework, a trie keyed by node id carrying its label
+    trees: dict[str, dict] = {}
+    for r in rows:
+        node = trees.setdefault(r["framework"], {"label": r["framework"], "kids": {}})
+        for nid, lab in zip(r["node_ids"], r[label_col]):
+            node = node["kids"].setdefault(nid, {"label": lab, "kids": {}})
+        node["n_samples"] = count_map.get((r["framework"], r["path_id"]))
+
+    def render(node: dict, depth: int) -> str:
+        lab = _html.escape(str(node["label"]))
+        badge = (
+            f' <span class="n">({node["n_samples"]})</span>'
+            if node.get("n_samples") is not None
+            else ""
+        )
+        if not node["kids"]:
+            return f"<li><span class='leaf'>{lab}</span>{badge}</li>"
+        inner = "".join(
+            render(k, depth + 1) for _, k in sorted(node["kids"].items())
+        )
+        op = " open" if depth < 2 else ""
+        return (
+            f"<li><details{op}><summary>{lab}{badge}</summary>"
+            f"<ul>{inner}</ul></details></li>"
+        )
+
+    # statistics block — same figures as tree_stats (A7), computed from the
+    # already-collected rows (no second job)
+    stat_rows = []
+    for fw in sorted(trees):
+        fw_rows = [r for r in rows if r["framework"] == fw]
+        depths = [r["depth"] for r in fw_rows]
+        nodes = {nid for r in fw_rows for nid in r["node_ids"]}
+        stat_rows.append(
+            f"<tr><td>{_html.escape(fw)}</td><td>{len(nodes)}</td>"
+            f"<td>{len(fw_rows)}</td><td>{min(depths)}</td><td>{max(depths)}</td>"
+            f"<td>{sum(depths)/len(depths):.2f}</td></tr>"
+        )
+    body = "".join(
+        f"<h2>{_html.escape(fw)}</h2><ul class='tree'>{render(t, 0)}</ul>"
+        for fw, t in sorted(trees.items())
+    )
+    doc = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>Problem type taxonomy</title><style>"
+        "body{font-family:sans-serif;margin:2em}ul.tree,ul.tree ul{list-style:none;"
+        "padding-left:1.2em}summary{cursor:pointer}.leaf{color:#333}"
+        ".n{color:#888;font-size:smaller}table{border-collapse:collapse}"
+        "td,th{border:1px solid #ccc;padding:2px 8px}</style></head><body>"
+        "<h1>Problem type taxonomy</h1>"
+        "<table><tr><th>framework</th><th>nodes</th><th>paths</th>"
+        "<th>min depth</th><th>max depth</th><th>avg depth</th></tr>"
+        + "".join(stat_rows)
+        + "</table>"
+        + body
+        + "</body></html>"
+    )
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(doc, encoding="utf-8")
+    return str(p)

@@ -694,3 +694,90 @@ def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(  # 1-row agg × 1-row agg
         new_digests.agg(F.count("*").alias("n_new_digests"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — incremental NEAR-dup dedup against a signature ledger: the fuzzy
+# twin of q99. The "archive" is documents with doc_id % 3 != 0 — only its
+# SIGNATURES survive as the ledger — and the "batch" (doc_id % 3 == 0) is
+# near-deduped against both the ledger and itself via LSH banding + the
+# k-component Jaccard estimate. Output: the fresh batch doc ids.
+# ---------------------------------------------------------------------------
+
+
+def _incr_minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN((hv * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+
+    def _bands(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band, md5(mh{2 * b}::VARCHAR || '-' || "
+            f"mh{2 * b + 1}::VARCHAR) AS bucket FROM {src}"
+            for b in range(4)
+        )
+
+    est = "(" + " + ".join(
+        f"CASE WHEN sn.mh{j} = sl.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+    ) + ") / 8.0"
+    est_in = "(" + " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+    ) + ") / 8.0"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST({_SHINGLES3}) AS u(s)
+    ),
+    h AS (SELECT doc_id, {_HEXINT.format(expr='s')} AS hv FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    sig_b AS (SELECT * FROM sig WHERE doc_id % 3 = 0),
+    sig_c AS (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+    bb_b AS (
+      {_bands('sig_b')}
+    ),
+    bb_c AS (
+      {_bands('sig_c')}
+    ),
+    cand_led AS (
+      SELECT DISTINCT n.doc_id AS nid, l.doc_id AS lid
+      FROM bb_b n JOIN bb_c l ON n.band = l.band AND n.bucket = l.bucket
+    ),
+    sup_led AS (
+      SELECT DISTINCT nid FROM cand_led
+      JOIN sig_b sn ON sn.doc_id = nid
+      JOIN sig_c sl ON sl.doc_id = lid
+      WHERE {est} >= 0.5
+    ),
+    cand_in AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bb_b x JOIN bb_b y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    drop_in AS (
+      SELECT DISTINCT b FROM cand_in
+      JOIN sig_b sa ON sa.doc_id = cand_in.a
+      JOIN sig_b sb ON sb.doc_id = cand_in.b
+      WHERE {est_in} >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 0
+      AND doc_id NOT IN (SELECT nid FROM sup_led)
+      AND doc_id NOT IN (SELECT b FROM drop_in)
+    ORDER BY doc_id
+    """
+
+
+@query("q100_incremental_minhash", oracle=_incr_minhash_oracle())
+def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    archive = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    ledger = dedup.minhash_signatures(dedup.shingle_table(archive))
+    fresh, _sigs = dedup.incremental_minhash(batch, ledger)
+    return fresh.select("doc_id").orderBy("doc_id")

@@ -187,3 +187,79 @@ def write_stats_json(df: DataFrame, path: str) -> dict[str, Any]:
     with open(path, "w") as f:
         json.dump(stats, f, indent=2, default=str)
     return stats
+
+
+# -- S17: per-task log sink ------------------------------------------------
+
+
+def write_task_logs(
+    df: DataFrame,
+    log_dir: str,
+    *,
+    index_col: str = "task_index",
+    framework_col: str = "framework",
+    query_col: str = "query",
+    success_col: str = "success",
+    detail_col: str = "detail",
+    timestamp: str | None = None,
+    max_tasks: int = 10_000,
+) -> list[str]:
+    """S17 (reference run_end_to_end.py:736-799): one log file per task with
+    the reference's header/footer framing — ``query_{i:03d}_{framework}_
+    {timestamp}.log`` containing an ``='*80`` banner, "Log Started", the
+    framework, the query truncated at 200 chars, the task detail body, and
+    a Status footer. Driver-side by contract (many small local files, like
+    S8's single-array sink); the formatting itself is JVM-side — the full
+    log content is built as ONE string column before the capped collect, so
+    the driver only writes bytes. ``timestamp`` is injectable for
+    deterministic tests (defaults to the current UTC time). Returns the
+    written paths."""
+    import re
+    from datetime import datetime, timezone
+    from pathlib import Path
+
+    if timestamp is None:
+        timestamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S_%f")
+    total = df.count()
+    if total > max_tasks:
+        raise ValueError(
+            f"write_task_logs: {total} tasks exceeds max_tasks={max_tasks}; "
+            "per-task driver-side files don't scale past that — use a "
+            "partitioned text sink for bulk logs"
+        )
+    bar = "=" * 80
+    q = F.coalesce(F.col(query_col).cast("string"), F.lit(""))
+    q_short = F.when(
+        F.length(q) > 200, F.concat(F.substring(q, 1, 200), F.lit("..."))
+    ).otherwise(q)
+    content = F.concat(
+        F.lit(bar + "\n"),
+        F.format_string(f"Query %s/{total} - Log Started\n", F.col(index_col)),
+        F.lit(f"Timestamp: {timestamp}\n"),
+        F.format_string("Framework: %s\n", F.coalesce(F.col(framework_col), F.lit(""))),
+        F.format_string("Query: %s\n", q_short),
+        F.lit(bar + "\n\n"),
+        F.coalesce(F.col(detail_col).cast("string"), F.lit("")),
+        F.lit("\n" + bar + "\n"),
+        F.format_string("Query %s - Log Ended\n", F.col(index_col)),
+        F.concat(
+            F.lit("Status: "),
+            F.when(F.col(success_col), F.lit("Success")).otherwise(F.lit("Failed")),
+            F.lit("\n"),
+        ),
+        F.lit(bar + "\n"),
+    )
+    rows = df.select(
+        F.col(index_col).cast("long").alias("_i"),
+        F.coalesce(F.col(framework_col), F.lit("unknown")).alias("_fw"),
+        content.alias("_content"),
+    ).collect()
+    out_dir = Path(log_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written: list[str] = []
+    for r in rows:
+        fw = re.sub(r"[^A-Za-z0-9_-]", "_", str(r["_fw"]))
+        p = out_dir / f"query_{int(r['_i']):03d}_{fw}_{timestamp}.log"
+        p.write_text(r["_content"], encoding="utf-8")
+        written.append(str(p))
+    return written

@@ -257,3 +257,43 @@ def test_incremental_exact_null_ids(spark):
     fresh2, _ = incremental_exact(batch, ledger2)
     got2 = [(r.doc_id, r.text) for r in fresh2.collect()]
     assert got2 == [(None, None)]
+
+
+def test_incremental_minhash(spark):
+    # fuzzy twin of incremental_exact: batch near-deduped against a
+    # signature-only ledger (archive text is gone) and within itself
+    from nexgap_spark.operators.dedup import (
+        incremental_minhash,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    archive = spark.createDataFrame(
+        [(100, base), (101, "completely different archived content here today")],
+        "doc_id long, text string",
+    )
+    ledger = minhash_signatures(shingle_table(archive))
+    batch = spark.createDataFrame(
+        [
+            (1, base),                                   # exact dup of archived 100
+            (2, "unrelated brand new document about spark engines"),
+            (3, "unrelated brand new document about spark engines"),  # in-batch dup of 2
+            (4, None),                                    # NULL text: passes
+            (5, "tiny"),                                  # too short to shingle: passes
+        ],
+        "doc_id long, text string",
+    )
+    fresh, fresh_sigs = incremental_minhash(batch, ledger)
+    ids = {r.doc_id for r in fresh.collect()}
+    # 1 suppressed by ledger; 3 dropped as in-batch dup of 2 (min id wins);
+    # 4/5 unshingleable → pass through
+    assert ids == {2, 4, 5}
+    # ledger update: signatures only for emitted, shingleable docs
+    assert {r.doc_id for r in fresh_sigs.collect()} == {2}
+
+    # second pass with the grown ledger: 2's twin (3) now suppressed by the
+    # LEDGER as well, and 2 itself is suppressed (its sig is archived)
+    ledger2 = ledger.unionByName(fresh_sigs)
+    fresh2, _ = incremental_minhash(batch, ledger2)
+    assert {r.doc_id for r in fresh2.collect()} == {4, 5}

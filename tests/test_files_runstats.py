@@ -243,3 +243,37 @@ def test_download_basename_collisions_disambiguated(spark, tmp_path):
     assert len(paths) == 2  # no silent overwrite
     for r in out:
         assert open(r.local_path, "rb").read().decode() == r.url
+
+
+def test_write_task_logs(spark, tmp_path):
+    # S17: one per-task log file with the reference's header/footer framing
+    from nexgap_spark.sources.files import write_task_logs
+
+    df = spark.createDataFrame(
+        [
+            (1, "deer-flow", "short query", True, "body line 1\nbody line 2"),
+            (2, "agno/team", "q" * 250, False, None),
+        ],
+        "task_index long, framework string, query string, success boolean, detail string",
+    )
+    written = write_task_logs(df, str(tmp_path / "logs"), timestamp="20260814_000000_000000")
+    assert len(written) == 2
+    by_name = {p.rsplit("/", 1)[-1]: open(p, encoding="utf-8").read() for p in written}
+    # filename contract: query_{i:03d}_{sanitized framework}_{timestamp}.log
+    assert "query_001_deer-flow_20260814_000000_000000.log" in by_name
+    assert "query_002_agno_team_20260814_000000_000000.log" in by_name
+    log1 = by_name["query_001_deer-flow_20260814_000000_000000.log"]
+    assert "=" * 80 in log1
+    assert "Query 1/2 - Log Started" in log1
+    assert "Framework: deer-flow" in log1
+    assert "body line 1" in log1
+    assert "Status: Success" in log1 and "Query 1 - Log Ended" in log1
+    # long queries truncate at 200 chars + ellipsis; failures say Failed
+    log2 = by_name["query_002_agno_team_20260814_000000_000000.log"]
+    assert "q" * 200 + "..." in log2 and "q" * 201 not in log2
+    assert "Status: Failed" in log2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tasks"):
+        write_task_logs(df, str(tmp_path / "logs2"), max_tasks=1)

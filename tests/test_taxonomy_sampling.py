@@ -143,3 +143,36 @@ def test_expand_tree_round_batch_dupes_and_sibling_scope(spark):
     # exactly one new path: the duplicate proposal collapsed, the sibling
     # collision dropped (path ids join with the operator's PATH_SEP)
     assert new == {taxonomy.PATH_SEP.join(["root", "b", "b_y"])}
+
+
+def test_write_tree_html(spark, tmp_path):
+    # S10: self-contained HTML render of the taxonomy + stats
+    paths = taxonomy.paths_df(spark, TREE, framework="medical")
+    counts = paths.select(
+        "framework", "path_id", F.lit(3).alias("n_samples")
+    ).limit(1)
+    out = taxonomy.write_tree_html(
+        paths, str(tmp_path / "viz" / "tree.html"), counts=counts
+    )
+    html = open(out, encoding="utf-8").read()
+    assert html.startswith("<!doctype html>")
+    # every node label appears, escaped; stats table carries the framework
+    for r in paths.collect():
+        for lab in r["en_labels"]:
+            assert lab in html
+    assert "medical" in html and "<table>" in html
+    assert "(3)" in html  # the counts badge
+    # no external resources: the artifact must work air-gapped
+    assert "http" not in html.lower().replace("htttp", "")
+    # chinese labels render under language="chinese"
+    out_zh = taxonomy.write_tree_html(
+        paths, str(tmp_path / "tree_zh.html"), language="chinese"
+    )
+    html_zh = open(out_zh, encoding="utf-8").read()
+    zh = {lab for r in paths.collect() for lab in r["zh_labels"]}
+    assert all(z in html_zh for z in zh)
+    # cap errors loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_paths"):
+        taxonomy.write_tree_html(paths, str(tmp_path / "x.html"), max_paths=1)
