@@ -45,6 +45,7 @@ HEADLINE = [
     "q32_simhash",
     "q43_dup_groups",
     "q44_dedup_corpus",
+    "q100_incremental_minhash",
     "q34_cosine_topk",
     "q35_ivf_topk",
     "q85_ivf_nprobe",

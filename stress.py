@@ -210,6 +210,18 @@ def main() -> None:
                     oversized="salt",
                 ),
             ),
+            # batch-vs-ledger banded join: salted text keeps per-replica
+            # near-dup structure constant, so candidates (and the ledger
+            # join's output) grow M×, never M² — the ingest-gate contract
+            "incremental_minhash": (
+                [d],
+                lambda: dedup.incremental_minhash(
+                    d.filter(F.col("doc_id") % 3 == 0),
+                    dedup.minhash_signatures(
+                        dedup.shingle_table(d.filter(F.col("doc_id") % 3 != 0))
+                    ),
+                )[0],
+            ),
             # sign-LSH with the round-6 bucket cap: replicas share embedding
             # VALUES (only ids shift), so every bucket grows M× — without
             # the cap, pair output and single-task work grow M²; salted,

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 TS = dt.datetime
 
 
-def test_convert_default_includes_anthropic_spans(spark):
+def test_convert_dispatch_keeps_generation_marker_spans(spark):
     # the dispatch path (strategy.convert without an explicit marker) must
     # not silently drop generation spans carrying the `anthropic.chat` marker
+    # (the reference's public span-name constant,
+    # convert_spans_to_chatcompletion.py:37)
     from nexgap_spark.operators.converter import convert_spans
     from nexgap_spark.schemas import SPAN_SCHEMA
     from tests.fixtures_spans import CONFIG_AGENTS, build_spans
@@ -25,8 +27,8 @@ def test_convert_default_includes_anthropic_spans(spark):
         if isinstance(s["output"], dict):
             s["output"] = [s["output"]]
         spans.append(s)
-    anthro = dict(spans[1])
-    anthro.update(
+    marker_span = dict(spans[1])
+    marker_span.update(
         {
             "trace_id": "trace_z",
             "span_id": "span_9001",
@@ -34,7 +36,7 @@ def test_convert_default_includes_anthropic_spans(spark):
             "parentObservationId": None,
         }
     )
-    df = spark.createDataFrame(spans + [anthro], schema=SPAN_SCHEMA)
+    df = spark.createDataFrame(spans + [marker_span], schema=SPAN_SCHEMA)
     out = convert_spans(df, config_agents=CONFIG_AGENTS)
     assert "span_9001" in {r.span_id for r in out.collect()}
 
