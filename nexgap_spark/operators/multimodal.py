@@ -300,8 +300,10 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
       n_samples, rate, channels] in raw sample units;
     * P5/P6 netpbm → [width, height, channels, mean, std, min, max,
       aspect];
+    * PNG (8-bit, non-interlaced — struct + zlib are stdlib) → the same
+      8 raster features;
     * anything else raises NotImplementedError exactly like
-      real_decode_kernel (JPEG/PNG/MP4 genuinely need codecs).
+      real_decode_kernel (JPEG/MP4 genuinely need codecs).
     """
     import numpy as np
 
@@ -333,8 +335,8 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             float(d["rate"]),
             float(d["channels"]),
         ]
-    if p[:2] in (b"P5", b"P6"):
-        a = decode_ppm(p).astype(np.float64)
+    if p[:2] in (b"P5", b"P6") or p[:8] == b"\x89PNG\r\n\x1a\n":
+        a = (decode_png(p) if p[:1] == b"\x89" else decode_ppm(p)).astype(np.float64)
         h, w = a.shape[0], a.shape[1]
         channels = a.shape[2] if a.ndim == 3 else 1
         return [
@@ -348,7 +350,7 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             w / h,
         ]
     raise NotImplementedError(
-        f"no codec-free decoder for this payload (kind={kind!r}); JPEG/PNG/MP4 "
+        f"no codec-free decoder for this payload (kind={kind!r}); JPEG/MP4 "
         "need codec libraries not present in this environment"
     )
 
@@ -365,3 +367,135 @@ def ppm_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
     rows = np.minimum((np.arange(height) * h) // height, h - 1)
     cols = np.minimum((np.arange(width) * w) // width, w - 1)
     return encode_ppm(a[rows][:, cols])
+
+
+def encode_png(arr) -> bytes:
+    """Stdlib-only PNG encode from a (h, w[, channels]) uint8 array —
+    8-bit gray/gray+alpha/RGB/RGBA, filter 0 scanlines, one IDAT. No codec
+    library involved: PNG's container is struct + zlib, both stdlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    channels = a.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if ctype is None:
+        raise ValueError(f"expected 1/2/3/4 channels, got {channels}")
+    h, w = a.shape[0], a.shape[1]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Stdlib-only PNG decode (struct chunk walk + zlib inflate + scanline
+    unfilter) → uint8 array (h, w) or (h, w, channels). Supports 8-bit
+    depth, color types 0/2/3/4/6 (palette expanded to RGB), non-interlaced
+    — i.e. what the overwhelming majority of real-world PNGs are. Filters
+    0-2 (None/Sub/Up) unfilter vectorized; 3-4 (Average/Paeth) take the
+    sequential per-byte path their left+up dependency requires."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # header + data + CRC
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth={depth}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt/truncated: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload truncated")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    bpp = channels  # 8-bit depth → bytes per pixel = channels
+    for r in range(h):
+        f, line = int(filters[r]), data[r].copy()
+        up = out[r - 1] if r else np.zeros(stride, np.int32)
+        if f == 0:
+            out[r] = line
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] → per-lane cumsum
+            for k in range(bpp):
+                lane = line[k::bpp]
+                out[r, k::bpp] = np.cumsum(lane) & 0xFF
+        elif f == 2:  # Up
+            out[r] = (line + up) & 0xFF
+        elif f == 3:  # Average: left dependency → sequential
+            for i in range(stride):
+                left = out[r, i - bpp] if i >= bpp else 0
+                out[r, i] = (line[i] + (left + up[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth predictor: sequential
+            for i in range(stride):
+                a_ = out[r, i - bpp] if i >= bpp else 0
+                b_ = up[i]
+                c_ = out[r - 1, i - bpp] if (r and i >= bpp) else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                out[r, i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+        channels = 3
+    return img[:, :, 0] if channels == 1 else img
+
+
+def png_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """REAL PNG resize: stdlib decode → nearest-neighbor index maps →
+    stdlib re-encode. Same slot as ppm_resize_kernel."""
+    import numpy as np
+
+    a = decode_png(payload)
+    h, w = a.shape[0], a.shape[1]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_png(a[rows][:, cols])

@@ -55,6 +55,7 @@ _DRIVER_WINDOW = [
     "q98_keep_best_per_group",
     "q99_incremental_dedup",
     "q100_incremental_minhash",
+    "q101_png_features",
     # (a) last external green row is r01–r04 (q02 cedes its slot — the
     # driver's entry() smoke exercises it every round anyway; q46 ceded
     # to the new q97–q99)
@@ -87,9 +88,8 @@ _DRIVER_WINDOW = [
     "q40_media_features",
     "q59_top_terms",
     "q60_length_zscore",
-    "q61_centroid_outliers",
-    # q62 cedes its slot to q100 (new this round; q62 stays hash-checked
-    # locally every round and rotates back next round)
+    # q61/q62 cede their slots to q100/q101 (new this round; both stay
+    # hash-checked locally every round and rotate back next round)
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

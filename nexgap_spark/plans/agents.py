@@ -744,3 +744,72 @@ def q97_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_samples")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — REAL PNG decode features (multimodal, round 6): solid-color PNGs
+# synthesized per doc (w = 4 + doc_id%8, h = 3 + doc_id%5, RGB value
+# v = doc_id%256), encoded with the stdlib PNG encoder and decoded through
+# the genuine stdlib_decode_kernel (struct chunk walk + zlib inflate +
+# unfilter). A solid raster has closed-form features (mean = min = max =
+# v, std = 0, aspect = w/h), so the oracle reproduces the REAL decoder's
+# output exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_png_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
+                      doc_id % 256 AS v
+               FROM documents)
+    SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS sum_mean,
+           CAST(MAX(v) AS DOUBLE) AS max_px,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect
+    FROM d GROUP BY w, h ORDER BY width, height
+    """,
+)
+def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+        stdlib_decode_kernel,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 4 + int(i) % 8, 3 + int(i) % 5, int(i) % 256
+                payloads.append(encode_png(np.full((h, w, 3), v, dtype=np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    f = F.col("features")
+    return (
+        feats.select(
+            F.element_at(f, 1).cast("long").alias("width"),
+            F.element_at(f, 2).cast("long").alias("height"),
+            F.element_at(f, 4).alias("mean_px"),
+            F.element_at(f, 7).alias("max_px"),
+            F.element_at(f, 8).alias("aspect"),
+        )
+        .groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("mean_px"), 2).alias("sum_mean"),
+            F.max("max_px").alias("max_px"),
+            F.round(F.min("aspect"), 6).alias("aspect"),
+        )
+        .orderBy("width", "height")
+    )

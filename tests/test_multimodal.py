@@ -140,7 +140,7 @@ def test_stdlib_kernel_in_spark_ops(spark):
     import pytest
 
     with pytest.raises(NotImplementedError):
-        M.stdlib_decode_kernel(b"\x89PNG\r\n", "image")
+        M.stdlib_decode_kernel(b"\xff\xd8\xff\xe0jpeg", "image")
 
 
 def test_wav_stereo_features_consistent():
@@ -169,3 +169,115 @@ def test_wav_stereo_features_consistent():
     assert dur == frames / 8000  # frames, not frames*channels
     # mixdown of (+200,+100)/(-200,-100) alternation: +-150 square wave
     assert (rms, peak, zcr, mean) == (150.0, 150.0, 1.0, 0.0)
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from nexgap_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 4), (5, 4, 2), (6, 3, 3), (4, 4, 4)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = M.decode_png(M.encode_png(a))
+        assert np.array_equal(got, a), shape
+
+
+def test_png_unfilter_every_filter_type():
+    # forward-filter scanlines ourselves (the encoder only emits filter 0),
+    # so decode exercises Sub/Up/Average/Paeth reconstruction against a
+    # known raster
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nexgap_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8).astype(np.int32)
+    h, w, bpp = a.shape[0], a.shape[1], 3
+    flat = a.reshape(h, w * bpp)
+
+    def paeth(x, b, c):
+        p = x + b - c
+        pa, pb, pc = abs(p - x), abs(p - b), abs(p - c)
+        return x if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    for r, f in zip(range(h), [0, 1, 2, 3, 4]):
+        line = flat[r]
+        up = flat[r - 1] if r else np.zeros(w * bpp, np.int32)
+        out = np.zeros(w * bpp, np.int32)
+        for i in range(w * bpp):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = up[i - bpp] if (r and i >= bpp) else 0
+            if f == 0:
+                out[i] = line[i]
+            elif f == 1:
+                out[i] = line[i] - left
+            elif f == 2:
+                out[i] = line[i] - up[i]
+            elif f == 3:
+                out[i] = line[i] - (left + up[i]) // 2
+            else:
+                out[i] = line[i] - paeth(left, up[i] if r else 0, ul)
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(M.decode_png(png), a.astype(np.uint8))
+
+
+def test_png_palette_and_resize_and_kernel():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nexgap_spark.operators import multimodal as M
+
+    # palette PNG: 2x2 indices into a 3-color PLTE → expanded RGB
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = M.decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0) and tuple(got[1, 0]) == (0, 0, 255)
+
+    # resize: 8x8 checkerboard → 4x4 keeps corner values
+    board = np.zeros((8, 8, 3), np.uint8)
+    board[::2, ::2] = 200
+    small = M.decode_png(M.png_resize_kernel(M.encode_png(board), 4, 4))
+    assert small.shape == (4, 4, 3) and int(small[0, 0, 0]) == 200
+
+    # the decode kernel reports the same 8 raster features as netpbm
+    feats = M.stdlib_decode_kernel(M.encode_png(board), "image")
+    assert feats[:3] == [8.0, 8.0, 3.0] and feats[7] == 1.0
+
+    # truncated/invalid PNGs raise ValueError, not garbage
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_png(png[:-20])

@@ -210,3 +210,85 @@ def test_dup_groups_matches_bruteforce_components(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@st.composite
+def incr_minhash_case(draw):
+    # small token alphabet → genuine near-dups appear; empty/short docs
+    # exercise the no-signature pass-through path
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    def doc():
+        return st.lists(st.sampled_from(vocab), min_size=0, max_size=8).map(" ".join)
+    archive = draw(st.lists(doc(), min_size=0, max_size=6))
+    batch = draw(st.lists(doc(), min_size=1, max_size=8))
+    return archive, batch
+
+
+@PROP
+@given(incr_minhash_case())
+def test_incremental_minhash_matches_bruteforce(spark, case):
+    import hashlib
+
+    from nexgap_spark.operators.dedup import (
+        MINHASH_PARAMS,
+        MINHASH_PRIME,
+        incremental_minhash,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    archive_texts, batch_texts = case
+    archive = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(archive_texts)] or [(999, "x")],
+        "doc_id long, text string",
+    )
+    if not archive_texts:
+        archive = archive.filter("doc_id < 0")  # empty ledger
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+    ledger = minhash_signatures(shingle_table(archive))
+    fresh, _ = incremental_minhash(batch, ledger)
+    got = {r.doc_id for r in fresh.collect()}
+
+    # brute force: same shingles, same affine hashes, same banding
+    def sig(text):
+        toks = text.strip().split()
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if not sh:
+            return None
+        hvs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        ]
+        return tuple(
+            min((h * a + b) % MINHASH_PRIME for h in hvs)
+            for (a, b) in MINHASH_PARAMS[:8]
+        )
+
+    def bands(s):
+        return {(b, s[2 * b], s[2 * b + 1]) for b in range(4)}
+
+    def est(x, y):
+        return sum(a == b for a, b in zip(x, y)) / 8.0
+
+    led = {100 + i: sig(t) for i, t in enumerate(archive_texts)}
+    led = {k: v for k, v in led.items() if v is not None}
+    bsig = {i: sig(t) for i, t in enumerate(batch_texts)}
+    suppressed = set()
+    for i, s in bsig.items():
+        if s is None:
+            continue
+        for ls in led.values():
+            if bands(s) & bands(ls) and est(s, ls) >= 0.5:
+                suppressed.add(i)
+                break
+    # the operator drops b for ANY at/over-threshold pair (a < b), whether
+    # or not a itself was suppressed — mirror that exactly
+    for i, s in sorted(bsig.items()):
+        for j, s2 in bsig.items():
+            if j <= i or s is None or s2 is None:
+                continue
+            if bands(s) & bands(s2) and est(s, s2) >= 0.5:
+                suppressed.add(j)  # min-id survives within the pair
+    want = {i for i in bsig if i not in suppressed}
+    assert got == want
