@@ -808,3 +808,76 @@ def ivf_topk_indexed(
             F.col("_rn").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = DEFAULT_DIM,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: route every vector to its
+    nearest centroid (assign_clusters — broadcast, one corpus pass), then
+    compare pairs ONLY within a cluster and drop the higher id of any pair
+    at/over ``threshold`` cosine. The clustering is the scale trick: the
+    quadratic pair scan runs per cluster (Σ|c|² work, parallel across
+    clusters), never over the corpus — with k chosen so clusters are
+    ~|V|/k, the cost is |V|²/k instead of |V|². Keeps min-id-survives
+    determinism (the same one-pass rule as incremental_minhash; the
+    transitive end-product is dup_groups' job).
+
+    ``max_cluster_size`` guards the mega-cluster failure mode (an
+    embedding-collapsed boilerplate flood routes to ONE centroid): clusters
+    above the cap are salt-split into hash sub-clusters, bounding per-task
+    pairs by size·cap at the cost of cross-sub-cluster recall (same
+    treatment as lsh_candidate_pairs' salt mode, observed metric included).
+    Zero-norm vectors produce NaN cosine and are never dropped (explicitly
+    filtered — Spark would otherwise order NaN above every threshold).
+
+    Returns the kept rows of ``vectors``. Reference scope note: the
+    reference has no embedding pipeline; this is a scale extension
+    (SemDeDup, Abbas et al. 2023) built from assign_clusters +
+    the bit-stable cosine used across the similarity stack."""
+    from pyspark.sql import Window
+
+    from nexgap_spark.operators.dedup import _OBSERVE_SEQ
+
+    assigned = assign_clusters(
+        vectors.select(id_col, vec_col), centroids,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    part_keys = ["centroid_id"]
+    if max_cluster_size is not None:
+        w = Window.partitionBy("centroid_id")
+        sized = assigned.withColumn("_csz", F.count(F.lit(1)).over(w))
+        over = F.col("_csz") > max_cluster_size
+        sized = sized.observe(
+            f"semantic_dedup_cluster_cap_{next(_OBSERVE_SEQ)}",
+            F.sum(over.cast("long")).alias("salted_rows"),
+        )
+        n_sub = F.greatest(
+            F.ceil(F.col("_csz") / F.lit(max_cluster_size)), F.lit(1)
+        )
+        assigned = sized.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+        ).drop("_csz")
+        part_keys = ["centroid_id", "_salt"]
+    a = assigned.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), *part_keys
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), *part_keys
+    )
+    dropped = (
+        a.join(b, part_keys)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb"), dim))
+        .filter(~F.isnan("_cos") & (F.col("_cos") >= F.lit(threshold)))
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dropped, id_col, "left_anti")

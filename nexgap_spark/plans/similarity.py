@@ -279,3 +279,51 @@ def q61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     out = sim.centroid_outliers(emb, k=10)
     return out.select("vec_id", "label", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# q102 — SemDeDup-style semantic dedup: nearest-centroid clustering (20
+# deterministic centroids: vec_id % 25 == 0) bounds the pairwise cosine
+# scan to within-cluster pairs; the higher id of any pair at/over the
+# threshold is dropped (min-id survives). Output: the kept vec_ids. Both
+# sides share the bit-stable ordered-fold cosine, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT v.vec_id, c.cid, {_cos('v.embedding', 'c.cvec')} AS sim
+      FROM embeddings v CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT b.vec_id, b.cid, e.embedding FROM best b JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT y.vec_id AS vec_id
+      FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE isnan({_cos('x.embedding', 'y.embedding')}) = false
+        AND {_cos('x.embedding', 'y.embedding')} >= 0.3
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY vec_id
+    """,
+)
+def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = sim.semantic_dedup(emb, cents, threshold=0.3)
+    return kept.select("vec_id").orderBy("vec_id")

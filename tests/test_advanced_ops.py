@@ -231,3 +231,53 @@ def test_ivf_index_build_and_query(spark, tmp_path):
             nv = emb_map[r.n_id]
             ref = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
             assert abs(ref - r.cos) < 1e-4
+
+
+def test_semantic_dedup(spark):
+    # two tight clusters + one singleton: within-cluster near-dups collapse
+    # to the min id, cross-cluster similarity is never even computed
+    from nexgap_spark.operators.similarity import semantic_dedup
+
+    def v(base, eps, dim=4):
+        out = [0.0] * dim
+        out[base] = 1.0
+        out[(base + 1) % dim] = eps
+        return out
+
+    vecs = spark.createDataFrame(
+        [
+            (1, v(0, 0.0)), (2, v(0, 0.01)), (3, v(0, 0.02)),  # cluster around e0
+            (10, v(2, 0.0)), (11, v(2, 0.015)),                # cluster around e2
+            (99, v(1, 0.0)),                                   # alone near e1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, v(0, 0.0)), (200, v(2, 0.0)), (300, v(1, 0.0))],
+        "centroid_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(vecs, cents, threshold=0.99, dim=4).collect()
+    }
+    assert kept == {1, 10, 99}
+
+    # a high threshold keeps everything
+    all_kept = semantic_dedup(vecs, cents, threshold=1.1, dim=4).count()
+    assert all_kept == 6
+
+    # mega-cluster salt split: 300 near-identical vectors in ONE cluster
+    # with cap 50 → pairs bounded per sub-cluster, and the min id of each
+    # sub-cluster survives (bounded recall loss, never a k^2 task)
+    boiler = spark.createDataFrame(
+        [(i, v(0, 0.001 * (i % 3))) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    kept_salted = semantic_dedup(
+        boiler, cents, threshold=0.99, dim=4, max_cluster_size=50
+    ).count()
+    uncapped = semantic_dedup(
+        boiler, cents, threshold=0.99, dim=4, max_cluster_size=None
+    ).count()
+    assert uncapped == 1  # all near-dups of one survivor
+    assert 1 <= kept_salted <= 6  # one survivor per hash sub-cluster
