@@ -192,6 +192,50 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def cap_partition_size(
+    df: DataFrame,
+    part_keys: list[str],
+    max_size: int | None,
+    *,
+    mode: str = "drop",
+    metric_prefix: str = "partition_cap",
+    id_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Shared mega-partition guard (one implementation for every bucketed
+    pairwise stage — incremental_minhash's band buckets, semantic_dedup's
+    clusters; lsh_candidate_pairs keeps its measured in-place variant):
+    count rows per ``part_keys`` group with a window, emit an observed
+    metric for the affected rows, then either ``"drop"`` the oversize
+    groups entirely or ``"salt"``-split them into hash sub-groups of the
+    ``id_col`` (bounding downstream pair output by size·cap instead of
+    size²). Returns (df, effective part keys) — salt mode appends
+    ``_salt`` so the caller's joins stay within a sub-group."""
+    keys = list(part_keys)
+    if max_size is None:
+        return df, keys
+    if mode not in ("drop", "salt"):
+        raise ValueError(f"mode must be 'drop' or 'salt', got {mode!r}")
+    if mode == "salt" and id_col is None:
+        raise ValueError("salt mode needs id_col for the sub-group hash")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    sized = df.withColumn("_psz", F.count(F.lit(1)).over(w))
+    over = F.col("_psz") > max_size
+    affected = "dropped" if mode == "drop" else "salted"
+    sized = sized.observe(
+        f"{metric_prefix}_{next(_OBSERVE_SEQ)}",
+        F.sum(over.cast("long")).alias(f"{affected}_rows"),
+    )
+    if mode == "drop":
+        return sized.filter(~over).drop("_psz"), keys
+    n_sub = F.greatest(F.ceil(F.col("_psz") / F.lit(max_size)), F.lit(1))
+    out = sized.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+    ).drop("_psz")
+    return out, keys + ["_salt"]
+
+
 def _band_buckets(
     signatures: DataFrame,
     *,
@@ -717,14 +761,19 @@ def incremental_exact(
     content rather than trace ids). Union the returned digests into the
     ledger for the next batch.
 
-    Shuffle carries (16-byte digest, row key) — never the text. NULL-text
-    rows follow exact_dedup's contract: no equality semantics, every row
-    passes through (and contributes no ledger digest). NULL-id rows pass
-    through too — the semi-join back to the batch runs on the same
-    never-NULL (_bk, _rid) pair the representative was chosen by, not on
-    the id column (a NULL id would never match itself and the row would be
-    dropped from the output while its digest still entered the ledger:
-    permanent content suppression)."""
+    The batch shuffles ONCE on its content key, carrying each row whole —
+    the batch is one ingest micro-batch; the thing that is 100 TB is the
+    LEDGER, and it only ever flows as 16-byte digests. The representative
+    per in-batch group is the TYPED min id (exact_dedup's rule, matching a
+    MIN(id) SQL oracle — a lexicographic string min would rank id 10 below
+    id 2), picked with min_by inside the one groupBy, so there is no
+    self-join back to the batch: a NULL-id row can never be dropped by a
+    join key that fails to match itself, and nothing depends on
+    monotonically_increasing_id evaluating identically in two plan
+    branches. NULL-text rows follow exact_dedup's contract: no equality
+    semantics, every row passes through (and contributes no ledger
+    digest); NULL ids rank after real ids and tie-break on the per-row
+    fallback key."""
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
     rid = F.coalesce(
         F.col(id_col).cast("string"), F.monotonically_increasing_id().cast("string")
@@ -734,22 +783,23 @@ def incremental_exact(
         .withColumn("_rid", rid)
         .withColumn("_bk", F.coalesce(F.col("_h"), F.concat(F.lit("\0null:"), F.col("_rid"))))
     )
-    # one representative per in-batch content key; min string _rid mirrors
-    # exact_dedup's min-id rule and is never NULL
-    batch_rep = hashed.groupBy("_bk").agg(
-        F.min("_rid").alias("_rid"), F.first("_h").alias("_h")
+    # (null-id flag, typed id, fallback key): real ids win by typed order;
+    # all-NULL-id groups resolve deterministically on the fallback key
+    ordk = F.struct(
+        F.col(id_col).isNull().cast("int").alias("_nf"),
+        F.col(id_col).alias("_id"),
+        F.col("_rid").alias("_r"),
     )
+    rep_payload = F.struct(*[F.col(c) for c in new_docs.columns], F.col("_h"))
+    batch_rep = hashed.groupBy("_bk").agg(F.min_by(rep_payload, ordk).alias("_rep"))
+    picked = batch_rep.select(F.col("_rep.*"))
     ledger = seen_digests.select(F.col(digest_col).alias("_h")).distinct()
     # NULL _h (null-text rows) never matches the ledger → always fresh
-    fresh = batch_rep.join(ledger, "_h", "left_anti")
+    fresh = picked.join(ledger, "_h", "left_anti")
     fresh_digests = fresh.filter(F.col("_h").isNotNull()).select(
         F.col("_h").alias(digest_col)
     )
-    out = (
-        hashed.join(fresh.select("_bk", "_rid"), ["_bk", "_rid"], "left_semi")
-        .drop("_h", "_rid", "_bk")
-    )
-    return out, fresh_digests
+    return fresh.drop("_h"), fresh_digests
 
 
 def incremental_minhash(
@@ -789,38 +839,38 @@ def incremental_minhash(
 
     Returns (fresh docs, their signatures); union the signatures into the
     ledger for the next batch. Scale shape: the batch shuffles on
-    (band, bucket) — 16-byte keys — the ledger side is read-only and
-    prunable by bucket; hot buckets on EITHER side are dropped past
-    ``max_bucket_size`` (same mega-bucket guard as lsh_candidate_pairs —
-    a boilerplate flood in the archive must not turn one ingest batch into
-    a k² join)."""
+    (band, bucket) — 16-byte keys — and the ledger's band rows are pruned
+    to the BATCH's distinct buckets (a semi-join) before anything is
+    counted or joined, so per-batch cost scales with the buckets the batch
+    touches, never with total archive size; the semi-join keeps whole
+    buckets, so the capped sizes are the true sizes. Hot buckets on either
+    side are dropped past ``max_bucket_size`` (same mega-bucket guard as
+    lsh_candidate_pairs — a boilerplate flood in the archive must not turn
+    one ingest batch into a k² join)."""
     sh = shingle_table(
         new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
     )
     sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
     mh = [f"mh{j}" for j in range(num_hashes)]
 
-    def _cap(buckets: DataFrame) -> DataFrame:
-        if max_bucket_size is None:
-            return buckets
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket")
-        sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        over = F.col("_bsz") > max_bucket_size
-        sized = sized.observe(
-            f"incr_minhash_bucket_cap_{next(_OBSERVE_SEQ)}",
-            F.sum(over.cast("long")).alias("dropped_rows"),
-        )
-        return sized.filter(~over).drop("_bsz")
-
-    bb_new = _cap(
-        _band_buckets(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    bb_new, _ = cap_partition_size(
+        _band_buckets(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band),
+        ["band", "bucket"],
+        max_bucket_size,
+        metric_prefix="incr_minhash_bucket_cap",
     )
-    bb_led = _cap(
-        _band_buckets(
-            seen_sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-        )
+    bb_led_raw = _band_buckets(
+        seen_sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    # prune the (arbitrarily large) ledger to the batch's touched buckets
+    # BEFORE sizing/joining — whole buckets survive the semi-join, so the
+    # cap still sees true bucket sizes
+    touched = bb_new.select("band", "bucket").distinct()
+    bb_led, _ = cap_partition_size(
+        bb_led_raw.join(touched, ["band", "bucket"], "left_semi"),
+        ["band", "bucket"],
+        max_bucket_size,
+        metric_prefix="incr_minhash_bucket_cap",
     )
     cand_led = (
         bb_new.select(F.col(id_col).alias("_n"), "band", "bucket")

@@ -419,7 +419,7 @@ def decode_png(payload: bytes):
 
     if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]

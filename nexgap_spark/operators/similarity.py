@@ -842,30 +842,20 @@ def semantic_dedup(
     reference has no embedding pipeline; this is a scale extension
     (SemDeDup, Abbas et al. 2023) built from assign_clusters +
     the bit-stable cosine used across the similarity stack."""
-    from pyspark.sql import Window
-
-    from nexgap_spark.operators.dedup import _OBSERVE_SEQ
+    from nexgap_spark.operators.dedup import cap_partition_size
 
     assigned = assign_clusters(
         vectors.select(id_col, vec_col), centroids,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    part_keys = ["centroid_id"]
-    if max_cluster_size is not None:
-        w = Window.partitionBy("centroid_id")
-        sized = assigned.withColumn("_csz", F.count(F.lit(1)).over(w))
-        over = F.col("_csz") > max_cluster_size
-        sized = sized.observe(
-            f"semantic_dedup_cluster_cap_{next(_OBSERVE_SEQ)}",
-            F.sum(over.cast("long")).alias("salted_rows"),
-        )
-        n_sub = F.greatest(
-            F.ceil(F.col("_csz") / F.lit(max_cluster_size)), F.lit(1)
-        )
-        assigned = sized.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
-        ).drop("_csz")
-        part_keys = ["centroid_id", "_salt"]
+    assigned, part_keys = cap_partition_size(
+        assigned,
+        ["centroid_id"],
+        max_cluster_size,
+        mode="salt",
+        metric_prefix="semantic_dedup_cluster_cap",
+        id_col=id_col,
+    )
     a = assigned.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), *part_keys
     )

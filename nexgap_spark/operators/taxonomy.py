@@ -196,10 +196,17 @@ def write_tree_html(
         )
     count_map: dict[tuple[str, str], int] = {}
     if counts is not None:
-        count_map = {
-            (r["framework"], r["path_id"]): r["n_samples"]
-            for r in counts.select("framework", "path_id", "n_samples").collect()
-        }
+        # same driver-OOM guard as the paths side: a counts table can't be
+        # bigger than the rendered tree, so the same cap applies
+        crows = counts.select("framework", "path_id", "n_samples").limit(
+            max_paths + 1
+        ).collect()
+        if len(crows) > max_paths:
+            raise ValueError(
+                f"write_tree_html: counts exceed max_paths={max_paths}; "
+                "aggregate or filter the counts to the rendered tree first"
+            )
+        count_map = {(r["framework"], r["path_id"]): r["n_samples"] for r in crows}
 
     # re-nest: per framework, a trie keyed by node id carrying its label
     trees: dict[str, dict] = {}

@@ -325,5 +325,8 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    kept = sim.semantic_dedup(emb, cents, threshold=0.3)
+    # cap pinned to None: the oracle models the UNCAPPED within-cluster
+    # pair set (q45's documented precedent); production callers keep the
+    # salt-split scale-guard default
+    kept = sim.semantic_dedup(emb, cents, threshold=0.3, max_cluster_size=None)
     return kept.select("vec_id").orderBy("vec_id")

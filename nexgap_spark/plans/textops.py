@@ -779,5 +779,8 @@ def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     ledger = dedup.minhash_signatures(dedup.shingle_table(archive))
-    fresh, _sigs = dedup.incremental_minhash(batch, ledger)
+    # cap pinned to None: the oracle models the UNCAPPED candidate set, so
+    # the contract stays exact at ANY scale factor (q45's documented
+    # precedent); production callers keep the scale-guard default
+    fresh, _sigs = dedup.incremental_minhash(batch, ledger, max_bucket_size=None)
     return fresh.select("doc_id").orderBy("doc_id")

@@ -257,9 +257,15 @@ def write_task_logs(
     out_dir = Path(log_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written: list[str] = []
+    seen: dict[str, int] = {}
     for r in rows:
         fw = re.sub(r"[^A-Za-z0-9_-]", "_", str(r["_fw"]))
-        p = out_dir / f"query_{int(r['_i']):03d}_{fw}_{timestamp}.log"
+        stem = f"query_{int(r['_i']):03d}_{fw}_{timestamp}"
+        # no silent overwrite (download_files' contract): colliding
+        # (index, sanitized framework) pairs get a disambiguating suffix
+        n = seen.get(stem, 0)
+        seen[stem] = n + 1
+        p = out_dir / (f"{stem}.log" if n == 0 else f"{stem}_{n}.log")
         p.write_text(r["_content"], encoding="utf-8")
         written.append(str(p))
     return written

@@ -297,3 +297,18 @@ def test_incremental_minhash(spark):
     ledger2 = ledger.unionByName(fresh_sigs)
     fresh2, _ = incremental_minhash(batch, ledger2)
     assert {r.doc_id for r in fresh2.collect()} == {4, 5}
+
+
+def test_incremental_exact_typed_min_id(spark):
+    # the in-batch representative must be the TYPED min id (exact_dedup's
+    # rule, and what a MIN(id) SQL oracle computes) — a lexicographic
+    # string min would rank id 10 below id 2
+    from nexgap_spark.operators.dedup import incremental_exact
+
+    batch = spark.createDataFrame(
+        [(10, "same text"), (2, "same text"), (9, "other")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([], "digest string")
+    fresh, _ = incremental_exact(batch, seen)
+    assert {r.doc_id for r in fresh.collect()} == {2, 9}

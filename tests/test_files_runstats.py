@@ -277,3 +277,21 @@ def test_write_task_logs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_tasks"):
         write_task_logs(df, str(tmp_path / "logs2"), max_tasks=1)
+
+
+def test_write_task_logs_no_silent_overwrite(spark, tmp_path):
+    # colliding (index, sanitized framework) pairs must yield distinct
+    # files, not a last-writer-wins overwrite
+    from nexgap_spark.sources.files import write_task_logs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a/b", "first", True, "body A"),
+            (1, "a_b", "second", True, "body B"),
+        ],
+        "task_index long, framework string, query string, success boolean, detail string",
+    )
+    written = write_task_logs(df, str(tmp_path), timestamp="t0")
+    assert len(set(written)) == 2
+    bodies = "".join(open(p, encoding="utf-8").read() for p in written)
+    assert "body A" in bodies and "body B" in bodies
