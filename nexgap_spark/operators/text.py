@@ -247,3 +247,85 @@ def fingerprint(
         F.md5(norm)
     )
     return df.withColumn(out_col, fp)
+
+
+def ngram_logprob(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style LM quality signal: per-document mean log-probability of
+    its word bigrams under an add-k-smoothed bigram MLE trained on
+    ``train`` (default: the scored corpus itself). Low scores flag the
+    boilerplate/gibberish tail a perplexity filter drops; unlike the
+    surface heuristics in quality_features this is a distributional
+    signal — a doc can have perfect punctuation ratios and still be
+    word salad.
+
+    logp(w2|w1) = ln((C(w1,w2) + k) / (C(w1) + k·V)); unseen bigrams and
+    unseen left contexts degrade to the smoothing floor rather than -inf.
+    Scoring counts bigram INSTANCES (no distinct — repetition is signal
+    here, the opposite of the dedup shingle contract). Docs with < 2
+    tokens (or NULL text) score NULL with n_bigrams = 0 and survive —
+    scoring must not drop rows.
+
+    Scale shape: training is two hash aggregations over (w1, w2) / (w1)
+    pairs; scoring joins the doc bigram stream against the model. With
+    ``broadcast_model`` (default) both count tables broadcast — right for
+    the usual vocabulary ≪ corpus regime; at web-crawl vocabulary scale
+    set it False and the join shuffles on the (Zipf-skewed) word keys —
+    pair it with skew.salted_join if a stopword context dominates."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    train = docs if train is None else train
+
+    def bigram_instances(df: DataFrame, cols: list[str]) -> DataFrame:
+        base = (
+            df.repartition(par)
+            .select(*cols, tokenize(text_col).alias("_t"))
+            .filter(F.size("_t") >= 2)
+        )
+        idx = base.select(
+            *cols,
+            F.col("_t"),
+            F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+        )
+        return idx.select(
+            *cols,
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        )
+
+    tb = bigram_instances(train, [])
+    c2 = tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = tb.groupBy("w1").agg(F.count("*").alias("_c1"))
+    v = tb.select("w2").union(tb.select("w1")).distinct().count()
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    sb = bigram_instances(docs, [id_col])
+    logp = F.log(
+        (F.coalesce("_c2", F.lit(0)) + F.lit(add_k))
+        / (F.coalesce("_c1", F.lit(0)) + F.lit(add_k) * F.lit(v))
+    )
+    scored = (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("avg_logprob"),
+        )
+    )

@@ -784,3 +784,56 @@ def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent); production callers keep the scale-guard default
     fresh, _sigs = dedup.incremental_minhash(batch, ledger, max_bucket_size=None)
     return fresh.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q103 — CCNet-style bigram LM scoring: an add-k-smoothed bigram model is
+# trained on HALF the corpus (doc_id % 2 == 0) and every doc scored by
+# its mean bigram log-probability — the distributional quality signal a
+# perplexity filter thresholds on. The held-out half exercises the
+# unseen-bigram/unseen-context smoothing paths.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_ngram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      FROM toks, UNNEST(
+        CASE WHEN len(t) >= 2
+             THEN [[t[i], t[i+1]] for i in range(1, len(t))]
+             ELSE [] END) AS u(p)
+    ),
+    tbig AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tbig GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM tbig GROUP BY 1),
+    vcnt AS (
+      SELECT COUNT(*) AS v FROM (SELECT w1 AS w FROM tbig UNION SELECT w2 FROM tbig)
+    ),
+    sc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln((COALESCE(c2.c2, 0) + 0.5)
+                    / (COALESCE(c1.c1, 0) + 0.5 * (SELECT v FROM vcnt)))) AS lp
+      FROM big b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(sc.lp, 6) AS avg_logprob
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q103_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = text.ngram_logprob(docs, train)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")

@@ -317,3 +317,28 @@ def test_length_zscore_keeps_null_groups(spark):
     assert out.count() == 4  # NULL-group rows scored, not dropped
     z_null = {r.doc_id: r.z for r in out.filter(F.col("lang").isNull()).collect()}
     assert z_null[3] is not None and abs(z_null[3] + z_null[4]) < 1e-9
+
+
+def test_ngram_logprob_semantics(spark):
+    # seen bigrams score higher than unseen; short/NULL docs survive with
+    # NULL scores; repetition counts as instances, not distinct pairs
+    from nexgap_spark.operators.text import ngram_logprob
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # all bigrams seen in train
+            (2, "purple monkey dishwasher"),  # all unseen
+            (3, "one"),               # < 2 tokens → NULL score
+            (4, None),                # NULL text → NULL score
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_logprob(docs, train).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].n_bigrams == 2 and got[2].n_bigrams == 2
+    assert got[1].avg_logprob > got[2].avg_logprob
+    assert got[3].n_bigrams == 0 and got[3].avg_logprob is None
+    assert got[4].n_bigrams == 0 and got[4].avg_logprob is None
