@@ -366,3 +366,57 @@ def chunk_text(
         .withColumn(f"{out_prefix}_n", F.size(window).cast("long"))
         .drop("_toks")
     )
+
+
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_", "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src",
+)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization, entirely as engine-portable
+    string/array expressions (no parse_url — its per-engine edge cases
+    would break oracle parity):
+
+    1. strip the fragment;
+    2. lowercase the scheme://host prefix (path/query case preserved);
+    3. drop tracking query params (TRACKING_PARAM_PREFIXES), SORT the
+       survivors (param order is presentation, not identity), rejoin;
+    4. drop an empty trailing '?'.
+
+    Two crawls of ``HTTPS://Example.com/a?utm_source=x&b=2&a=1#top`` and
+    ``https://example.com/a?a=1&b=2`` canonicalize identically — exact
+    dedup on the canonical form then collapses them. The array lambdas are
+    interpreted (not codegen'd) but operate on short per-URL token lists,
+    not the corpus hot path."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")                       # 1
+    head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)    # scheme://host
+    rest = F.regexp_replace(u, r"^[^:/?#]+://[^/?#]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), rest))  # 2
+    base = F.regexp_replace(u, r"\?.*$", "")
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+
+    def keep(x):
+        cond = F.lit(True)
+        for p in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~x.startswith(p)
+        return cond & (x != "")
+    params = F.array_sort(F.filter(F.split(q, "&"), keep))     # 3
+    qs = F.array_join(params, "&")
+    return F.when(qs == "", base).otherwise(F.concat(base, F.lit("?"), qs))  # 4
+
+
+def url_dedup_stats(
+    df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup end product: one row per canonical URL with the
+    min id as representative and the duplicate count — exact_dedup's
+    shape, keyed on canonical_url instead of content digest (the
+    crawl-side gate that runs BEFORE any text is fetched or hashed)."""
+    return (
+        df.withColumn("_cu", canonical_url(url_col))
+        .groupBy("_cu")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(F.col("_cu").alias("canonical_url"), id_col, "n_dups")
+    )

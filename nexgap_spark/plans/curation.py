@@ -503,3 +503,73 @@ def q86_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_n",
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# q104 — canonical-URL crawl dedup: per-doc synthesized URLs in two surface
+# variants (upper-case host + tracking params + fragment vs already-clean)
+# canonicalize to one form and collapse; the oracle replicates every
+# canonicalization step (fragment strip, scheme://host lowercase, tracking
+# param filter + sort) with the same regexes.
+# ---------------------------------------------------------------------------
+
+_TRACK_FILTER = " AND ".join(
+    f"NOT starts_with(x, '{p}')"
+    for p in ("utm_", "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src")
+)
+
+
+@query(
+    "q104_url_dedup",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'HTTPS://Example.COM/p/' || (doc_id % 17)
+                       || '?utm_source=x&b=' || (doc_id % 3) || '&a=1#frag'
+                  ELSE 'https://example.com/p/' || (doc_id % 17)
+                       || '?a=1&b=' || (doc_id % 3)
+             END AS url
+      FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+    s2 AS (SELECT doc_id,
+             CASE WHEN regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1) = '' THEN u
+                  ELSE lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1))
+                       || regexp_replace(u, '^[^:/?#]+://[^/?#]*', '')
+             END AS u FROM s1),
+    s3 AS (SELECT doc_id,
+             regexp_replace(u, '\\?.*$', '') AS base,
+             regexp_extract(u, '\\?(.*)$', 1) AS q FROM s2),
+    s4 AS (SELECT doc_id, base,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND {_TRACK_FILTER})), '&') AS qs
+           FROM s3),
+    canon AS (SELECT doc_id,
+                     CASE WHEN qs = '' THEN base ELSE base || '?' || qs END AS cu
+              FROM s4)
+    SELECT cu AS canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS n_dups
+    FROM canon GROUP BY cu ORDER BY cu
+    """,
+)
+def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.curation import url_dedup_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Example.COM/p/"), (d % 17).cast("string"),
+            F.lit("?utm_source=x&b="), (d % 3).cast("string"),
+            F.lit("&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://example.com/p/"), (d % 17).cast("string"),
+            F.lit("?a=1&b="), (d % 3).cast("string"),
+        )
+    )
+    out = url_dedup_stats(docs.withColumn("url", url))
+    return out.orderBy("canonical_url")

@@ -177,3 +177,30 @@ def test_chunk_text_windows(spark):
 
     with _pt.raises(ValueError):
         chunk_text(df, max_tokens=4, overlap=4)
+
+
+def test_canonical_url(spark):
+    from nexgap_spark.operators.curation import canonical_url, url_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM/a?utm_source=x&b=2&a=1#top"),
+            (2, "https://example.com/a?a=1&b=2"),          # same after canon
+            (3, "https://example.com/a?b=2&a=1&gclid=zz"),  # same after canon
+            (4, "https://example.com/a?a=1&b=3"),           # different value
+            (5, "no-scheme/path?utm_source=x&k=1"),         # head-less URL
+            (6, "https://example.com/bare#frag"),           # query-less
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.cu for r in df.select(
+        "doc_id", canonical_url("url").alias("cu")).collect()}
+    assert got[1] == got[2] == got[3] == "https://example.com/a?a=1&b=2"
+    assert got[4] == "https://example.com/a?a=1&b=3"
+    assert got[5] == "no-scheme/path?k=1"   # no scheme://host → case kept
+    assert got[6] == "https://example.com/bare"
+
+    stats = {r.canonical_url: (r.doc_id, r.n_dups)
+             for r in url_dedup_stats(df).collect()}
+    assert stats["https://example.com/a?a=1&b=2"] == (1, 3)
+    assert stats["https://example.com/a?a=1&b=3"] == (4, 1)
