@@ -46,6 +46,7 @@ HEADLINE = [
     "q43_dup_groups",
     "q44_dedup_corpus",
     "q100_incremental_minhash",
+    "q102_semantic_dedup",
     "q34_cosine_topk",
     "q35_ivf_topk",
     "q85_ivf_nprobe",
@@ -65,6 +66,8 @@ HEADLINE = [
     "q69_pii_scan",
     "q70_repetition_profile",
     "q71_quality_gate",
+    "q103_ngram_logprob",
+    "q104_url_dedup",
     "q72_split_assign",
     "q73_pack_chunks",
     "q86_chunk_text",
@@ -209,7 +212,13 @@ def main() -> None:
     detail.update(result)
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = json.dumps(result)
+    # compact separators: the query set has grown past what spaced JSON
+    # fits into the driver's 2000-char tail window (full-precision detail
+    # is in BENCH_DETAIL.json either way)
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) >= 1800:
+        result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+        line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1800, f"stdout JSON too long for driver tail: {len(line)}"
     sys.stderr.flush()
     print(line, flush=True)
