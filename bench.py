@@ -214,10 +214,17 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     # compact separators: the query set has grown past what spaced JSON
     # fits into the driver's 2000-char tail window (full-precision detail
-    # is in BENCH_DETAIL.json either way)
+    # is in BENCH_DETAIL.json either way). Fallback ladder — the artifact
+    # degrading beats the r3/r4 total-loss mode where an assert killed the
+    # run and the driver recorded parsed:null: (1) 2-decimal times,
+    # (2) drop the per-query map entirely (BENCH_DETAIL.json keeps it).
     line = json.dumps(result, separators=(",", ":"))
     if len(line) >= 1800:
         result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) >= 1800:
+        result["queries"] = {}
+        result["queries_note"] = "per-query map in BENCH_DETAIL.json (line too long)"
         line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1800, f"stdout JSON too long for driver tail: {len(line)}"
     sys.stderr.flush()

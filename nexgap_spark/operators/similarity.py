@@ -853,19 +853,39 @@ def semantic_dedup(
     cent_pd = _collect_small_side(
         centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"
     )
+    cent_pd = cent_pd[
+        cent_pd[vec_col].map(lambda v: v is not None and len(v) >= dim)
+    ]
+    if len(cent_pd) == 0:
+        # no usable centroids → nothing clusters → nothing can be dropped
+        # (the old join form produced an empty join; keep that contract)
+        return vectors
     cent_ids = cent_pd["centroid_id"].to_numpy()
-    cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+    cent_mat = np.array(
+        [np.asarray(v, dtype=np.float64)[:dim] for v in cent_pd[vec_col]]
+    )
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
     id_type = dict(vectors.dtypes)[id_col]
     vec_type = dict(vectors.dtypes)[vec_col]
     cid_type = dict(centroids.dtypes)["centroid_id"]
 
+    def _mat(vals) -> np.ndarray:
+        # per-row slice-then-array: tolerant of ragged lengths ≥ dim where
+        # np.stack would raise on the whole batch
+        return np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vals])
+
     def route(batches):
         c_ids, c_mat = bc.value
         for pdf in batches:
+            # NULL/short embeddings can't be clustered, so they can't be
+            # dropped: leaving them out of the assignment keeps them in the
+            # final anti-join output — the old NULL-cosine contract, and a
+            # crash here would fail the whole dedup for one bad row
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) >= dim)
+            pdf = pdf[ok]
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+            V = _mat(pdf[vec_col])
             pdf = pdf[[id_col, vec_col]].copy()
             pdf["centroid_id"] = _np_assign(V, c_ids, c_mat)
             yield pdf
@@ -888,31 +908,33 @@ def semantic_dedup(
         id_col=id_col,
     )
     # The within-cluster pair scan is ONE Arrow stage per cluster (the
-    # brute_force_topk design): a vectorized |c|×|c| score block beats the
-    # per-pair 64-term expression-chain join by ~6× measured at sf0.1
-    # (8.3 s → ~1.4 s), and the sequential-fold helpers keep every cosine
-    # bit-identical to the ordered-fold SQL oracle. Row blocks of 1024 keep
-    # the score matrix ≤ ~8 MB per step even at the max cluster cap.
-    id_type = dict(vectors.dtypes)[id_col]
+    # brute_force_topk design): a vectorized score block beats the per-pair
+    # 64-term expression-chain join by ~6× measured at sf0.1 (8.3 s →
+    # ~1.4 s), and the sequential-fold helpers keep every cosine
+    # bit-identical to the ordered-fold SQL oracle. Each 512-row block only
+    # scores against V[i0:] (the lower triangle is never read), so the
+    # block matrix tops out at 512·cap·8 B ≈ 40 MB at the 10k default cap
+    # and the flop count is the triangle, not the square.
 
     def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({id_col: []})
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order][:, :dim]
+        V = _mat(pdf[vec_col].to_numpy()[order])
         norms = _seq_sqrt_norms(V)
         dropped: set = set()
-        for i0 in range(0, len(ids), 1024):
-            blk = V[i0 : i0 + 1024]
-            cos = _seq_score_block(blk, V) / (
-                norms[i0 : i0 + 1024, None] * norms[None, :]
+        for i0 in range(0, len(ids), 512):
+            blk = V[i0 : i0 + 512]
+            cos = _seq_score_block(blk, V[i0:]) / (
+                norms[i0 : i0 + 512, None] * norms[None, i0:]
             )
             for r in range(blk.shape[0]):
-                gi = i0 + r
-                row = cos[r, gi + 1 :]  # j > i in sorted-id order → drop j
-                hits = np.nonzero(np.isfinite(row) & (row >= threshold))[0]
-                dropped.update(ids[gi + 1 + hits])
+                row = cos[r, r + 1 :]  # j > i in sorted-id order → drop j
+                # ~isnan (not isfinite): +inf compares ≥ threshold in both
+                # engines' `isnan(cos) = false AND cos >= t` — match it
+                hits = np.nonzero(~np.isnan(row) & (row >= threshold))[0]
+                dropped.update(ids[i0 + r + 1 + hits])
         return pd.DataFrame({id_col: sorted(dropped)})
 
     dropped = assigned.select(*part_keys, id_col, vec_col).groupBy(

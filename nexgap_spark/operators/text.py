@@ -301,9 +301,17 @@ def ngram_logprob(
         )
 
     tb = bigram_instances(train, [])
-    c2 = tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
-    c1 = tb.groupBy("w1").agg(F.count("*").alias("_c1"))
-    v = tb.select("w2").union(tb.select("w1")).distinct().count()
+    # ONE corpus scan: c2 is the only aggregate that needs the raw bigram
+    # stream; c1 = Σ_w2 c2 and the vocabulary = distinct words over c2's
+    # keys (every training word appears in some bigram position), so both
+    # derive from the (vastly smaller) count table. localCheckpoint
+    # materializes c2 once — the eager vocabulary count below would
+    # otherwise re-run the tokenize+explode lineage, and c1/scoring again.
+    c2 = (
+        tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2")).localCheckpoint()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    v = c2.select("w2").union(c2.select("w1")).distinct().count()
     if broadcast_model:
         c2, c1 = F.broadcast(c2), F.broadcast(c1)
     sb = bigram_instances(docs, [id_col])

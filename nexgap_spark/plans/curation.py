@@ -515,7 +515,7 @@ def q86_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRACK_FILTER = " AND ".join(
     f"NOT starts_with(x, '{p}')"
-    for p in ("utm_", "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src")
+    for p in curation.TRACKING_PARAM_PREFIXES  # single source of truth with the operator
 )
 
 

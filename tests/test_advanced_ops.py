@@ -281,3 +281,27 @@ def test_semantic_dedup(spark):
     ).count()
     assert uncapped == 1  # all near-dups of one survivor
     assert 1 <= kept_salted <= 6  # one survivor per hash sub-cluster
+
+
+def test_semantic_dedup_degraded_inputs(spark):
+    # NULL/short embeddings and empty centroid tables must be KEPT rows /
+    # no-op dedup, never a job crash in the Arrow stages
+    from nexgap_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 1
+            (3, None),                      # NULL embedding
+            (4, [0.5]),                     # too short for dim=4
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.0])], "centroid_id long, embedding array<double>"
+    )
+    kept = {r.vec_id for r in semantic_dedup(vecs, cents, threshold=0.99, dim=4).collect()}
+    assert kept == {1, 3, 4}  # 2 dropped; unclusterable rows pass through
+
+    empty_cents = cents.filter("centroid_id < 0")
+    assert semantic_dedup(vecs, empty_cents, threshold=0.99, dim=4).count() == 4

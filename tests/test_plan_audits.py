@@ -237,7 +237,6 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q77_rolling_active_users",  # 1-row (min,max) date-bounds broadcast
         "q79_rebalance_domains",     # 1-row min-group-size broadcast
         "q99_incremental_dedup",     # two 1-row aggregates cross-joined
-        "q102_semantic_dedup",       # assign_clusters' broadcast |V|×k centroid scoring (k tiny by contract)
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     offenders = {}
