@@ -222,6 +222,23 @@ def main() -> None:
                     ),
                 )[0],
             ),
+            # per-cluster Arrow block scan: replicas shift vec ids but share
+            # values, so every cluster grows M× — the salt cap must keep
+            # per-task pair work ∝ size·cap, and routing is one broadcast
+            # numpy pass per partition
+            "semantic_dedup": (
+                [c],
+                lambda: similarity.semantic_dedup(
+                    c, queries_1x.select(
+                        F.col("vec_id").alias("centroid_id"), "embedding"
+                    ),
+                    threshold=0.3, max_cluster_size=500,
+                ),
+            ),
+            # bigram LM: train = two hash aggs over the exploded stream;
+            # scoring joins against the broadcast count tables — salted text
+            # grows the vocabulary M×, watch the broadcast build
+            "ngram_logprob": ([d], lambda: text.ngram_logprob(d)),
             # sign-LSH with the round-6 bucket cap: replicas share embedding
             # VALUES (only ids shift), so every bucket grows M× — without
             # the cap, pair output and single-task work grow M²; salted,
