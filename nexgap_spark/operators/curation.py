@@ -368,9 +368,16 @@ def chunk_text(
     )
 
 
-TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
-    "utm_", "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src",
+# Tracking-param identification is KEY-based (the part before '='), not
+# whole-token: a prefix match on 'key=value' would silently strip
+# legitimate params whose names merely start with a tracking name
+# ('gclid2=1', 'ref_src_custom=x'), conflating genuinely distinct URLs.
+# Opaque click ids match their key exactly; only the open-ended 'utm_'
+# family is a key-prefix match.
+TRACKING_PARAM_KEYS: tuple[str, ...] = (
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src",
 )
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_",)
 
 
 def canonical_url(col: Column | str) -> Column:
@@ -380,7 +387,8 @@ def canonical_url(col: Column | str) -> Column:
 
     1. strip the fragment;
     2. lowercase the scheme://host prefix (path/query case preserved);
-    3. drop tracking query params (TRACKING_PARAM_PREFIXES), SORT the
+    3. drop tracking query params (key in TRACKING_PARAM_KEYS, or key
+       prefixed by TRACKING_PARAM_PREFIXES), SORT the
        survivors (param order is presentation, not identity), rejoin;
     4. drop an empty trailing '?'.
 
@@ -398,9 +406,10 @@ def canonical_url(col: Column | str) -> Column:
     q = F.regexp_extract(u, r"\?(.*)$", 1)
 
     def keep(x):
-        cond = F.lit(True)
+        key = F.split(x, "=", 2).getItem(0)
+        cond = ~key.isin(*TRACKING_PARAM_KEYS)
         for p in TRACKING_PARAM_PREFIXES:
-            cond = cond & ~x.startswith(p)
+            cond = cond & ~key.startswith(p)
         return cond & (x != "")
     params = F.array_sort(F.filter(F.split(q, "&"), keep))     # 3
     qs = F.array_join(params, "&")

@@ -611,6 +611,23 @@ def dup_groups(
             cur_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).first()["s"]
+            if cur_sum is None:
+                # decimal(38,0) overflow: non-ANSI Spark yields a NULL sum
+                # instead of raising, and two consecutive NULLs would fake
+                # convergence (None == None) with non-final labels. Fall
+                # back to the per-row compare join for this round.
+                changed = (
+                    new_labels.withColumnRenamed("label", "new_label")
+                    .join(labels, "n")
+                    .filter(F.col("new_label") != F.col("label"))
+                    .limit(1)
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    converged = True
+                    break
+                continue
             labels = new_labels
             if cur_sum == prev_sum:
                 converged = True

@@ -864,7 +864,13 @@ def semantic_dedup(
     cent_mat = np.array(
         [np.asarray(v, dtype=np.float64)[:dim] for v in cent_pd[vec_col]]
     )
-    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    # Closure capture, NOT sparkContext.broadcast: an explicit broadcast
+    # would need a matching unpersist after the (lazy) result materializes
+    # or it accumulates blocks across calls in a long-lived driver; the
+    # centroid side is small by contract (_collect_small_side cap), so
+    # shipping it inside the serialized task closure — like every other
+    # mapInPandas helper in this module — has the same per-stage cost with
+    # no lifetime to manage.
     id_type = dict(vectors.dtypes)[id_col]
     vec_type = dict(vectors.dtypes)[vec_col]
     cid_type = dict(centroids.dtypes)["centroid_id"]
@@ -875,7 +881,7 @@ def semantic_dedup(
         return np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vals])
 
     def route(batches):
-        c_ids, c_mat = bc.value
+        c_ids, c_mat = cent_ids, cent_mat
         for pdf in batches:
             # NULL/short embeddings can't be clustered, so they can't be
             # dropped: leaving them out of the assignment keeps them in the

@@ -513,9 +513,20 @@ def q86_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # param filter + sort) with the same regexes.
 # ---------------------------------------------------------------------------
 
+# Single source of truth with the operator: key-based match (part before
+# '='), exact for opaque click ids, prefix only for the utm_ family.
+# DuckDB's string_split is 1-indexed; element 1 is the key even when the
+# value itself contains '='.
 _TRACK_FILTER = " AND ".join(
-    f"NOT starts_with(x, '{p}')"
-    for p in curation.TRACKING_PARAM_PREFIXES  # single source of truth with the operator
+    [
+        "string_split(x, '=')[1] NOT IN ({})".format(
+            ", ".join(f"'{k}'" for k in curation.TRACKING_PARAM_KEYS)
+        )
+    ]
+    + [
+        f"NOT starts_with(string_split(x, '=')[1], '{p}')"
+        for p in curation.TRACKING_PARAM_PREFIXES
+    ]
 )
 
 

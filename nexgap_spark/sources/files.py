@@ -220,21 +220,23 @@ def write_task_logs(
 
     if timestamp is None:
         timestamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S_%f")
-    total = df.count()
-    if total > max_tasks:
-        raise ValueError(
-            f"write_task_logs: {total} tasks exceeds max_tasks={max_tasks}; "
-            "per-task driver-side files don't scale past that — use a "
-            "partitioned text sink for bulk logs"
-        )
     bar = "=" * 80
+    # The '/total' suffix in the banner is formatted driver-side from the
+    # ONE collected row set (sentinel substitution below): a separate
+    # df.count() would re-execute the upstream plan, and on a
+    # non-deterministic source the banner total could disagree with the
+    # number of files actually written.
+    _total_sentinel = "\x00TOTAL\x00"
     q = F.coalesce(F.col(query_col).cast("string"), F.lit(""))
     q_short = F.when(
         F.length(q) > 200, F.concat(F.substring(q, 1, 200), F.lit("..."))
     ).otherwise(q)
     content = F.concat(
         F.lit(bar + "\n"),
-        F.format_string(f"Query %s/{total} - Log Started\n", F.col(index_col)),
+        F.format_string(
+            f"Query %s/{_total_sentinel} - Log Started\n", F.col(index_col)
+        ),  # sentinel → real total driver-side; header is always the
+        # content's first line so replace(count=1) can't touch user text
         F.lit(f"Timestamp: {timestamp}\n"),
         F.format_string("Framework: %s\n", F.coalesce(F.col(framework_col), F.lit(""))),
         F.format_string("Query: %s\n", q_short),
@@ -249,11 +251,22 @@ def write_task_logs(
         ),
         F.lit(bar + "\n"),
     )
-    rows = df.select(
-        F.col(index_col).cast("long").alias("_i"),
-        F.coalesce(F.col(framework_col), F.lit("unknown")).alias("_fw"),
-        content.alias("_content"),
-    ).collect()
+    rows = (
+        df.select(
+            F.col(index_col).cast("long").alias("_i"),
+            F.coalesce(F.col(framework_col), F.lit("unknown")).alias("_fw"),
+            content.alias("_content"),
+        )
+        .limit(max_tasks + 1)
+        .collect()
+    )
+    total = len(rows)
+    if total > max_tasks:
+        raise ValueError(
+            f"write_task_logs: over {max_tasks} tasks (max_tasks); "
+            "per-task driver-side files don't scale past that — use a "
+            "partitioned text sink for bulk logs"
+        )
     out_dir = Path(log_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written: list[str] = []
@@ -266,6 +279,9 @@ def write_task_logs(
         n = seen.get(stem, 0)
         seen[stem] = n + 1
         p = out_dir / (f"{stem}.log" if n == 0 else f"{stem}_{n}.log")
-        p.write_text(r["_content"], encoding="utf-8")
+        p.write_text(
+            r["_content"].replace(_total_sentinel, str(total), 1),
+            encoding="utf-8",
+        )
         written.append(str(p))
     return written
