@@ -813,3 +813,168 @@ def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — the COMPOSED synthesis workflow (X2–X4, X6–X9 chained in the
+# reference router's stage order, router_agent.py:80-256): persona
+# suitability/rewrite → difficulty-variant synthesis (with per-variant
+# fan-out) → URL extract/validate/repair/rewrite → file requirement +
+# augmentation → fuzzifier → export record. Every stage's mock response is
+# a pure function of doc_id, so the oracle unrolls the entire workflow —
+# a regression in ANY stage, or in the ORDER of stages (augment before
+# fuzz, URL before augment), breaks the value hash.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_synthesis_workflow",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS pv, doc_id % 4 AS rv, doc_id % 5 AS fv,
+             'https://hostA' || doc_id || '.example.org/p' AS u,
+             CASE WHEN doc_id % 3 = 1 THEN 'A person R' || doc_id
+                  ELSE 'P-' || doc_id END AS persona
+      FROM documents
+    ),
+    fail AS (
+      SELECT persona, pv = 1 AS was_rewritten, 'synthesis_failed' AS status,
+             CAST(NULL AS VARCHAR) AS difficulty,
+             CAST(NULL AS BOOLEAN) AS requires_files,
+             CAST(NULL AS BOOLEAN) AS augmented,
+             CAST(NULL AS BOOLEAN) AS fuzzified,
+             CAST(NULL AS VARCHAR) AS fuzz_error,
+             CAST(NULL AS VARCHAR) AS final_query,
+             CAST(NULL AS BIGINT) AS n_repaired, CAST(NULL AS BIGINT) AS n_removed
+      FROM d WHERE rv = 3
+    ),
+    r AS (
+      SELECT *,
+             strpos('6789abcdef', substr(md5('0:' || u), 1, 1)) > 0 AS uok,
+             'https://fixed.example/' || substr(md5(u), 1, 8) AS f
+      FROM d WHERE rv <> 3
+    ),
+    v AS (
+      SELECT *,
+             CASE WHEN uok THEN u
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f || '/r1'), 1, 1)) > 0 THEN f || '/r1'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f || '/r2'), 1, 1)) > 0 THEN f || '/r2'
+                  WHEN strpos('6789abcdef', substr(md5('0:' || f || '/r3'), 1, 1)) > 0 THEN f || '/r3'
+             END AS u_fix
+      FROM r
+    ),
+    variants AS (
+      SELECT doc_id, pv, rv, fv, persona, 'easy' AS difficulty,
+             'E' || doc_id || ' see ' ||
+               coalesce(u_fix, '[URL removed]') AS processed,
+             CASE WHEN NOT uok AND u_fix IS NOT NULL THEN 1 ELSE 0 END AS n_repaired,
+             CASE WHEN u_fix IS NULL THEN 1 ELSE 0 END AS n_removed
+      FROM v
+      UNION ALL
+      SELECT doc_id, pv, rv, fv, persona, 'medium', 'M' || doc_id, 0, 0 FROM v
+      UNION ALL
+      SELECT doc_id, pv, rv, fv, persona, 'hard', 'H' || doc_id, 0, 0 FROM v
+    ),
+    staged AS (
+      SELECT persona, pv = 1 AS was_rewritten, 'ok' AS status, difficulty,
+             rv IN (0, 2) AS requires_files,
+             rv = 0 AS augmented,
+             fv IN (0, 1) AS fuzzified,
+             CASE fv WHEN 2 THEN 'Fuzzifier response lacks fuzzy_query'
+                     WHEN 3 THEN 'No JSON object detected in fuzzifier response'
+                     WHEN 4 THEN 'Fuzzifier response lacks fuzzy_query' END AS fuzz_error,
+             CASE WHEN fv IN (0, 1) THEN 'fq-' || doc_id
+                  WHEN rv = 0 THEN 'AUG-' || doc_id
+                  ELSE processed END AS final_query,
+             CAST(n_repaired AS BIGINT) AS n_repaired,
+             CAST(n_removed AS BIGINT) AS n_removed
+      FROM variants
+    ),
+    allrows AS (SELECT * FROM staged UNION ALL SELECT * FROM fail)
+    SELECT status, difficulty, was_rewritten, requires_files, augmented,
+           fuzzified, n_repaired, n_removed,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN fuzz_error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fuzz_errors,
+           MIN(final_query) AS sample_final,
+           MIN(persona) AS sample_persona
+    FROM allrows
+    GROUP BY status, difficulty, was_rewritten, requires_files, augmented,
+             fuzzified, n_repaired, n_removed
+    ORDER BY status, difficulty, was_rewritten, requires_files, augmented,
+             fuzzified, n_repaired, n_removed
+    """,
+)
+def q105_synthesis_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
+    from nexgap_spark.external.workflow import run_synthesis_workflow
+
+    d = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("P-"), d).alias("persona"),
+        F.when(d % 3 == 0, F.lit("SUITABLE"))
+        .when(d % 3 == 1, F.lit("NOT_SUITABLE"))
+        .otherwise(F.lit("This persona is suitable for the task."))
+        .alias("suit_response"),
+        F.concat(F.lit("A person R"), d).alias("rewrite_response"),
+        F.when(d % 4 == 3, F.lit("no variants at all"))
+        .otherwise(
+            F.format_string(
+                "**Easy:** E%s see https://hostA%s.example.org/p\n"
+                "**Medium:** M%s\n**Hard:** H%s",
+                "doc_id", "doc_id", "doc_id", "doc_id",
+            )
+        )
+        .alias("synth_response"),
+        F.when(
+            d % 4 == 0,
+            F.lit('{"requires_files": true, "reason": "needs csv", '
+                  '"required_items": ["data.csv"]}'),
+        )
+        .when(d % 4 == 1, F.lit('{"requires_files": false}'))
+        .when(d % 4 == 2, F.lit('{"requires_files": true, "required_items": "nope"}'))
+        .otherwise(F.lit("garbage"))
+        .alias("req_response"),
+        F.when(d % 4 == 0, F.format_string('{"rewritten_query": "AUG-%s"}', "doc_id"))
+        .otherwise(F.lit(""))
+        .alias("aug_response"),
+        F.when(
+            d % 5 == 0,
+            F.format_string(
+                '{"analysis": "a", "fuzzy_query": "fq-%s", "strategy": "soften"}',
+                "doc_id",
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.format_string('Sure! {"analysis": "x", "fuzzy_query": "fq-%s"} done', "doc_id"),
+        )
+        .when(d % 5 == 2, F.lit('{"analysis": "only"}'))
+        .when(d % 5 == 3, F.lit("no json here"))
+        .otherwise(F.lit('{"fuzzy_query": "   "}'))
+        .alias("fuzz_response"),
+    )
+    wf = run_synthesis_workflow(
+        docs.drop("doc_id"),
+        client_factory=MockUrlPipelineClient,
+        transport_factory=hash_transport,
+    )
+    return (
+        wf.groupBy(
+            "status", "difficulty", "was_rewritten", "requires_files",
+            "augmented", "fuzzified",
+            F.col("n_repaired").cast("long").alias("n_repaired"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("fuzz_error").isNotNull().cast("long")).alias("n_fuzz_errors"),
+            F.min("final_query").alias("sample_final"),
+            F.min("persona").alias("sample_persona"),
+        )
+        .orderBy(
+            "status", "difficulty", "was_rewritten", "requires_files",
+            "augmented", "fuzzified", "n_repaired", "n_removed",
+        )
+    )

@@ -159,6 +159,70 @@ def q85_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q106 — the PERSISTED IVF index path end-to-end: build_ivf_index writes the
+# corpus parquet PARTITIONED BY centroid_id plus the centroid table, then
+# ivf_topk_indexed answers the same queries as q85 by partition-PRUNED scan
+# of only the probed clusters. Identical semantics contract to ivf_topk at
+# equal (centroids, nprobe) — so the oracle is q85's SQL verbatim. This is
+# the serve-at-scale story: at 100 TB the probed-cluster filter is the
+# difference between scanning ~nprobe/k of the corpus and scanning all of
+# it (tests/test_plan_audits.py asserts the scan's PartitionFilters).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q106_ivf_indexed",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, c_id FROM assigned WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_cos('q.embedding', 'c.embedding')} AS cos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN clusters c ON c.centroid_id = p.c_id AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # deterministic per-SF path; build is mode=overwrite → idempotent reruns
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"nexgap_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    sim.build_ivf_index(emb, centroids, path)
+    topk = sim.ivf_topk_indexed(queries, path, k=3, nprobe=2)
+    return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
 # q36 — blocked embedding near-dup scan: per label (the blocking key),
 # pair count above threshold + the maximum cosine observed.
 # ---------------------------------------------------------------------------

@@ -290,3 +290,29 @@ def test_q98_argmax_no_window_sort(spark):
     plan = plan_of(spark, "q98_keep_best_per_group")
     assert "Window" not in plan
     assert "LeftSemi" in plan
+
+
+def test_q106_indexed_scan_prunes_partitions(spark):
+    # The persisted-IVF path's whole point: the corpus scan must carry a
+    # PartitionFilters entry on centroid_id (probed clusters only) so
+    # unprobed clusters' files are never read.
+    plan = plan_of(spark, "q106_ivf_indexed")
+    assert "ivf_index" in plan, "IVF corpus scan missing from plan"
+    # formatted mode puts PartitionFilters on its own line within the scan
+    # block; the only partitioned source in this plan is the IVF corpus
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no partition-filtered scan in plan"
+    assert any("centroid_id" in l and "IN" in l for l in pf)
+
+
+def test_q105_workflow_is_single_map_stage(spark):
+    # The composed synthesis workflow must stay one row-local Arrow stage:
+    # exactly one Python-worker operator before the final aggregate, and no
+    # join/shuffle other than the aggregate's own exchange.
+    plan = plan_of(spark, "q105_synthesis_workflow")
+    import re
+
+    # formatted explain names each operator once in the tree and once in
+    # the numbered detail block — count the detail headers
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Join" not in plan
