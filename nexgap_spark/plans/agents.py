@@ -53,8 +53,9 @@ from nexgap_spark.session import load_table as t
 def q87_fuzzifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.external.agents import parse_fuzzifier_col
 
+    # lean Arrow projection: only the parse inputs + the group key cross
+    # the Python boundary (doc_id itself never does)
     docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
         (F.col("doc_id") % 5).cast("long").alias("variant"),
         F.concat(F.lit("q-"), F.col("doc_id")).alias("query"),
         F.when(
@@ -299,17 +300,17 @@ def q91_url_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.external.urlcheck import (
         MockRepairClient,
         hash_transport,
-        repair_urls_loop,
-        validate_urls,
+        validate_and_repair_urls,
     )
 
     urls = t(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://host"), F.col("doc_id"), F.lit(".example.org/p")).alias("url")
     )
-    broken = validate_urls(urls, hash_transport).filter(~F.col("accessible"))
-    changes = repair_urls_loop(
-        broken, url_col="url", error_col="error",
-        client_factory=MockRepairClient, transport_factory=hash_transport,
+    # fused X7+X8 single-stage form — value-identical to
+    # validate_urls → filter(~accessible) → repair_urls_loop (both paths
+    # stay covered: q90 proves validate_urls, tests prove the equality)
+    changes = validate_and_repair_urls(
+        urls, client_factory=MockRepairClient, transport_factory=hash_transport,
     )
     return (
         changes.groupBy("action")
@@ -658,6 +659,11 @@ def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         process_query_urls,
     )
 
+    # NOTE (r7 measurement): repartitioning before the Arrow stage was
+    # tried and REVERTED — at sf0.1 (75k rows, mock clients) the exchange
+    # plus 32-task scheduling costs more than the parallelism returns
+    # (q96 1.0 s → 1.4 s). On a real frontier with network-bound clients
+    # the repartition IS the concurrency knob; callers set it by data.
     queries = t(spark, sf_dir, "documents").select(
         F.format_string(
             "check https://hostA%s.example.org/p and https://hostB%s.example.org/p",

@@ -648,3 +648,55 @@ def test_engine_fuzzify_custom_columns(spark):
     parsed, fails = eng.fuzzify(df, query_col="prompt", response_col="reply")
     assert parsed.count() == 2
     assert fails.collect()[0].query == "p2"  # failure frame resolves correctly
+
+
+def test_validate_and_repair_equals_two_stage(spark):
+    # the fused X7+X8 single-stage operator must be value-identical to
+    # validate_urls → filter(~accessible) → repair_urls_loop on the same
+    # transport/client (the q91 plan relies on this equality)
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        hash_transport,
+        repair_urls_loop,
+        validate_and_repair_urls,
+        validate_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://host{i}.example.org/p",) for i in range(200)], "url string"
+    )
+    broken = validate_urls(urls, hash_transport).filter(~F.col("accessible"))
+    two_stage = sorted(
+        tuple(r)
+        for r in repair_urls_loop(
+            broken, url_col="url", error_col="error",
+            client_factory=MockRepairClient, transport_factory=hash_transport,
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r)
+        for r in validate_and_repair_urls(
+            urls, client_factory=MockRepairClient, transport_factory=hash_transport,
+        ).collect()
+    )
+    assert fused == two_stage
+    assert len(fused) > 0  # the hash rule breaks ~60% of URLs
+
+
+def test_validate_and_repair_dedupe_flag(spark):
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        hash_transport,
+        validate_and_repair_urls,
+    )
+
+    dup = spark.createDataFrame(
+        [("https://host1.example.org/p",)] * 3, "url string"
+    )
+    out = validate_and_repair_urls(
+        dup, client_factory=MockRepairClient, transport_factory=hash_transport,
+        dedupe=True,
+    ).collect()
+    assert len(out) <= 1
