@@ -26,8 +26,10 @@ from nexgap_spark.operators.text import tokenize
 # driver threads building plans concurrently must never mint the same name
 # (composing their frames into one plan would fail analysis).
 import itertools
+import logging
 
 _OBSERVE_SEQ = itertools.count(1)
+_LOG = logging.getLogger(__name__)
 
 MINHASH_PRIME = 4_294_967_311
 MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
@@ -296,9 +298,9 @@ def lsh_candidate_pairs(
     Neither treatment is silent: every plan carries an ``lsh_bucket_cap``
     observed metric (exact rows in oversized buckets + approx oversized
     bucket count, collected during the consuming action at zero extra
-    cost), and ``log_drops=True`` additionally prints the numbers eagerly
-    (costs one extra job — keep off in benchmarked paths). ``None``
-    disables the cap.
+    cost), and ``log_drops=True`` additionally emits the numbers eagerly
+    through the module logger (costs one extra job — keep off in
+    benchmarked paths). ``None`` disables the cap.
 
     Guard cost, measured at sf0.1: the window count adds a (band, bucket)
     hash-shuffle + sort of the bucket rows ahead of the join's own shuffle
@@ -357,9 +359,9 @@ def lsh_candidate_pairs(
                     if oversized == "drop"
                     else "member rows salted into bounded sub-buckets (none excluded)"
                 )
-                print(
-                    f"[lsh] capped {stats['buckets']} bucket(s) over "
-                    f"{max_bucket_size}: {stats['rows']} {action}"
+                _LOG.warning(
+                    "[lsh] capped %s bucket(s) over %s: %s %s",
+                    stats["buckets"], max_bucket_size, stats["rows"], action,
                 )
         if oversized == "drop":
             buckets = sized.filter(~over).drop("_bsz")

@@ -257,7 +257,10 @@ def test_buffered_sessions_handle_cross_batch_disorder(spark, tmp_path):
     for i, c in enumerate(shifted + [sentinel]):
         p = str(d / f"{i}.parquet")
         # pandas Timedelta arithmetic upcasts the sentinel ts to ns — pin µs
-        # so every file in the stream directory shares one parquet encoding
+        # so every file in the stream directory shares one parquet encoding.
+        # (own the frame first: some chunks are iloc slices, and mutating a
+        # slice view raises SettingWithCopyWarning)
+        c = c.copy()
         c["ts"] = c["ts"].astype("datetime64[us]")
         pq.write_table(pa.Table.from_pandas(c, preserve_index=False), p, version="2.6")
         os.utime(p, (base + 100 * i, base + 100 * i))
