@@ -487,6 +487,25 @@ class Engine:
 
         return process_query_urls(df, **kw)
 
+    def maintain_urls(self, df: DataFrame, **kw: Any) -> DataFrame:
+        """X7+X8 fused: validate every URL and repair the broken ones in
+        ONE Arrow stage (the crawl-frontier maintenance pass); emits one
+        url_change row per broken URL. Inject ``client_factory`` /
+        ``transport_factory``."""
+        from nexgap_spark.external.urlcheck import validate_and_repair_urls
+
+        return validate_and_repair_urls(df, **kw)
+
+    def synthesize(self, df: DataFrame, **kw: Any) -> DataFrame:
+        """The COMPOSED query-synthesis workflow (router_agent.py:80-256):
+        persona eval/rewrite → variant synthesis → URL processing → file
+        requirement/augmentation → fuzzifier, one export-shaped row per
+        generated variant. Inject ``client_factory`` /
+        ``transport_factory``; stage responses arrive as columns."""
+        from nexgap_spark.external.workflow import run_synthesis_workflow
+
+        return run_synthesis_workflow(df, **kw)
+
     # -- catalog ------------------------------------------------------------
 
     def run_query(self, name: str, sf_dir: str) -> DataFrame:

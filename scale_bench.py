@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Large-scale dedup/ANN bench vs DuckDB (VERDICT r6 item 8).
+
+Materializes scaled copies of the synthetic tables to parquet — so BOTH
+engines read identical bytes — then times catalog queries against their
+own DuckDB oracles at a scale where per-query fixed overhead is noise.
+
+Scaling is the stress.py SCALE-OUT discipline: replica keys shift into
+disjoint ranges; document text is salted per replica (no artificial
+cross-replica near-dups, output grows linearly); embeddings are
+circularly rotated per replica (distinct directions, no cos=1 floods).
+
+Two multipliers because the catalog pins density-sensitive parameters:
+the text-dedup family (q43/q44/q100/q103/q104) is ~linear in corpus size
+at constant dup density → ×10 (sf1-equivalent documents). The ANN family
+(q34/q45/q85/q102) pins centroid count / bucket bits / query density, so
+pair work grows ×M² in BOTH engines by construction → ×3 keeps the
+oracle runnable; production scales k and bucket bits with N instead
+(operators already expose them).
+
+Prints one JSON line and is safe to re-run (overwrites its temp dirs).
+  python scale_bench.py            # both families
+  SCALE_BENCH_FAMILY=text python scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from nexgap_spark.session import get_spark, load_table
+
+TEXT_QUERIES = ["q43_dup_groups", "q44_dedup_corpus", "q100_incremental_minhash",
+                "q103_ngram_logprob", "q104_url_dedup"]
+ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
+               "q102_semantic_dedup"]
+TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
+ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
+
+
+def _shifted(df: DataFrame, m: int, id_cols: list[str]) -> DataFrame:
+    shifts = {c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+    rep = df.sparkSession.range(m).withColumnRenamed("id", "_rep")
+    out = df.crossJoin(F.broadcast(rep))
+    for c, s in shifts.items():
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * F.lit(s))
+    return out
+
+
+def build_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    out = _shifted(docs, m, ["doc_id"])
+    # salt every token with the replica id → no cross-replica shingle hits
+    out = out.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), F.lit(r"(\S+)"), F.concat(F.lit(r"$1_"), F.col("_rep"))
+        ),
+    ).drop("_rep")
+    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _shifted(emb, m, ["vec_id"])
+    # circular rotation by 5·rep dims: replica vectors point in genuinely
+    # different directions (norms preserved), so no degenerate cos=1 floods
+    dim = 64
+    rot = F.when(F.col("_rep") == 0, F.col("embedding"))
+    for r in range(1, m):
+        k = (5 * r) % dim
+        rot = rot.when(
+            F.col("_rep") == r,
+            F.concat(F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)),
+        )
+    out = out.withColumn("embedding", rot).drop("_rep")
+    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def bench(spark, con, names: list[str], sf_dir: str, trials: int = 2) -> dict:
+    from nexgap_spark.plans import ORACLES, QUERIES
+
+    out: dict = {}
+    for name in names:
+        s_best = d_best = None
+        rows = 0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            rows = len(QUERIES[name](spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            s_best = dt if s_best is None else min(s_best, dt)
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            con.sql(ORACLES[name]).fetchall()
+            dt = time.perf_counter() - t0
+            d_best = dt if d_best is None else min(d_best, dt)
+        out[name] = {
+            "spark_sec": round(s_best, 2), "duckdb_sec": round(d_best, 2),
+            "ratio": round(s_best / d_best, 3), "rows": rows,
+        }
+        print(f"[scale_bench] {name}: spark {s_best:.2f}s duckdb {d_best:.2f}s "
+              f"({rows} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    family = os.environ.get("SCALE_BENCH_FAMILY", "both")
+    spark = get_spark("nexgap_scale_bench")
+    spark.range(32 * 1024).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count()
+
+    result: dict = {"base_sf_dir": sf_dir}
+    if family in ("both", "text"):
+        d10 = f"/tmp/nexgap_scale_docs_x{TEXT_MULT}"
+        build_docs_dir(spark, sf_dir, TEXT_MULT, d10)
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {cpus}")
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d10}/documents.parquet/*.parquet')")
+        result["text_mult"] = TEXT_MULT
+        result["text"] = bench(spark, con, TEXT_QUERIES, d10)
+        con.close()
+    if family in ("both", "ann"):
+        d3 = f"/tmp/nexgap_scale_emb_x{ANN_MULT}"
+        build_emb_dir(spark, sf_dir, ANN_MULT, d3)
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {cpus}")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d3}/embeddings.parquet/*.parquet')")
+        result["ann_mult"] = ANN_MULT
+        result["ann"] = bench(spark, con, ANN_QUERIES, d3)
+        con.close()
+    print(json.dumps(result, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
