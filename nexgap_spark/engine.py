@@ -496,12 +496,14 @@ class Engine:
 
         return validate_and_repair_urls(df, **kw)
 
-    def synthesize(self, df: DataFrame, **kw: Any) -> DataFrame:
+    def synthesis_workflow(self, df: DataFrame, **kw: Any) -> DataFrame:
         """The COMPOSED query-synthesis workflow (router_agent.py:80-256):
         persona eval/rewrite → variant synthesis → URL processing → file
         requirement/augmentation → fuzzifier, one export-shaped row per
         generated variant. Inject ``client_factory`` /
-        ``transport_factory``; stage responses arrive as columns."""
+        ``transport_factory``; stage responses arrive as columns. (The
+        tree-sampling round loop is ``synthesize`` above — this is the
+        per-task agent composition.)"""
         from nexgap_spark.external.workflow import run_synthesis_workflow
 
         return run_synthesis_workflow(df, **kw)

@@ -262,3 +262,68 @@ def test_normalize_ts_encoding_explicit_empty_cols_is_noop(spark):
     df = spark.createDataFrame([(1_700_000_000_000_000_000,)], "ts bigint")
     assert dict(normalize_ts_encoding(df, cols=[]).dtypes)["ts"] == "bigint"
     assert dict(normalize_ts_encoding(df).dtypes)["ts"] == "timestamp"
+
+
+def test_canonical_url_key_based_tracking_match(spark):
+    # ADVICE r6: tracking params are identified by KEY — 'gclid2=1' and
+    # 'ref_src_custom=x' are legitimate params and must survive; bare
+    # 'gclid' (no '='), 'gclid=x', and any 'utm_*' must be stripped.
+    from nexgap_spark.operators.curation import canonical_url
+
+    rows = [
+        (0, "https://h.org/p?gclid2=1&a=1"),
+        (1, "https://h.org/p?ref_src_custom=x&a=1"),
+        (2, "https://h.org/p?gclid=zz&a=1"),
+        (3, "https://h.org/p?gclid&a=1"),
+        (4, "https://h.org/p?utm_source=x&utm_weird=y&a=1"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.cu for r in df.select("i", canonical_url("url").alias("cu")).collect()}
+    assert got[0] == "https://h.org/p?a=1&gclid2=1"          # kept, sorted
+    assert got[1] == "https://h.org/p?a=1&ref_src_custom=x"  # kept
+    assert got[2] == "https://h.org/p?a=1"                   # stripped
+    assert got[3] == "https://h.org/p?a=1"                   # bare key stripped
+    assert got[4] == "https://h.org/p?a=1"                   # utm_ family stripped
+
+
+def test_dup_groups_null_sum_fallback(spark, monkeypatch):
+    # ADVICE r6: a NULL decimal(38,0) label sum (overflow) must not fake
+    # convergence. Simulate by forcing the first two sums to None and
+    # checking the per-row fallback still converges to correct groups.
+    from nexgap_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    # PySpark 4: the concrete class is pyspark.sql.classic.dataframe.
+    # DataFrame — patching the dispatch base would never intercept
+    import pyspark.sql.classic.dataframe as _dfmod
+
+    calls = {"n": 0}
+    orig_first = _dfmod.DataFrame.first
+
+    class _NoneRow(dict):
+        def __getitem__(self, k):  # row["s"] → None, like an overflowed sum
+            return None
+
+    def fake_first(self):
+        row = orig_first(self)
+        # intercept only the loop's 1-column sum probes; fake the first two
+        # as overflow NULLs
+        if row is not None and list(row.asDict().keys()) == ["s"]:
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                return _NoneRow()
+        return row
+
+    monkeypatch.setattr(_dfmod.DataFrame, "first", fake_first)
+    out = {
+        r.n: r.group_id
+        for r in dedup.dup_groups(edges, a_col="a", b_col="b").collect()
+    }
+    assert calls["n"] >= 2  # the probe was actually exercised
+    # chain 1-2-3 collapses to min label 1; 10-11 to 10 — correct despite
+    # two simulated overflow rounds
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert out[1] != out[10]
