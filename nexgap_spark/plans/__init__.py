@@ -40,9 +40,11 @@ _DRIVER_WINDOW = [
     "q102_semantic_dedup",
     "q103_ngram_logprob",
     "q104_url_dedup",
-    # (b) new or refactored this round
+    # (b) new or refactored this round (q82 cedes its slot to q107, the
+    # X11 subprocess harness — new operators take priority over backfill)
     "q105_synthesis_workflow",
     "q106_ivf_indexed",
+    "q107_agent_execution",
     "q96_url_pipeline",
     # (c) last external green r04
     "q46_cube_sales",
@@ -88,7 +90,6 @@ _DRIVER_WINDOW = [
     "q79_rebalance_domains",
     "q80_kmeans_step",
     "q81_cdc_apply",
-    "q82_run_summary",
     "q85_ivf_nprobe",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}

@@ -984,3 +984,63 @@ def q105_synthesis_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "augmented", "fuzzified", "n_repaired", "n_removed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — X11 agent-execution subprocess harness (run_end_to_end.py:186-312)
+# through REAL subprocesses: each task row spawns a deterministic /bin/sh
+# command whose exit code and LangfuseTraceID line are pure functions of
+# the task id, so the oracle knows exactly which rows succeed, which trace
+# ids get extracted (success-only, like the reference), and which carry
+# the reference's 'Process exited with code N' error. 200 tasks — real
+# fork/exec/reap per row, bounded for the driver gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q107_agent_execution",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 = 0 AS fails,
+             CASE WHEN doc_id % 2 = 0 THEN 'fw-a' ELSE 'fw-b' END AS fw
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT fw AS framework, NOT fails AS success,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN NOT fails THEN 1 ELSE 0 END) AS BIGINT) AS n_traces,
+           MIN(CASE WHEN NOT fails THEN 't-' || doc_id END) AS sample_trace,
+           MIN(CASE WHEN fails THEN 'Process exited with code 1' END) AS sample_error
+    FROM d
+    GROUP BY fw, NOT fails
+    ORDER BY framework, success
+    """,
+)
+def q107_agent_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.execution import run_agent_queries
+
+    # repartition IS right here (unlike the mock-parse queries): each row
+    # costs a real fork/exec (~40 ms) — spreading 200 of them over the
+    # cores is the reference's max_workers pool, 8.6 s → ~1.5 s measured
+    tasks = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.format_string("task-%s", "doc_id").alias("query"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("fw-a"))
+        .otherwise(F.lit("fw-b"))
+        .alias("framework"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def builder(q: str, f: str) -> list[str]:
+        i = int(q.removeprefix("task-"))
+        code = 1 if i % 3 == 0 else 0
+        return ["/bin/sh", "-c", f"echo 'LangfuseTraceID: t-{i}'; exit {code}"]
+
+    out = run_agent_queries(tasks, command_builder=builder, timeout_s=60)
+    return (
+        out.groupBy("framework", "success")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("trace_id").isNotNull().cast("long")).alias("n_traces"),
+            F.min("trace_id").alias("sample_trace"),
+            F.min("error").alias("sample_error"),
+        )
+        .orderBy("framework", "success")
+    )
