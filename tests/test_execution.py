@@ -97,3 +97,55 @@ def test_batch_operator(spark):
     assert not rows["task-3"].success
     assert rows["task-3"].error == "Process exited with code 1"
     assert rows["task-3"].trace_id is None
+
+
+def test_workflow_runs_over_a_stream(spark, tmp_path):
+    # the composed synthesis workflow is one row-local Arrow stage, so it
+    # runs unchanged over a streaming source — the continuous-ingestion
+    # production shape (tasks arrive, records flow out)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
+    from nexgap_spark.external.workflow import run_synthesis_workflow
+    from nexgap_spark.streaming.pipeline import run_batch_to_memory
+
+    d = tmp_path / "tasks"
+    d.mkdir()
+    for part in range(2):
+        rows = pd.DataFrame(
+            {
+                "persona": [f"P-{part}-{i}" for i in range(3)],
+                "suit_response": ["SUITABLE", "NOT_SUITABLE", "SUITABLE"],
+                "rewrite_response": ["A person R"] * 3,
+                "synth_response": [
+                    "**Easy:** E1\n**Medium:** M1\n**Hard:** H1",
+                    "no variants",
+                    "**Easy:** E2\n**Medium:** M2\n**Hard:** H2",
+                ],
+                "req_response": ['{"requires_files": false}'] * 3,
+                "aug_response": [""] * 3,
+                "fuzz_response": ['{"analysis": "a", "fuzzy_query": "fq"}'] * 3,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       str(d / f"{part}.parquet"))
+
+    stream = spark.readStream.schema(
+        "persona string, suit_response string, rewrite_response string, "
+        "synth_response string, req_response string, aug_response string, "
+        "fuzz_response string"
+    ).parquet(str(d))
+    out = run_synthesis_workflow(
+        stream, client_factory=MockUrlPipelineClient, transport_factory=hash_transport
+    )
+    q = run_batch_to_memory(out, "wf_stream")
+    try:
+        rows = spark.sql("select * from wf_stream").collect()
+    finally:
+        q.stop()
+    # per file: 2 ok personas × 3 variants + 1 synthesis_failed = 7; ×2 files
+    assert len(rows) == 14
+    assert sum(1 for r in rows if r.status == "synthesis_failed") == 2
+    assert all(r.final_query == "fq" for r in rows if r.status == "ok")
