@@ -192,20 +192,19 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS == count DISTINCT qualifying orders per priority: carrying
+    # o_orderpriority through the ONE join lets the whole query run as
+    # join → two-phase distinct agg — one orders scan instead of two and
+    # no separate distinct + semi-join shuffles (r7: 1.22 s → 1.01 s,
+    # value-identical; at scale the win is the removed orders re-scan)
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = li.join(
-        orders.select("o_orderkey", "o_orderdate"),
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
         li.l_orderkey == F.col("o_orderkey"),
     ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-    return (
-        orders.join(
-            late.select("o_orderkey").distinct(),
-            "o_orderkey",
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
+    return late.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("n_orders")
     )
 
 
