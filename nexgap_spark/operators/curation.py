@@ -434,3 +434,58 @@ def url_dedup_stats(
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
         .select(F.col("_cu").alias("canonical_url"), id_col, "n_dups")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram span detection — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), bounded to fixed-length token n-grams so it
+    runs as two hash aggregates instead of a suffix array.
+
+    Returns one row per token position whose n-gram occurs at least
+    ``min_count`` times across the WHOLE corpus: (id, position 1-based,
+    gram, n_occurrences) — the mask/removal worklist for a curation pass.
+
+    Scale shape: ONE explode(sequence)+element_at gram stream (the
+    repetition_features path — whole-stage codegen, no interpreted
+    lambdas); gram counts collapse with map-side combine so the first
+    shuffle carries distinct grams, not positions; the surviving
+    repeated-gram table is usually corpus-⋘ and joins back by broadcast
+    under the explicit cap (capped_broadcast — above it AQE plans the
+    shuffle join). Output size equals the number of duplicated positions —
+    the task's own answer, not a blow-up. Reference N/A (scale extension).
+    """
+    from nexgap_spark.operators.dedup import capped_broadcast
+    from nexgap_spark.operators.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("_rid"), tokenize(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    idx = base.select(
+        "_rid",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))).alias("_pos"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("_toks", F.col("_pos") + j) for j in range(n)]
+    )
+    stream = idx.select("_rid", "_pos", gram.alias("_gram"))
+    counts = (
+        stream.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    spans = stream.join(capped_broadcast(counts), "_gram")
+    return spans.select(
+        F.col("_rid").alias(id_col),
+        F.col("_pos").alias("position"),
+        F.col("_gram").alias("gram"),
+        "n_occurrences",
+    )

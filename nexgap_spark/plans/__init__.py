@@ -40,11 +40,13 @@ _DRIVER_WINDOW = [
     "q102_semantic_dedup",
     "q103_ngram_logprob",
     "q104_url_dedup",
-    # (b) new or refactored this round (q82 cedes its slot to q107, the
-    # X11 subprocess harness — new operators take priority over backfill)
+    # (b) new or refactored this round (q81/q82 cede their slots to q107,
+    # the X11 subprocess harness, and q108, the repeated-span detector —
+    # new operators take priority over backfill)
     "q105_synthesis_workflow",
     "q106_ivf_indexed",
     "q107_agent_execution",
+    "q108_repeated_spans",
     "q96_url_pipeline",
     # (c) last external green r04
     "q46_cube_sales",
@@ -89,7 +91,6 @@ _DRIVER_WINDOW = [
     "q78_ordered_funnel",
     "q79_rebalance_domains",
     "q80_kmeans_step",
-    "q81_cdc_apply",
     "q85_ivf_nprobe",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}

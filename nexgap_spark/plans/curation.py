@@ -584,3 +584,58 @@ def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = url_dedup_stats(docs.withColumn("url", url))
     return out.orderBy("canonical_url")
+
+
+# ---------------------------------------------------------------------------
+# q108 — cross-document repeated n-gram spans (Lee et al. 2022 exact-
+# substring dedup signal, bounded to 5-grams): every token position whose
+# 5-gram occurs ≥3 times corpus-wide, aggregated per language. The oracle
+# rebuilds the identical gram stream with DuckDB list comprehensions
+# (the q68/q70 tokenization macros' style).
+# ---------------------------------------------------------------------------
+
+_G5_SPANS = (
+    "CASE WHEN len(t) >= 5 THEN "
+    "[array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q108_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, unnest({_G5_SPANS}) AS gram FROM toks
+    ),
+    c AS (
+      SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram HAVING COUNT(*) >= 3
+    ),
+    s AS (
+      SELECT g.doc_id, g.lang, g.gram, c.occ FROM g JOIN c USING (gram)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams,
+           CAST(MAX(occ) AS BIGINT) AS max_occ
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def q108_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    spans = curation.repeated_ngram_spans(docs, n=5, min_count=3)
+    lang = docs.select("doc_id", "lang")
+    return (
+        spans.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("gram").alias("n_grams"),
+            F.max("n_occurrences").cast("long").alias("max_occ"),
+        )
+        .orderBy("lang")
+    )

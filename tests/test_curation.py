@@ -204,3 +204,24 @@ def test_canonical_url(spark):
              for r in url_dedup_stats(df).collect()}
     assert stats["https://example.com/a?a=1&b=2"] == (1, 3)
     assert stats["https://example.com/a?a=1&b=3"] == (4, 1)
+
+
+def test_repeated_ngram_spans(spark):
+    from nexgap_spark.operators.curation import repeated_ngram_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over it"),   # 'the quick brown' x3 docs
+        (2, "see the quick brown fox here now"),
+        (3, "again the quick brown fox appears ok"),
+        (4, "entirely unrelated words in this document"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_ngram_spans(df, n=4, min_count=3).collect()
+    grams = {r.gram for r in spans}
+    assert grams == {"the quick brown fox"}
+    assert {r.doc_id for r in spans} == {1, 2, 3}
+    assert all(r.n_occurrences == 3 for r in spans)
+    # 1-based positions of the gram in each doc
+    pos = {r.doc_id: r.position for r in spans}
+    assert pos == {1: 1, 2: 2, 3: 2}
