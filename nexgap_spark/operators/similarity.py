@@ -734,6 +734,34 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return spark.read.parquet(f"{root}/corpus"), spark.read.parquet(f"{root}/centroids")
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> None:
+    """Incremental index growth — the continuous-ingest twin of
+    build_ivf_index (same family as the incremental dedup ledgers): route
+    ONLY the new batch to the EXISTING centroids and append its rows into
+    the partitioned corpus layout. Per-batch cost ∝ batch size; the
+    resident corpus is never re-read or re-written, and queries see the
+    union immediately (the partition-pruned scan picks up the new files).
+    Centroids stay fixed between rebuilds — standard IVF serving practice;
+    recall drifts only as the new data's distribution leaves the trained
+    quantizer, which is a rebuild trigger, not an append concern."""
+    spark = new_vectors.sparkSession
+    root = path.rstrip("/")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    assigned = assign_clusters(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{root}/corpus"
+    )
+
+
 def ivf_topk_indexed(
     queries: DataFrame,
     index_path: str,

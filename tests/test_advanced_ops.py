@@ -305,3 +305,36 @@ def test_semantic_dedup_degraded_inputs(spark):
 
     empty_cents = cents.filter("centroid_id < 0")
     assert semantic_dedup(vecs, empty_cents, threshold=0.99, dim=4).count() == 4
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
+    # appending a second batch to a persisted index must answer queries
+    # identically to rebuilding the index over the union (same centroids)
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from nexgap_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(first, cents, inc_path)
+    append_ivf_index(second, inc_path)
+
+    full_path = str(tmp_path / "full")
+    build_ivf_index(emb, cents, full_path)
+
+    inc = sorted(tuple(r) for r in ivf_topk_indexed(queries, inc_path, k=3, nprobe=2).collect())
+    full = sorted(tuple(r) for r in ivf_topk_indexed(queries, full_path, k=3, nprobe=2).collect())
+    assert inc == full
+    assert len(inc) > 0
