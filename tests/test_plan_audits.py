@@ -316,3 +316,21 @@ def test_q105_workflow_is_single_map_stage(spark):
     # the numbered detail block — count the detail headers
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "Join" not in plan
+
+
+def test_q107_execution_is_single_map_stage(spark):
+    # the subprocess harness must stay one row-local Arrow stage before
+    # the final aggregate — no joins, no extra Python boundaries
+    import re
+
+    plan = plan_of(spark, "q107_agent_execution")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_q108_repeated_spans_join_is_broadcast(spark):
+    # the repeated-gram table joins back by broadcast under the explicit
+    # cap — the gram stream must NOT shuffle for the join-back
+    plan = plan_of(spark, "q108_repeated_spans", execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
