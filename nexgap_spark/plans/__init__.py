@@ -40,13 +40,15 @@ _DRIVER_WINDOW = [
     "q102_semantic_dedup",
     "q103_ngram_logprob",
     "q104_url_dedup",
-    # (b) new or refactored this round (q81/q82 cede their slots to q107,
-    # the X11 subprocess harness, and q108, the repeated-span detector —
-    # new operators take priority over backfill)
+    # (b) new or refactored this round (q80/q81/q82 cede their slots to
+    # q107 the X11 subprocess harness, q108 the repeated-span detector,
+    # and q109 the full generate→execute loop — new operators take
+    # priority over backfill)
     "q105_synthesis_workflow",
     "q106_ivf_indexed",
     "q107_agent_execution",
     "q108_repeated_spans",
+    "q109_generate_and_execute",
     "q96_url_pipeline",
     # (c) last external green r04
     "q46_cube_sales",
@@ -90,7 +92,6 @@ _DRIVER_WINDOW = [
     "q77_rolling_active_users",
     "q78_ordered_funnel",
     "q79_rebalance_domains",
-    "q80_kmeans_step",
     "q85_ivf_nprobe",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}

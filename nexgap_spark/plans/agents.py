@@ -833,15 +833,18 @@ def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q105_synthesis_workflow",
-    oracle="""
+def _wf_staged_sql(where: str = "") -> str:
+    """The q105 workflow unrolled in SQL up to the per-variant relation
+    ``allrows`` — shared by the q105 aggregate oracle and the q109
+    generate-and-execute oracle (single source of truth for the staged
+    semantics)."""
+    return f"""
     WITH d AS (
       SELECT doc_id, doc_id % 3 AS pv, doc_id % 4 AS rv, doc_id % 5 AS fv,
              'https://hostA' || doc_id || '.example.org/p' AS u,
              CASE WHEN doc_id % 3 = 1 THEN 'A person R' || doc_id
                   ELSE 'P-' || doc_id END AS persona
-      FROM documents
+      FROM documents {where}
     ),
     fail AS (
       SELECT persona, pv = 1 AS was_rewritten, 'synthesis_failed' AS status,
@@ -897,26 +900,17 @@ def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM variants
     ),
     allrows AS (SELECT * FROM staged UNION ALL SELECT * FROM fail)
-    SELECT status, difficulty, was_rewritten, requires_files, augmented,
-           fuzzified, n_repaired, n_removed,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN fuzz_error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_fuzz_errors,
-           MIN(final_query) AS sample_final,
-           MIN(persona) AS sample_persona
-    FROM allrows
-    GROUP BY status, difficulty, was_rewritten, requires_files, augmented,
-             fuzzified, n_repaired, n_removed
-    ORDER BY status, difficulty, was_rewritten, requires_files, augmented,
-             fuzzified, n_repaired, n_removed
-    """,
-)
-def q105_synthesis_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
-    from nexgap_spark.external.workflow import run_synthesis_workflow
+    """
 
+
+def _wf_mock_docs(spark: SparkSession, sf_dir: str, *, max_doc_id: int | None = None):
+    """The deterministic per-stage mock responses for the workflow queries
+    (one source of truth for q105 and q109)."""
     d = F.col("doc_id")
-    docs = t(spark, sf_dir, "documents").select(
+    docs = t(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        docs = docs.filter(d < max_doc_id)
+    return docs.select(
         "doc_id",
         F.concat(F.lit("P-"), d).alias("persona"),
         F.when(d % 3 == 0, F.lit("SUITABLE"))
@@ -961,6 +955,30 @@ def q105_synthesis_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit('{"fuzzy_query": "   "}'))
         .alias("fuzz_response"),
     )
+
+
+@query(
+    "q105_synthesis_workflow",
+    oracle=_wf_staged_sql() + """
+    SELECT status, difficulty, was_rewritten, requires_files, augmented,
+           fuzzified, n_repaired, n_removed,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN fuzz_error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fuzz_errors,
+           MIN(final_query) AS sample_final,
+           MIN(persona) AS sample_persona
+    FROM allrows
+    GROUP BY status, difficulty, was_rewritten, requires_files, augmented,
+             fuzzified, n_repaired, n_removed
+    ORDER BY status, difficulty, was_rewritten, requires_files, augmented,
+             fuzzified, n_repaired, n_removed
+    """,
+)
+def q105_synthesis_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
+    from nexgap_spark.external.workflow import run_synthesis_workflow
+
+    docs = _wf_mock_docs(spark, sf_dir)
     wf = run_synthesis_workflow(
         docs.drop("doc_id"),
         client_factory=MockUrlPipelineClient,
@@ -1043,4 +1061,73 @@ def q107_agent_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("error").alias("sample_error"),
         )
         .orderBy("framework", "success")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — the reference's ENTIRE loop: generate queries (the q105 composed
+# workflow) then EXECUTE each generated variant through the X11 subprocess
+# harness (run_end_to_end.py's generate→run cycle, core/pipeline.py +
+# run_end_to_end.py:186-312). The runner's exit code and trace id derive
+# from md5(final_query), so the oracle — built on the SAME staged CTEs as
+# q105 (_wf_staged_sql, single source of truth) — knows every outcome.
+# Real subprocesses: ~675 /bin/sh forks over the cores.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_generate_and_execute",
+    oracle=_wf_staged_sql("WHERE doc_id < 300") + """
+    , ok AS (SELECT * FROM allrows WHERE status = 'ok'),
+    run AS (
+      SELECT difficulty,
+             strpos('01234567', substr(md5(final_query), 1, 1)) > 0 AS success,
+             't-' || substr(md5(final_query), 1, 6) AS tid
+      FROM ok
+    )
+    SELECT difficulty, success,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS n_traces,
+           MIN(CASE WHEN success THEN tid END) AS sample_trace,
+           MIN(CASE WHEN NOT success THEN 'Process exited with code 1' END)
+             AS sample_error
+    FROM run
+    GROUP BY difficulty, success
+    ORDER BY difficulty, success
+    """,
+)
+def q109_generate_and_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from nexgap_spark.external.execution import run_agent_queries
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
+    from nexgap_spark.external.workflow import run_synthesis_workflow
+
+    docs = _wf_mock_docs(spark, sf_dir, max_doc_id=300)
+    wf = run_synthesis_workflow(
+        docs.drop("doc_id"),
+        client_factory=MockUrlPipelineClient,
+        transport_factory=hash_transport,
+    )
+    tasks = (
+        wf.filter(F.col("status") == "ok")
+        .select(F.col("final_query").alias("query"), F.col("difficulty").alias("framework"))
+        .repartition(spark.sparkContext.defaultParallelism)  # fork pool
+    )
+
+    def builder(q: str, f: str) -> list[str]:
+        h = hashlib.md5(q.encode()).hexdigest()
+        code = 0 if h[0] in "01234567" else 1
+        return ["/bin/sh", "-c", f"echo 'LangfuseTraceID: t-{h[:6]}'; exit {code}"]
+
+    ran = run_agent_queries(tasks, command_builder=builder, timeout_s=60)
+    return (
+        ran.groupBy(F.col("framework").alias("difficulty"), "success")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("trace_id").isNotNull().cast("long")).alias("n_traces"),
+            F.min("trace_id").alias("sample_trace"),
+            F.min("error").alias("sample_error"),
+        )
+        .orderBy("difficulty", "success")
     )
