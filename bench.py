@@ -114,7 +114,8 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
     errs: dict[str, str] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     for name in HEADLINE:
-        best, n, err = None, 0, None
+        samples: list[float] = []
+        n, err = 0, None
         # per-TRIAL fault isolation: one failing query must cost ONE "err"
         # entry, never the whole artifact (r3/r4 shipped no bench at all
         # because a single raising query aborted the loop with rc=1) — and
@@ -124,16 +125,34 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
             try:
                 t0 = time.perf_counter()
                 out = QUERIES[name](spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.perf_counter() - t0)
                 n = len(out)
             except Exception as e:  # noqa: BLE001 — record and move on
                 err = f"{type(e).__name__}: {e}"[:300]
-        if best is None:
+        # noise defense (the r6 lesson: a contended slot recorded a 2.7×
+        # "regression" on unchanged code): when the trials disagree wildly,
+        # the minimum itself is suspect — buy up to 2 tie-breaker trials so
+        # a transient stall can't define the recorded number. Bounded cost:
+        # only noisy queries pay, a few seconds total.
+        extra = 0
+        while (
+            len(samples) >= 2
+            and extra < 2
+            and max(samples) > 1.4 * min(samples)
+        ):
+            try:
+                t0 = time.perf_counter()
+                out = QUERIES[name](spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+                n = len(out)
+            except Exception as e:  # noqa: BLE001
+                err = f"{type(e).__name__}: {e}"[:300]
+            extra += 1
+        if not samples:
             errs[name] = err or "no successful trial"
             print(f"[bench] {name}: ERROR {errs[name][:120]}", file=sys.stderr)
             continue
-        times[name] = round(best, 3)
+        times[name] = round(min(samples), 3)
         rows[name] = n
         print(f"[bench] {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
     return times, rows, errs
