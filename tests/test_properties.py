@@ -382,3 +382,70 @@ def test_rewrite_fallback_total_and_removals_marked(query, raw_changes):
     assert out == apply_url_changes(query, changes)
     # parse_rewritten_query never raises on arbitrary responses
     assert isinstance(parse_rewritten_query(query, query, changes), str)
+
+
+# -- canonical_url: regex strip vs a pure-Python reference model ------------
+
+
+def _py_canonical(url: str) -> str:
+    """Pure-Python model of canonical_url's contract (the spec, not the
+    regexes): fragment strip, scheme://host lowercase, KEY-based tracking
+    strip (exact opaque ids, utm_ prefix), sort, rejoin."""
+    import re as _re
+
+    from nexgap_spark.operators.curation import (
+        TRACKING_PARAM_KEYS,
+        TRACKING_PARAM_PREFIXES,
+    )
+
+    u = _re.sub(r"#.*$", "", url)
+    m = _re.match(r"^([^:/?#]+://[^/?#]*)(.*)$", u, _re.DOTALL)
+    if m:
+        u = m.group(1).lower() + m.group(2)
+    base, sep, q = u.partition("?")
+    if not sep:
+        return base
+    kept = []
+    for tok in q.split("&"):
+        if not tok:
+            continue
+        key = tok.split("=", 1)[0]
+        if key in TRACKING_PARAM_KEYS:
+            continue
+        if any(key.startswith(p) for p in TRACKING_PARAM_PREFIXES):
+            continue
+        kept.append(tok)
+    kept.sort()
+    return base + "?" + "&".join(kept) if kept else base
+
+
+def test_canonical_url_matches_python_model(spark):
+    # exhaustive adversarial corpus in ONE Spark job: every (head, frag) ×
+    # pairs of boundary-probing params (bare keys, empty values, values
+    # containing '=', keys that merely extend a tracking name)
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.curation import canonical_url
+
+    keys = ["a", "gclid", "gclid2", "fbclid", "ref_src", "ref_src_custom",
+            "utm_source", "utm_", "utmx", "mc_eid", "igshid", "msclkid"]
+    params = keys + [f"{k}=v" for k in keys] + [f"{k}=" for k in keys] + [
+        "gclid=a=b", "utm_source=x=y", "", "b=2"
+    ]
+    heads = ["HTTPS://Ex.COM/p", "https://ex.com/p", "relative/p"]
+    frags = ["", "#frag", "#a?b=1"]
+    urls = []
+    for head, frag in itertools.product(heads, frags):
+        for p1, p2 in itertools.product(params, repeat=2):
+            urls.append(f"{head}?{p1}&{p2}{frag}")
+        urls.append(head + frag)
+    got = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", canonical_url("url").alias("cu"))
+        .collect()
+    )
+    assert len(got) == len(urls)
+    for r in got:
+        assert r.cu == _py_canonical(r.url), r.url
