@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from nexgap_spark.session import get_spark, load_table
 
 TEXT_QUERIES = ["q43_dup_groups", "q44_dedup_corpus", "q100_incremental_minhash",
-                "q103_ngram_logprob", "q104_url_dedup"]
+                "q103_ngram_logprob", "q104_url_dedup", "q108_repeated_spans"]
 ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
                "q102_semantic_dedup"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
