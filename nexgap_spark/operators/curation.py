@@ -453,14 +453,18 @@ def repeated_ngram_spans(
     ``min_count`` times across the WHOLE corpus: (id, position 1-based,
     gram, n_occurrences) — the mask/removal worklist for a curation pass.
 
-    Scale shape: ONE explode(sequence)+element_at gram stream (the
+    Scale shape: the explode(sequence)+element_at gram construction (the
     repetition_features path — whole-stage codegen, no interpreted
-    lambdas); gram counts collapse with map-side combine so the first
-    shuffle carries distinct grams, not positions; the surviving
-    repeated-gram table is usually corpus-⋘ and joins back by broadcast
-    under the explicit cap (capped_broadcast — above it AQE plans the
-    shuffle join). Output size equals the number of duplicated positions —
-    the task's own answer, not a blow-up. Reference N/A (scale extension).
+    lambdas) is CONSUMED TWICE — once feeding the count aggregate, once
+    as the join probe — because at corpus scale caching O(tokens) gram
+    rows is not an option; two scan-stage passes is the honest plan
+    (measured 1.20× DuckDB at 750 k docs, flat with scale — SCALE.md).
+    Gram counts collapse with map-side combine so the first shuffle
+    carries distinct grams, not positions; the surviving repeated-gram
+    table is usually corpus-⋘ and joins back by broadcast under the
+    explicit cap (capped_broadcast — above it AQE plans the shuffle
+    join). Output size equals the number of duplicated positions — the
+    task's own answer, not a blow-up. Reference N/A (scale extension).
     """
     from nexgap_spark.operators.dedup import capped_broadcast
     from nexgap_spark.operators.text import tokenize

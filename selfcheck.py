@@ -54,10 +54,11 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(s_rows)
             if name not in ORACLES:
-                # bounded-tolerance / non-SQL ops: rows-only check, same as
-                # the driver's weaker path
-                rec["rows_match"] = len(s_rows) >= 0
-                rec["note"] = "no SQL oracle (rows-only check by design)"
+                # bounded-tolerance / non-SQL ops: the only claim here is
+                # "ran without raising" — state it as such, not as a
+                # comparison that cannot fail
+                rec["rows_match"] = True
+                rec["note"] = "no SQL oracle (ran-without-error check by design)"
             else:
                 rel = con.sql(ORACLES[name])
                 d_cols = list(rel.columns)

@@ -149,3 +149,78 @@ def test_workflow_runs_over_a_stream(spark, tmp_path):
     assert len(rows) == 14
     assert sum(1 for r in rows if r.status == "synthesis_failed") == 2
     assert all(r.final_query == "fq" for r in rows if r.status == "ok")
+
+
+def test_timeout_keeps_partial_log_and_kills_group():
+    import subprocess
+    import time
+
+    # child spawns a grandchild that would outlive a naive .kill(); the
+    # group-kill must reap both, and the pre-timeout output must survive
+    # into log_tail
+    # a unique sleep duration so pgrep can't match unrelated processes
+    script = "echo 'before hang'; sleep 31.7354 & wait"
+    t0 = time.time()
+    rec = run_agent_process(
+        "q", "fw", command_builder=_sh(script), timeout_s=1
+    )
+    assert time.time() - t0 < 10
+    assert rec["error"] == "Timeout after 1 seconds"
+    assert rec["log_tail"] and "before hang" in rec["log_tail"]
+    # no straggler grandchild from this test's group remains
+    out = subprocess.run(
+        ["pgrep", "-f", "sleep 31.7354"], capture_output=True, text=True
+    )
+    assert out.stdout.strip() == ""
+
+
+def test_batch_operator_custom_column_names(spark):
+    tasks = spark.createDataFrame(
+        [("t-0", "fw-x"), ("t-1", "fw-y")], "my_q string, my_fw string"
+    )
+    rows = run_agent_queries(
+        tasks,
+        query_col="my_q",
+        framework_col="my_fw",
+        command_builder=_sh("echo ok"),
+        timeout_s=30,
+    ).collect()
+    assert {r.query for r in rows} == {"t-0", "t-1"}
+    assert {r.framework for r in rows} == {"fw-x", "fw-y"}
+    assert all(r.success for r in rows)
+
+
+def test_fused_validate_repair_skips_falsy_urls(spark):
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        hash_transport,
+        validate_and_repair_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [(None,), ("",), ("https://host1.example.org/p",)], "url string"
+    )
+    out = validate_and_repair_urls(
+        urls, client_factory=MockRepairClient, transport_factory=hash_transport
+    ).collect()
+    # the falsy rows emit nothing (validate_urls' reference guard); only
+    # the real URL can produce a change row
+    assert all(r.original_url == "https://host1.example.org/p" for r in out)
+
+
+def test_workflow_rejects_output_name_collision(spark):
+    import pytest
+
+    from nexgap_spark.external.urlcheck import MockUrlPipelineClient, hash_transport
+    from nexgap_spark.external.workflow import run_synthesis_workflow
+
+    df = spark.createDataFrame(
+        [("p", "SUITABLE", "r", "**Easy:** E", "{}", "", "{}", "clash")],
+        "persona string, suit_response string, rewrite_response string, "
+        "synth_response string, req_response string, aug_response string, "
+        "fuzz_response string, status string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        run_synthesis_workflow(
+            df, client_factory=MockUrlPipelineClient, transport_factory=hash_transport
+        )
