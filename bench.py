@@ -229,7 +229,13 @@ def main() -> None:
     # in the merged capture and the driver recorded parsed:null. Detail goes
     # to BENCH_DETAIL.json ONLY; stderr stays short progress lines.
     detail.update(result)
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
+    # BENCH_DETAIL_PATH lets smoke runs (tiny SFs, skip-duckdb) write
+    # elsewhere instead of clobbering the committed sf0.1 artifact
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH",
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # compact separators: the query set has grown past what spaced JSON
     # fits into the driver's 2000-char tail window (full-precision detail
