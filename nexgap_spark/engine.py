@@ -491,7 +491,10 @@ class Engine:
         """X7+X8 fused: validate every URL and repair the broken ones in
         ONE Arrow stage (the crawl-frontier maintenance pass); emits one
         url_change row per broken URL. Inject ``client_factory`` /
-        ``transport_factory``."""
+        ``transport_factory``. Input URLs are deduplicated by default
+        (``dedupe=True``, matching the two-stage path this replaces) so
+        duplicates never pay the repair loop twice; pass ``dedupe=False``
+        for a frontier already deduped upstream."""
         from nexgap_spark.external.urlcheck import validate_and_repair_urls
 
         return validate_and_repair_urls(df, **kw)

@@ -309,8 +309,11 @@ def q91_url_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused X7+X8 single-stage form — value-identical to
     # validate_urls → filter(~accessible) → repair_urls_loop (both paths
     # stay covered: q90 proves validate_urls, tests prove the equality)
+    # dedupe=False: urls derive from the unique doc_id, so the input is
+    # duplicate-free by construction — skip the dropDuplicates exchange
     changes = validate_and_repair_urls(
         urls, client_factory=MockRepairClient, transport_factory=hash_transport,
+        dedupe=False,
     )
     return (
         changes.groupBy("action")

@@ -204,6 +204,9 @@ def q85_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE this plan constructor has a side effect by design: building a
+    # persisted index IS the operator, so the parquet write happens here,
+    # eagerly, even if the caller only explains the returned plan.
     import os
     import tempfile
 
@@ -212,10 +215,16 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    # deterministic per-SF path; build is mode=overwrite → idempotent reruns
+    # Path is keyed by SF *and* Spark applicationId: deterministic within a
+    # session (mode=overwrite → idempotent reruns) but private across
+    # sessions, so two concurrent runs on the same SF (e.g. selfcheck +
+    # bench) can never race overwrite-vs-read on a shared /tmp directory.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"nexgap_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+        "nexgap_ivf_index_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
     )
     sim.build_ivf_index(emb, centroids, path)
     topk = sim.ivf_topk_indexed(queries, path, k=3, nprobe=2)

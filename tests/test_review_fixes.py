@@ -327,3 +327,87 @@ def test_dup_groups_null_sum_fallback(spark, monkeypatch):
     assert out[1] == out[2] == out[3]
     assert out[10] == out[11]
     assert out[1] != out[10]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_execution_timeout_env_resolved_lazily(monkeypatch):
+    # AGENT_EXECUTION_TIMEOUT must be read at CALL time — env set after
+    # import (or only on executors) has to take effect
+    from nexgap_spark.external import execution
+
+    monkeypatch.setenv("AGENT_EXECUTION_TIMEOUT", "7.5")
+    assert execution.default_timeout_s() == 7.5
+    monkeypatch.delenv("AGENT_EXECUTION_TIMEOUT")
+    assert execution.default_timeout_s() == 3600.0
+
+
+def test_execution_timeout_message_not_truncated():
+    # a fractional timeout must be reported as given, not int-truncated
+    from nexgap_spark.external.execution import run_agent_process
+
+    rec = run_agent_process(
+        "q", "fw",
+        command_builder=lambda q, f: ["/bin/sh", "-c", "sleep 5"],
+        timeout_s=0.2,
+    )
+    assert rec["error"] == "Timeout after 0.2 seconds"
+
+
+def test_workflow_schema_and_cols_structurally_derived():
+    # _WF_COLS must be derived from the same field table as the DDL string
+    # (the old str.split parser corrupted on any parameterized type)
+    from pyspark.sql.types import StructType
+
+    from nexgap_spark.external import workflow
+
+    parsed = StructType.fromDDL(workflow.WORKFLOW_SCHEMA)
+    assert [f.name for f in parsed.fields] == workflow._WF_COLS
+    assert len(workflow._WF_COLS) == len(set(workflow._WF_COLS))
+
+
+def test_validate_and_repair_urls_dedupes_by_default(spark):
+    # duplicate frontier URLs must not pay the repair loop per copy — the
+    # fused form defaults to the two-stage path's dedup semantics
+    from nexgap_spark.external.urlcheck import (
+        MockRepairClient,
+        hash_transport,
+        validate_and_repair_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [("https://dup.example.org/x",)] * 4, "url string"
+    )
+    out = validate_and_repair_urls(
+        urls, client_factory=MockRepairClient, transport_factory=hash_transport,
+    ).collect()
+    assert len(out) <= 1  # 0 if accessible, 1 change row if not — never 4
+
+
+def test_q106_index_path_is_session_private(spark, tmp_path_factory):
+    # two sessions on the same SF must not share the /tmp index directory;
+    # the path embeds the Spark applicationId
+    import glob
+    import os
+    import tempfile
+
+    from nexgap_spark.plans.similarity import q106_ivf_indexed
+
+    # the shared app-id-less legacy path may linger in /tmp from older
+    # sessions — snapshot its mtime so we can assert THIS call didn't touch it
+    legacy = os.path.join(tempfile.gettempdir(), "nexgap_ivf_index_sf0.001")
+    legacy_mtime = os.path.getmtime(legacy) if os.path.exists(legacy) else None
+
+    q106_ivf_indexed(spark, "/root/testdata/sf0.001")
+    app_id = spark.sparkContext.applicationId
+    expected = os.path.join(
+        tempfile.gettempdir(), f"nexgap_ivf_index_sf0.001_{app_id}"
+    )
+    assert os.path.isdir(expected)
+    if legacy_mtime is None:
+        assert not os.path.exists(legacy)
+    else:
+        assert os.path.getmtime(legacy) == legacy_mtime
