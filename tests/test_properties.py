@@ -389,8 +389,9 @@ def test_rewrite_fallback_total_and_removals_marked(query, raw_changes):
 
 def _py_canonical(url: str) -> str:
     """Pure-Python model of canonical_url's contract (the spec, not the
-    regexes): fragment strip, scheme://host lowercase, KEY-based tracking
-    strip (exact opaque ids, utm_ prefix), sort, rejoin."""
+    implementation): fragment strip (everything from the first '#'),
+    scheme://host lowercase, KEY-based tracking strip (exact opaque ids,
+    utm_ prefix), sort, rejoin."""
     import re as _re
 
     from nexgap_spark.operators.curation import (
@@ -398,7 +399,7 @@ def _py_canonical(url: str) -> str:
         TRACKING_PARAM_PREFIXES,
     )
 
-    u = _re.sub(r"#.*$", "", url)
+    u = url.split("#", 1)[0]
     m = _re.match(r"^([^:/?#]+://[^/?#]*)(.*)$", u, _re.DOTALL)
     if m:
         u = m.group(1).lower() + m.group(2)
@@ -427,7 +428,7 @@ def test_canonical_url_matches_python_model(spark):
 
     from pyspark.sql import functions as F
 
-    from nexgap_spark.operators.curation import canonical_url
+    from nexgap_spark.operators.curation import canonical_url, with_canonical_url
 
     keys = ["a", "gclid", "gclid2", "fbclid", "ref_src", "ref_src_custom",
             "utm_source", "utm_", "utmx", "mc_eid", "igshid", "msclkid"]
@@ -441,11 +442,15 @@ def test_canonical_url_matches_python_model(spark):
         for p1, p2 in itertools.product(params, repeat=2):
             urls.append(f"{head}?{p1}&{p2}{frag}")
         urls.append(head + frag)
-    got = (
+    # both forms — the composable Column expression AND the staged hot-path
+    # twin — against the same pure-Python model, one Spark job
+    got = with_canonical_url(
         spark.createDataFrame([(u,) for u in urls], "url string")
-        .select("url", canonical_url("url").alias("cu"))
-        .collect()
-    )
+        .withColumn("cu", canonical_url("url")),
+        "url", "cu_staged",
+    ).collect()
     assert len(got) == len(urls)
     for r in got:
-        assert r.cu == _py_canonical(r.url), r.url
+        want = _py_canonical(r.url)
+        assert r.cu == want, r.url
+        assert r.cu_staged == want, r.url
