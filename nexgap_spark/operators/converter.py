@@ -20,12 +20,17 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from nexgap_spark.functions.prompts import clean_system_prompt
-from nexgap_spark.functions.xml_tools import deterministic_id_gen, extract_tool_calls
+from nexgap_spark.functions.xml_tools import (
+    deterministic_id_gen,
+    extract_tool_calls,
+    restore_closing_tags,
+)
 from nexgap_spark.operators import span_tree
 from nexgap_spark.operators.pairing import pair_tool_results
-from nexgap_spark.schemas import CHATCOMPLETION_SCHEMA
+from nexgap_spark.schemas import CHATCOMPLETION_SCHEMA, NEXAU_CHATCOMPLETION_SCHEMA
 
 DEFAULT_MODEL = "nex"
 
@@ -140,6 +145,53 @@ def convert_span_record(
     }
 
 
+def convert_span_record_nexau(
+    span: dict[str, Any], *, agent_name: str | None
+) -> dict[str, Any] | None:
+    """Pure per-span NexAU conversion (reference
+    convert_spans_to_chatcompletion_nexau.py:118-313). Deliberately much
+    simpler than the OpenAI-format core above — the NexAU wire format
+    keeps assistant content as raw XML:
+
+    * input messages pass through VERBATIM except assistant messages,
+      whose content gets closing-tag restoration (F4, :149-155);
+    * no system-prompt cleanup, no tool-definition attach, no tool-call
+      extraction, no tool-result pairing;
+    * the response is one assistant message carrying the raw output
+      content (:163-166);
+    * a span whose output is not a dict (or first-of-list dict) is
+      SKIPPED — the reference's ``.get`` on it raises inside the
+      per-span try/except (:352-366) and the span is dropped, not
+      emitted with empty content. Same for an assistant input message
+      whose content is not a string (None/list): the restoration's
+      ``in`` test raises and the span is dropped (:149-151).
+    """
+    input_data = span.get("input")
+    if input_data is None or len(input_data) == 0:  # :139-140
+        return None
+    output_data = _normalize_output(span.get("output"))
+    if output_data is None:
+        return None
+    messages: list[dict[str, Any]] = []
+    for message in input_data:
+        msg = dict(message or {})
+        if msg.get("role") == "assistant":
+            content = msg.get("content", "")
+            if not isinstance(content, str):
+                return None
+            msg["content"] = restore_closing_tags(content)
+        messages.append(msg)
+    messages.append(
+        {"role": "assistant", "content": output_data.get("content", "")}
+    )
+    return {
+        "messages": messages,
+        "agent_name": agent_name,
+        "trace_id": span.get("trace_id"),
+        "span_id": span.get("span_id"),
+    }
+
+
 def _message_to_schema(msg: dict[str, Any]) -> dict[str, Any]:
     calls = msg.get("tool_calls")
     return {
@@ -219,3 +271,62 @@ def convert_spans(
             yield pd.DataFrame(rows, columns=out_fields)
 
     return resolved.mapInPandas(transform, schema=CHATCOMPLETION_SCHEMA)
+
+
+def convert_spans_nexau(
+    spans: DataFrame,
+    *,
+    config_agents: list[str] | None = None,
+    agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+    generation_marker: str | tuple[str, ...] = span_tree.GENERATION_MARKERS,
+) -> DataFrame:
+    """NexAU whole-record pipeline (reference
+    convert_spans_to_chatcompletion_nexau.py:314-373): P2 → P10 → A1
+    window dedup → J2 parent-name attach → meta exclusion → per-row NexAU
+    transform. Same relational skeleton as convert_spans, with two
+    deliberate differences that make it a distinct pipeline rather than a
+    flag:
+
+    * ``agent_name`` is the VERBATIM immediate parent span_name (:55-70)
+      — no 'Sub-agent: ' strip, no config-agent matching, no multi-hop
+      ancestor walk. ``config_agents``/``agent_tools`` are accepted for
+      dispatch-signature compatibility (operators/dispatch.py) and
+      ignored, exactly as the reference's __init__ ignores its
+      framework_config_path argument (:45-47).
+    * the document transform is convert_span_record_nexau (raw-XML
+      passthrough; see its docstring).
+    """
+    narrowed = span_tree.filter_generation_spans(spans, generation_marker)
+    narrowed = span_tree.filter_nonempty_input(narrowed)
+    narrowed = span_tree.last_generation_per_group(narrowed)
+    # immediate parent only, resolved against the UNFILTERED span table —
+    # parents are usually the non-generation agent spans P2 removed
+    parents = spans.select(
+        F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
+    )
+    resolved = narrowed.join(
+        F.broadcast(parents), narrowed["parentObservationId"] == parents["_p_id"], "left"
+    ).drop("_p_id")
+    resolved = span_tree.exclude_meta(resolved)
+
+    # same small-input fan-out rationale as convert_spans above
+    par = resolved.sparkSession.sparkContext.defaultParallelism
+    if spans.rdd.getNumPartitions() < par:
+        resolved = resolved.repartition(par)
+
+    out_fields = [f.name for f in NEXAU_CHATCOMPLETION_SCHEMA.fields]
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for span in pdf.to_dict("records"):
+                rec = convert_span_record_nexau(
+                    span, agent_name=span.get("agent_name")
+                )
+                if rec is None:
+                    continue
+                rec["messages"] = [_message_to_schema(m) for m in rec["messages"]]
+                rows.append({k: rec.get(k) for k in out_fields})
+            yield pd.DataFrame(rows, columns=out_fields)
+
+    return resolved.mapInPandas(transform, schema=NEXAU_CHATCOMPLETION_SCHEMA)

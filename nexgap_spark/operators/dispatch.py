@@ -21,7 +21,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
-from nexgap_spark.operators.converter import convert_spans
+from nexgap_spark.operators.converter import convert_spans, convert_spans_nexau
 
 
 @dataclass(frozen=True)
@@ -38,7 +38,9 @@ class ConverterStrategy:
 # (OpenAI tool calls) vs convert_spans_to_chatcompletion_nexau.py (NexAU
 # XML), run_end_to_end.py:433-437
 OPENAI_DEFAULT = ConverterStrategy(name="openai-default", validator_mode="a4a")
-NEXAU_DEFAULT = ConverterStrategy(name="nexau-default", validator_mode="nexau")
+NEXAU_DEFAULT = ConverterStrategy(
+    name="nexau-default", validator_mode="nexau", convert=convert_spans_nexau
+)
 
 _REGISTRY: dict[str, ConverterStrategy] = {}
 
@@ -72,7 +74,9 @@ def _make_default_registrations() -> None:
     )
     register_framework(
         "nexau",
-        ConverterStrategy(name="nexau", validator_mode="nexau"),
+        ConverterStrategy(
+            name="nexau", validator_mode="nexau", convert=convert_spans_nexau
+        ),
     )
 
 

@@ -137,6 +137,19 @@ CHATCOMPLETION_SCHEMA = T.StructType(
     ]
 )
 
+# The NexAU wire format keeps assistant content as raw XML (no tool_calls
+# extraction) and never attaches tool definitions or enrichment columns —
+# its records are exactly {messages, agent_name, trace_id, span_id}
+# (reference convert_spans_to_chatcompletion_nexau.py:256-312).
+NEXAU_CHATCOMPLETION_SCHEMA = T.StructType(
+    [
+        T.StructField("messages", T.ArrayType(CHAT_MESSAGE_TYPE)),
+        T.StructField("agent_name", T.StringType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # (d) Taxonomy paths — driver-side recursion over {id,en,zh,children}
 # exploded once into a flat paths table (SURVEY §1.3; reference

@@ -99,3 +99,78 @@ def test_whole_record_parity_with_reference(spark, ref_records, tmp_path):
         ref_agent = (ref_r.get("agent_name") or "").removeprefix("Sub-agent: ") or None
         assert my_r.get("agent_name") == ref_agent, span_id
         assert _strip_ids(my_r["messages"]) == _strip_ids(ref_r["messages"]), span_id
+
+
+# ---------------------------------------------------------------------------
+# NexAU whole-record parity: the actual reference NexAU converter
+# (convert_spans_to_chatcompletion_nexau.py) vs our nexau dispatch path.
+# The NexAU format has no ids to strip (assistant content stays raw XML),
+# so records compare exactly — modulo None-valued keys, which Spark's
+# toJSON omits while the reference's json.dumps keeps as null.
+# ---------------------------------------------------------------------------
+
+REF_NEXAU_CONVERTER = (
+    "/root/reference/converter/trace/convert_spans_to_chatcompletion_nexau.py"
+)
+
+
+def _drop_nones(obj):
+    if isinstance(obj, dict):
+        return {k: _drop_nones(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [_drop_nones(x) for x in obj]
+    return obj
+
+
+@pytest.fixture(scope="module")
+def ref_nexau_records(tmp_path_factory):
+    if not os.path.exists(REF_NEXAU_CONVERTER):
+        pytest.skip("reference unavailable")
+    # the reference resolves its generation marker from env at import time;
+    # pin the default ("OpenAI-generation") for a deterministic golden
+    os.environ.pop("USE_ANTHROPIC_API", None)
+    d = tmp_path_factory.mktemp("refconv_nexau")
+    spans_path = str(d / "spans.jsonl")
+    with open(spans_path, "w") as f:
+        for row in build_spans():
+            f.write(json.dumps(row) + "\n")
+    spec = importlib.util.spec_from_file_location("ref_conv_nexau_e2e", REF_NEXAU_CONVERTER)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    conv = ref.SpansToChatCompletionConverter()
+    out = conv.convert_spans_file(spans_path, str(d / "out.jsonl"))
+    return [json.loads(line) for line in open(out)]
+
+
+def test_whole_record_parity_nexau(spark, ref_nexau_records, tmp_path):
+    from nexgap_spark.engine import Engine
+
+    eng = Engine(spark)
+    spans_path = str(tmp_path / "spans.jsonl")
+    with open(spans_path, "w") as f:
+        for row in build_spans():
+            f.write(json.dumps(row) + "\n")
+    spans = eng.read_spans(spans_path)
+    records, mode = eng.convert_framework(
+        spans, "nexau", config_agents=CONFIG_AGENTS
+    )
+    assert mode == "nexau"
+    ours = {
+        r["span_id"]: r
+        for r in (json.loads(row) for row in records.toJSON().collect())
+    }
+    theirs = {r["span_id"]: r for r in ref_nexau_records}
+    assert ours.keys() == theirs.keys()
+    for span_id in theirs:
+        ref_r = _drop_nones(theirs[span_id])
+        my_r = _drop_nones(ours[span_id])
+        # agent_name is the VERBATIM parent span name in NexAU — including
+        # the 'Sub-agent: ' prefix the a4a path strips
+        assert my_r.get("agent_name") == ref_r.get("agent_name"), span_id
+        assert my_r.get("trace_id") == ref_r.get("trace_id"), span_id
+        assert my_r["messages"] == ref_r["messages"], span_id
+    # the fixture's Sub-agent parent must surface verbatim (divergence from
+    # the a4a path, which strips the prefix) and meta must be excluded
+    by_agent = {r.get("agent_name") for r in ours.values()}
+    assert "Sub-agent: researcher" in by_agent
+    assert "meta" not in by_agent
