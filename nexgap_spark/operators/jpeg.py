@@ -1,0 +1,477 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / ISO 10918-1, the public
+spec) — closes the documented pluggable-codec boundary in
+operators/multimodal.py for the most common compressed-image format, the
+same way round 6 did for PNG (struct + zlib): no codec library, just the
+published algorithm on numpy.
+
+Decoder (`decode_jpeg`) is a GENERAL baseline decoder:
+
+* any DQT (8- and 16-bit precision) and any DHT (tables built canonically
+  from BITS/HUFFVAL, so libjpeg-standard and custom tables both work);
+* SOF0 baseline sequential only — progressive (SOF2) and arithmetic
+  coding raise NotImplementedError with a clear message;
+* arbitrary per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...)
+  with nearest-neighbor chroma upsampling;
+* restart markers (DRI/RSTn): byte-realign + DC-predictor reset;
+* 1-component (grayscale) and 3-component (JFIF YCbCr→RGB) images.
+
+Encoder (`encode_jpeg`) is the deterministic test-vector generator —
+grayscale or RGB, 4:4:4 or 4:2:0, flat quantization tables and simple
+fixed-length Huffman tables (valid per spec: the all-ones code is never
+assigned, so 1-padding cannot alias a symbol). With the default all-8s
+quant table a DC-only (solid-color) block survives the pipeline EXACTLY:
+FDCT of a flat block has DC = 8·(v-128) and zero AC, and 8·(v-128)/8 is
+integral — which is what gives the q110 catalog query a closed-form
+oracle, mirroring the q101 PNG construction.
+
+Scale note: these are row-local kernels — Spark-side they run inside the
+same mapInPandas plumbing as every other multimodal kernel
+(operators/multimodal.py extract_features / resize_media), so the
+parallelism story is the partition count, not this file.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+_ZZ_INDEX: list[tuple[int, int]] = []
+for _s in range(15):
+    _d = (
+        [(_s - j, j) for j in range(_s + 1)]
+        if _s % 2 == 0
+        else [(j, _s - j) for j in range(_s + 1)]
+    )
+    _ZZ_INDEX.extend((r, c) for r, c in _d if r < 8 and c < 8)
+
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ coef @ _DCT_M
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT's BITS/HUFFVAL (T.81 C.2)."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first entropy-coded-segment reader with 0xFF00 unstuffing;
+    surfaces RSTn markers to the caller and stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:  # a real marker terminates the segment here
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # spec: pad with 1s; 0 only past EOI — decode ends anyway
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG: no Huffman code matched in 16 bits")
+
+    def restart(self) -> None:
+        """Consume the pending RSTn and byte-realign (T.81 E.2.4)."""
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("invalid JPEG: expected restart marker")
+        self.pos += 2  # skip FF Dx
+        self.marker = None
+        self.bitbuf = 0
+        self.nbits = 0
+
+
+def _extend(v: int, size: int) -> int:
+    """Magnitude-category sign extension (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG → uint8 array, (h, w) grayscale or
+    (h, w, 3) RGB. See module docstring for supported surface."""
+    data = payload
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) where comps = [(cid, hi, vi, tq)]
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — may hold several tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZZ_INDEX):
+                    tbl[r, c] = vals[k]
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT — may hold several tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = seg[i + 17 : i + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0/1) "
+                "is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tbl >> 4, tbl & 0x0F)
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("invalid JPEG: no SOS segment")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+        for cid, hi, vi, _ in comps
+    }
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hi, vi, tq in comps:
+                dc_t = huff_dc[scan[cid][0]]
+                ac_t = huff_ac[scan[cid][1]]
+                q = qt[tq]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = np.zeros((8, 8))
+                        size = reader.decode(dc_t)
+                        pred[cid] += _extend(reader.receive(size), size)
+                        coef[0, 0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = reader.decode(ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0 and run == 15:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("invalid JPEG: AC index overflow")
+                            r, c = _ZZ_INDEX[k]
+                            coef[r, c] = _extend(reader.receive(size), size)
+                            k += 1
+                        block = _idct(coef * q) + 128
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+    # upsample each component to full MCU-grid resolution, then crop
+    out_planes = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test-vector generator)
+# ---------------------------------------------------------------------------
+
+# 12 DC symbols at 4 bits each (codes 0..11; all-ones 0b1111 unassigned)
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = bytes(range(12))
+# every possible baseline AC symbol at 8 bits each: EOB, ZRL, and
+# (run 0..15) x (size 1..10) = 162 symbols (codes 0..161; 0xFF unassigned)
+_ENC_AC_VALS = bytes(
+    [0x00]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [0xF0]
+)
+_ENC_AC_BITS = [0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8
+
+_ENC_QUANT = np.full((8, 8), 8, dtype=np.int32)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+
+def _enc_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_AC_CODES = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) per T.81 F.1.2.1 — negatives as one's complement."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
+    coef = np.round(_fdct(block - 128.0) / _ENC_QUANT).astype(np.int64)
+    dc = int(coef[0, 0])
+    size, bits = _magnitude(dc - pred)
+    ln, code = _DC_CODES[size]
+    bw.put(code, ln)
+    bw.put(bits, size)
+    zz = [int(coef[r, c]) for r, c in _ZZ_INDEX[1:]]
+    run = 0
+    last_nz = -1
+    for i, v in enumerate(zz):
+        if v:
+            last_nz = i
+    for i in range(last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = _AC_CODES[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        ln, code = _AC_CODES[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(bits, size)
+        run = 0
+    if last_nz < 62:
+        ln, code = _AC_CODES[0x00]
+        bw.put(code, ln)
+    return dc
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -(-h // bh) * bh
+    pw = -(-w // bw_) * bw_
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(arr: np.ndarray, *, subsampling: tuple[int, int] = (1, 1)) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes.
+    ``subsampling=(2, 2)`` emits 4:2:0 (RGB only); default is 4:4:4."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    sh, sv = (1, 1) if gray else subsampling
+    if gray:
+        planes = [(1, 1, 1, arr)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if (sh, sv) != (1, 1):
+            cbp = _pad_to_blocks(cb, sv, sh)
+            crp = _pad_to_blocks(cr, sv, sh)
+            cb = cbp.reshape(cbp.shape[0] // sv, sv, cbp.shape[1] // sh, sh).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // sv, sv, crp.shape[1] // sh, sh).mean(axis=(1, 3))
+        planes = [(1, sh, sv, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+
+    out = bytearray(b"\xff\xd8")
+    # DQT (table 0, used by every component)
+    zzq = bytes(int(_ENC_QUANT[r, c]) for r, c in _ZZ_INDEX)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zzq
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, hi, vi, _ in planes:
+        sof += bytes([cid, (hi << 4) | vi, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 + AC table 0 in one segment
+    dht = (
+        b"\x00" + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+        + b"\x10" + bytes(_ENC_AC_BITS) + _ENC_AC_VALS
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOS
+    sos = bytes([len(planes)])
+    for cid, *_ in planes:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # edge-pad every plane to its own MCU-aligned size
+    full = []
+    for cid, hi, vi, p in planes:
+        need_h, need_w = mcus_y * vi * 8, mcus_x * hi * 8
+        p = np.pad(
+            p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge"
+        )
+        full.append((cid, hi, vi, p))
+
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, *_ in planes}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hi, vi, p in full:
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        pred[cid] = _encode_block(
+                            bw, p[y0 : y0 + 8, x0 : x0 + 8], pred[cid]
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

