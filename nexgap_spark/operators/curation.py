@@ -454,9 +454,14 @@ def with_canonical_url(
     empty query."""
     keys = "|".join(TRACKING_PARAM_KEYS)
     prefixes = "|".join(p + "[^=&]*" for p in TRACKING_PARAM_PREFIXES)
-    u0, head, u1, base, q, qs = (
-        "_cu_u0", "_cu_head", "_cu_u1", "_cu_base", "_cu_q", "_cu_qs"
-    )
+    # stage-name collision guard (ADVICE r8): suffix until none of the six
+    # temp names shadows an existing input column
+    stems = ("_cu_u0", "_cu_head", "_cu_u1", "_cu_base", "_cu_q", "_cu_qs")
+    suffix = ""
+    existing = set(df.columns)
+    while any(s + suffix in existing for s in stems):
+        suffix += "x"
+    u0, head, u1, base, q, qs = (s + suffix for s in stems)
     df = df.withColumn(u0, F.substring_index(F.col(url_col), "#", 1))
     df = df.withColumn(head, F.regexp_extract(u0, r"^([^:/?#]+://[^/?#]*)", 1))
     df = df.withColumn(

@@ -137,7 +137,29 @@ class _BitReader:
         raise ValueError("invalid JPEG: no Huffman code matched in 16 bits")
 
     def restart(self) -> None:
-        """Consume the pending RSTn and byte-realign (T.81 E.2.4)."""
+        """Consume the pending RSTn and byte-realign (T.81 E.2.4).
+
+        At a restart boundary the usual state is ``marker is None``: the
+        decoder finished the interval's last MCU with 0-7 leftover padding
+        bits buffered, so ``_fill`` never reached the marker bytes. Discard
+        the padding, then scan raw bytes for the RSTn — skipping optional
+        fill bytes (FF FF..., B.1.1.2) and any stuffed FF00 padding byte the
+        entropy decoder never pulled. ``marker`` is already set only when a
+        Huffman/receive call ran past the segment end into the marker."""
+        if self.marker is None:
+            self.bitbuf = 0
+            self.nbits = 0
+            p = self.pos
+            while p + 1 < len(self.data) and self.data[p] == 0xFF:
+                nxt = self.data[p + 1]
+                if nxt == 0x00:  # unconsumed stuffed padding byte
+                    p += 2
+                elif nxt == 0xFF:  # fill byte
+                    p += 1
+                else:
+                    self.pos = p
+                    self.marker = nxt
+                    break
         if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
             raise ValueError("invalid JPEG: expected restart marker")
         self.pos += 2  # skip FF Dx
@@ -203,6 +225,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {seg[0]}: only 8-bit baseline "
+                    "is implemented"
+                )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -403,9 +430,16 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(arr: np.ndarray, *, subsampling: tuple[int, int] = (1, 1)) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes.
-    ``subsampling=(2, 2)`` emits 4:2:0 (RGB only); default is 4:4:4."""
+    ``subsampling=(2, 2)`` emits 4:2:0 (RGB only); default is 4:4:4.
+    ``restart_interval=n`` emits a DRI segment and an RSTn marker (with
+    byte-realign + DC-predictor reset) every n MCUs (T.81 E.2.4)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -439,6 +473,8 @@ def encode_jpeg(arr: np.ndarray, *, subsampling: tuple[int, int] = (1, 1)) -> by
         + b"\x10" + bytes(_ENC_AC_BITS) + _ENC_AC_VALS
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([len(planes)])
     for cid, *_ in planes:
@@ -463,6 +499,13 @@ def encode_jpeg(arr: np.ndarray, *, subsampling: tuple[int, int] = (1, 1)) -> by
     pred = {cid: 0 for cid, *_ in planes}
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            n_mcu = my * mcus_x + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()  # 1-pad to a byte boundary before the marker
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)]
+                )
+                pred = {cid: 0 for cid, *_ in planes}
             for cid, hi, vi, p in full:
                 for by in range(vi):
                     for bx in range(hi):

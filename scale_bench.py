@@ -87,19 +87,34 @@ def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
 
 
 def _duckdb_timed(con, sql: str) -> float | None:
-    """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF)."""
+    """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF).
+    Only the timeout interrupt maps to DNF — a genuine oracle error
+    (bad SQL, missing table) re-raises so it can't masquerade as a
+    timeout in the bench artifact (ADVICE r8)."""
     import threading
+
+    import duckdb
+
+    fired = threading.Event()
+
+    def _interrupt() -> None:
+        fired.set()
+        con.interrupt()
 
     timer = None
     if DUCKDB_TIMEOUT_S > 0:
-        timer = threading.Timer(DUCKDB_TIMEOUT_S, con.interrupt)
+        timer = threading.Timer(DUCKDB_TIMEOUT_S, _interrupt)
         timer.start()
     t0 = time.perf_counter()
     try:
         con.sql(sql).fetchall()
         return time.perf_counter() - t0
-    except Exception:  # noqa: BLE001 — duckdb.InterruptException
+    except duckdb.InterruptException:
         return None
+    except Exception:
+        if fired.is_set():  # interrupt surfaced via a wrapper exception
+            return None
+        raise
     finally:
         if timer is not None:
             timer.cancel()

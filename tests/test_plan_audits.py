@@ -141,11 +141,12 @@ def test_q46_cube_is_single_pass(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
 
 
-def test_q03_topk_uses_take_ordered(spark):
+def test_q03_topk_no_global_sort(spark):
     # LIMIT-after-ORDER must be a TakeOrderedAndProject (per-partition
     # top-k + merge), never a global sort of all rows
     plan = plan_of(spark, "q03_top_orders")
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_q48_pivot_single_shuffle(spark):

@@ -411,3 +411,112 @@ def test_q106_index_path_is_session_private(spark, tmp_path_factory):
         assert not os.path.exists(legacy)
     else:
         assert os.path.getmtime(legacy) == legacy_mtime
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dri_restart_roundtrip():
+    # ADVICE r8 (high): restart() raised on every valid DRI stream because
+    # marker is None at a normal restart boundary (0-7 buffered padding
+    # bits, marker bytes untouched). A gradient image makes the DC
+    # predictors climb, so a missed predictor reset corrupts values too.
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # 3x5 = 15 MCUs grayscale; interval 4 -> RST0..RST2 and a short tail
+    img = (np.arange(24 * 40).reshape(24, 40) * 7 % 256).astype(np.uint8)
+    payload = encode_jpeg(img, restart_interval=4)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    assert b"\xff\xd0" in payload  # at least one RSTn emitted
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    # the DRI stream must decode bit-identically to the plain stream
+    # (restart only realigns + resets predictors; the coefficients match)
+    assert (out == decode_jpeg(encode_jpeg(img))).all()
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+    # solid image survives exactly (DC-only closed form, q110 contract)
+    flat = np.full((24, 40), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, restart_interval=2)) == 77).all()
+
+    # RGB 4:2:0: bigger MCUs, interleaved components, predictor per channel
+    rgb = np.zeros((20, 36, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(20)[:, None] * 11) % 256
+    rgb[..., 1] = 128
+    rgb[..., 2] = (np.arange(36)[None, :] * 13) % 256
+    out = decode_jpeg(encode_jpeg(rgb, subsampling=(2, 2), restart_interval=2))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 4
+
+
+def test_jpeg_dri_interval_multiple_of_mcus():
+    # edge: image size an exact multiple of the restart interval -- the
+    # final interval must NOT expect a trailing RSTn (none is emitted)
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(16 * 32).reshape(16, 32) * 3 % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=2))  # 8 MCUs / 2
+    assert (out == decode_jpeg(encode_jpeg(img))).all()
+
+
+def test_jpeg_rejects_12bit_precision():
+    # ADVICE r8 (low): a 12-bit SOF1 was accepted and decoded to garbage
+    import numpy as np
+    import pytest
+
+    from nexgap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.full((8, 8), 10, dtype=np.uint8)))
+    i = payload.index(b"\xff\xc0")
+    assert payload[i + 4] == 8  # precision byte
+    payload[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        decode_jpeg(bytes(payload))
+
+
+def test_with_canonical_url_temp_name_collision(spark):
+    # ADVICE r8 (low): an input column named _cu_head was silently
+    # overwritten and dropped by the staged projections
+    from nexgap_spark.operators.curation import canonical_url, with_canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://Ex.COM/a?utm_source=z&b=2", "keep-me")],
+        "doc_id long, url string, _cu_head string",
+    )
+    out = with_canonical_url(df)
+    assert "_cu_head" in out.columns
+    row = out.first()
+    assert row["_cu_head"] == "keep-me"
+    expected = df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
+    assert row["canonical_url"] == expected == "https://ex.com/a?b=2"
+
+
+def test_scale_bench_duckdb_errors_reraise():
+    # ADVICE r8 (low): a genuine oracle SQL error must raise, not be
+    # recorded as a timeout DNF; a real interrupt still maps to None
+    import duckdb
+    import pytest
+
+    import scale_bench
+
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="no_such_table"):
+        scale_bench._duckdb_timed(con, "SELECT * FROM no_such_table")
+    # interrupt path: fire the timer immediately on a long-running query
+    old = scale_bench.DUCKDB_TIMEOUT_S
+    scale_bench.DUCKDB_TIMEOUT_S = 0.05
+    try:
+        out = scale_bench._duckdb_timed(
+            con,
+            "SELECT COUNT(*) FROM range(1000000000) a, range(1000) b",
+        )
+        assert out is None
+    finally:
+        scale_bench.DUCKDB_TIMEOUT_S = old
+        con.close()
