@@ -300,12 +300,17 @@ def convert_spans_nexau(
     narrowed = span_tree.filter_nonempty_input(narrowed)
     narrowed = span_tree.last_generation_per_group(narrowed)
     # immediate parent only, resolved against the UNFILTERED span table —
-    # parents are usually the non-generation agent spans P2 removed
-    parents = spans.select(
-        F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
+    # parents are usually the non-generation agent spans P2 removed;
+    # build side is cap-checked (span_tree._parent_side) like every other
+    # parent join, so a giant span table degrades to a shuffle, not an OOM
+    parents = span_tree._parent_side(
+        spans.select(
+            F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
+        ),
+        None,
     )
     resolved = narrowed.join(
-        F.broadcast(parents), narrowed["parentObservationId"] == parents["_p_id"], "left"
+        parents, narrowed["parentObservationId"] == parents["_p_id"], "left"
     ).drop("_p_id")
     resolved = span_tree.exclude_meta(resolved)
 

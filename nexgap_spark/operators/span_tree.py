@@ -76,15 +76,49 @@ def last_generation_per_group(spans: DataFrame, *, tiebreak: str = "span_id") ->
     )
 
 
-def join_parent(spans: DataFrame, *, broadcast_parents: bool = True) -> DataFrame:
+PARENT_BROADCAST_CAP = 5_000_000  # rows; ≈ dedup's membership-join cap
+
+
+def _parent_side(
+    parents: DataFrame,
+    broadcast_parents: bool | None,
+    max_rows: int = PARENT_BROADCAST_CAP,
+) -> DataFrame:
+    """Single definition of the parent-join build-side policy.
+
+    ``True``/``False`` force broadcast / shuffle; ``None`` (the default
+    everywhere) routes through dedup.capped_broadcast — broadcast only
+    under its explicit row cap, AQE-planned shuffle join above it. Same
+    policy, same cap, as the dedup membership join, so a span table whose
+    projected parent side outgrows executor memory degrades to a shuffle
+    instead of OOMing the cluster. The count the cap costs also
+    materializes the projection once (localCheckpoint), which the
+    iterative resolvers re-read every hop anyway."""
+    if broadcast_parents is None:
+        from nexgap_spark.operators.dedup import capped_broadcast
+
+        return capped_broadcast(parents, max_rows=max_rows)
+    return F.broadcast(parents) if broadcast_parents else parents
+
+
+def join_parent(
+    spans: DataFrame,
+    *,
+    broadcast_parents: bool | None = None,
+    max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
+) -> DataFrame:
     """J1+J2 (reference :454-458, :511-526): attach the parent span's name as
     ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
-    the reference's whole-file span_id→span dict."""
-    parents = spans.select(
-        F.col("span_id").alias("_p_id"), F.col("span_name").alias("parent_span_name")
+    the reference's whole-file span_id→span dict. Build-side policy:
+    :func:`_parent_side` (cap-checked broadcast by default)."""
+    parents = _parent_side(
+        spans.select(
+            F.col("span_id").alias("_p_id"),
+            F.col("span_name").alias("parent_span_name"),
+        ),
+        broadcast_parents,
+        max_broadcast_parent_rows,
     )
-    if broadcast_parents:
-        parents = F.broadcast(parents)
     return spans.join(
         parents, spans["parentObservationId"] == parents["_p_id"], "left"
     ).drop("_p_id")
@@ -100,7 +134,8 @@ def resolve_agent_name(
     *,
     max_hops: int = 6,
     parent_source: DataFrame | None = None,
-    broadcast_parents: bool = True,
+    broadcast_parents: bool | None = None,
+    max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
 ) -> DataFrame:
     """J3 (reference :460-509): walk each span's parent chain; the agent name
     is the first ancestor whose span_name (case-insensitively, after
@@ -108,9 +143,10 @@ def resolve_agent_name(
     back to the immediate parent's stripped name (J2 behavior) when no
     ancestor matches.
 
-    ``broadcast_parents=False`` falls back to shuffle joins when the
-    3-column parent projection of the FULL span table outgrows the
-    broadcast limit (same escape hatch as join_parent).
+    Build-side policy: :func:`_parent_side` — the default (``None``)
+    broadcasts the 3-column parent projection only under the capped-
+    broadcast row cap and falls back to AQE shuffle joins above it;
+    ``True``/``False`` force either branch.
 
     Iterative broadcast self-join to a bounded fixpoint — tree depth is ≤ ~5
     in the reference data, so ``max_hops`` caps the loop; each hop joins only
@@ -121,13 +157,15 @@ def resolve_agent_name(
     itself, which is only correct when nothing has been filtered out yet.
     """
     agents_lc = [a.lower() for a in config_agents]
-    parents = (parent_source if parent_source is not None else spans).select(
-        F.col("span_id").alias("_p_id"),
-        F.col("span_name").alias("_p_name"),
-        F.col("parentObservationId").alias("_p_parent"),
+    parents = _parent_side(
+        (parent_source if parent_source is not None else spans).select(
+            F.col("span_id").alias("_p_id"),
+            F.col("span_name").alias("_p_name"),
+            F.col("parentObservationId").alias("_p_parent"),
+        ),
+        broadcast_parents,
+        max_broadcast_parent_rows,
     )
-    if broadcast_parents:
-        parents = F.broadcast(parents)
 
     out = spans.withColumn("_cursor", F.col("parentObservationId")).withColumn(
         "agent_name", F.lit(None).cast("string")
@@ -166,17 +204,21 @@ def resolve_root(
     parent_col: str = "parentObservationId",
     max_hops: int = 6,
     out_col: str = "root_id",
-    broadcast_parents: bool = True,
+    broadcast_parents: bool | None = None,
+    max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
 ) -> DataFrame:
     """J3 companion: resolve each span's root ancestor by iterative broadcast
     self-join (bounded depth). Rows whose parent is null are their own root.
-    ``broadcast_parents=False`` for span tables whose 2-column projection
-    outgrows the broadcast limit."""
-    parents = spans.select(
-        F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
+    Build-side policy: :func:`_parent_side` (cap-checked broadcast by
+    default; ``False`` forces shuffle joins for span tables whose 2-column
+    projection outgrows executor memory)."""
+    parents = _parent_side(
+        spans.select(
+            F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
+        ),
+        broadcast_parents,
+        max_broadcast_parent_rows,
     )
-    if broadcast_parents:
-        parents = F.broadcast(parents)
     out = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )

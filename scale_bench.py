@@ -19,8 +19,9 @@ oracle runnable; production scales k and bucket bits with N instead
 (operators already expose them).
 
 Prints one JSON line and is safe to re-run (overwrites its temp dirs).
-  python scale_bench.py            # both families
+  python scale_bench.py            # text + ann
   SCALE_BENCH_FAMILY=text python scale_bench.py
+  SCALE_BENCH_FAMILY=span SCALE_BENCH_SPAN_MULT=100 python scale_bench.py
 """
 
 from __future__ import annotations
@@ -38,8 +39,18 @@ TEXT_QUERIES = ["q43_dup_groups", "q44_dedup_corpus", "q100_incremental_minhash"
                 "q103_ngram_logprob", "q104_url_dedup", "q108_repeated_spans"]
 ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
                "q102_semantic_dedup"]
+# The converter/span-tree family (VERDICT r8 item 1): q21-q23 run on spans
+# derived from `events`; q37 runs the full converter pipeline on spans
+# synthesized from `documents`. q37's oracle is golden-by-construction
+# (SELECT over documents — it does none of the converter work), so its
+# DuckDB column measures oracle evaluation, not an equivalent engine; the
+# meaningful q37 signals are Spark's own rows/sec across decades and which
+# parent-join branch the executed plan takes (capped broadcast vs shuffle).
+SPAN_QUERIES = ["q21_span_last_per_group", "q22_span_parent_join",
+                "q23_span_root_walk", "q37_convert_pipeline"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
 ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
+SPAN_MULT = int(os.environ.get("SCALE_BENCH_SPAN_MULT", "10"))
 TRIALS = int(os.environ.get("SCALE_BENCH_TRIALS", "2"))
 # At the biggest multipliers DuckDB's all-pairs-ish oracles can run for
 # hours; interrupt them past this budget and record DNF honestly.
@@ -86,6 +97,26 @@ def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
     out.coalesce(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
+def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    """events + documents for the span family. event_id shifts by a multiple
+    of 100 so every replica derives an ISOMORPHIC parent forest under the
+    spans_rel rule (root iff event_id % 100 == 0); doc_id shifts disjointly
+    (q37 reads only doc_id/source/text prefixes — no text salting needed,
+    traces are per-doc so replicas never interact)."""
+    ev = load_table(spark, sf_dir, "events")
+    top = ev.agg(F.max("event_id")).first()[0] + 1
+    shift = -(-top // 100) * 100
+    rep = spark.range(m).withColumnRenamed("id", "_rep")
+    out = (
+        ev.crossJoin(F.broadcast(rep))
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(shift))
+        .drop("_rep")
+    )
+    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    docs = _shifted(load_table(spark, sf_dir, "documents"), m, ["doc_id"]).drop("_rep")
+    docs.coalesce(8).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
 def _duckdb_timed(con, sql: str) -> float | None:
     """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF).
     Only the timeout interrupt maps to DNF — a genuine oracle error
@@ -120,7 +151,25 @@ def _duckdb_timed(con, sql: str) -> float | None:
             timer.cancel()
 
 
-def bench(spark, con, names: list[str], sf_dir: str, trials: int = TRIALS) -> dict:
+def _join_kinds(df: DataFrame) -> list[str]:
+    """Join operators in the FINAL (AQE-executed) plan of an already-
+    collected DataFrame — records which parent-join branch actually fired."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return sorted(
+        set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                       r"BroadcastNestedLoopJoin|CartesianProduct)",
+                       buf.getvalue()))
+    )
+
+
+def bench(spark, con, names: list[str], sf_dir: str, trials: int = TRIALS,
+          record_plan: bool = False) -> dict:
     from nexgap_spark.plans import ORACLES, QUERIES
 
     out: dict = {}
@@ -129,9 +178,11 @@ def bench(spark, con, names: list[str], sf_dir: str, trials: int = TRIALS) -> di
             continue
         s_best = d_best = None
         rows = 0
+        df = None
         for _ in range(trials):
+            df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
-            rows = len(QUERIES[name](spark, sf_dir).collect())
+            rows = len(df.collect())
             dt = time.perf_counter() - t0
             s_best = dt if s_best is None else min(s_best, dt)
         for _ in range(trials):
@@ -145,6 +196,16 @@ def bench(spark, con, names: list[str], sf_dir: str, trials: int = TRIALS) -> di
             "ratio": round(s_best / d_best, 3) if d_best is not None else None,
             "rows": rows,
         }
+        if record_plan and df is not None:
+            out[name]["joins"] = _join_kinds(df)
+            # which branch of the capped-broadcast policy fired: hinted =
+            # build side under the row cap (forced broadcast); unhinted =
+            # over the cap, join strategy left to the planner's real size
+            # stats (broadcast only if the checkpointed bytes fit the
+            # threshold — the correct runtime call either way)
+            out[name]["hinted"] = (
+                "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+            )
         d_str = f"{d_best:.2f}s" if d_best is not None else (
             f"DNF>{DUCKDB_TIMEOUT_S:.0f}s")
         print(f"[scale_bench] {name}: spark {s_best:.2f}s duckdb {d_str} "
@@ -179,6 +240,19 @@ def main() -> None:
         con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d3}/embeddings.parquet/*.parquet')")
         result["ann_mult"] = ANN_MULT
         result["ann"] = bench(spark, con, ANN_QUERIES, d3)
+        con.close()
+    if family in ("span", "all"):
+        ds = f"/tmp/nexgap_scale_spans_x{SPAN_MULT}"
+        build_span_dir(spark, sf_dir, SPAN_MULT, ds)
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {cpus}")
+        for tbl in ("events", "documents"):
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM "
+                f"read_parquet('{ds}/{tbl}.parquet/*.parquet')"
+            )
+        result["span_mult"] = SPAN_MULT
+        result["span"] = bench(spark, con, SPAN_QUERIES, ds, record_plan=True)
         con.close()
     print(json.dumps(result, separators=(",", ":")))
 

@@ -397,3 +397,47 @@ def test_q110_jpeg_is_two_map_stages_no_shuffle_before_agg(spark):
     plan = plan_of(spark, "q110_jpeg_features")
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
     assert "Join" not in plan
+
+
+def test_span_parent_join_cap_both_branches(spark):
+    # the span-family twin of test_capped_broadcast_fallback_fires: the
+    # parent join's build side broadcasts under the cap and degrades to an
+    # AQE shuffle join above it (VERDICT r8 item 1: the converter family's
+    # 100 TB story must be observed, not argued)
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.span_tree import join_parent
+
+    spans = spark.range(3000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("span_id"),
+        F.when(
+            F.col("id") % 10 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("s"), F.col("id") - F.col("id") % 10)).alias(
+            "parentObservationId"
+        ),
+        F.concat(F.lit("agent"), F.col("id") % 7).alias("span_name"),
+    )
+
+    def executed_plan(df):
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = executed_plan(
+            join_parent(spans, max_broadcast_parent_rows=10_000)
+        )
+        assert "BroadcastHashJoin" in under, under
+
+        over = executed_plan(join_parent(spans, max_broadcast_parent_rows=100))
+        assert "BroadcastHashJoin" not in over, over
+        assert "SortMergeJoin" in over or "ShuffledHashJoin" in over, over
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
