@@ -4,25 +4,33 @@ operators/multimodal.py for the most common compressed-image format, the
 same way round 6 did for PNG (struct + zlib): no codec library, just the
 published algorithm on numpy.
 
-Decoder (`decode_jpeg`) is a GENERAL baseline decoder:
+Decoder (`decode_jpeg`) is a GENERAL Huffman-mode decoder:
 
 * any DQT (8- and 16-bit precision) and any DHT (tables built canonically
   from BITS/HUFFVAL, so libjpeg-standard and custom tables both work);
-* SOF0 baseline sequential only — progressive (SOF2) and arithmetic
-  coding raise NotImplementedError with a clear message;
+* SOF0/SOF1 baseline sequential AND SOF2 progressive (round 9): spectral
+  selection, successive approximation (DC and AC first + refinement
+  scans, EOBRUN), interleaved and single-component scans — cross-checked
+  against Java ImageIO on real libjpeg progressive files; the remaining
+  SOF variants (lossless, hierarchical, arithmetic) raise
+  NotImplementedError with a clear message;
 * arbitrary per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...)
   with nearest-neighbor chroma upsampling;
-* restart markers (DRI/RSTn): byte-realign + DC-predictor reset;
+* restart markers (DRI/RSTn): byte-realign + DC-predictor reset (both
+  directions round-trip-tested via the encoder's restart_interval);
 * 1-component (grayscale) and 3-component (JFIF YCbCr→RGB) images.
 
-Encoder (`encode_jpeg`) is the deterministic test-vector generator —
-grayscale or RGB, 4:4:4 or 4:2:0, flat quantization tables and simple
-fixed-length Huffman tables (valid per spec: the all-ones code is never
-assigned, so 1-padding cannot alias a symbol). With the default all-8s
-quant table a DC-only (solid-color) block survives the pipeline EXACTLY:
-FDCT of a flat block has DC = 8·(v-128) and zero AC, and 8·(v-128)/8 is
-integral — which is what gives the q110 catalog query a closed-form
-oracle, mirroring the q101 PNG construction.
+Encoders are the deterministic test-vector generators — `encode_jpeg`
+(baseline; grayscale or RGB, 4:4:4 or 4:2:0, optional DRI/RSTn) and
+`encode_jpeg_progressive` (SOF2; interleaved DC first scan with optional
+successive approximation + refinement scans, per-component spectral-band
+AC scans) — with flat quantization tables and simple fixed-length Huffman
+tables (valid per spec: the all-ones code is never assigned, so 1-padding
+cannot alias a symbol). With the default all-8s quant table a DC-only
+(solid-color) block survives the pipeline EXACTLY: FDCT of a flat block
+has DC = 8·(v-128) and zero AC, and 8·(v-128)/8 is integral — which is
+what gives the q110 (baseline) and q111 (progressive) catalog queries a
+closed-form oracle, mirroring the q101 PNG construction.
 
 Scale note: these are row-local kernels — Spark-side they run inside the
 same mapInPandas plumbing as every other multimodal kernel
@@ -176,8 +184,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG → uint8 array, (h, w) grayscale or
-    (h, w, 3) RGB. See module docstring for supported surface."""
+    """Baseline-sequential (SOF0/1) or progressive (SOF2) JPEG → uint8
+    array, (h, w) grayscale or (h, w, 3) RGB. See module docstring."""
     data = payload
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -187,6 +195,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) where comps = [(cid, hi, vi, tq)]
+    progressive = False
+    prog: _ProgressiveState | None = None
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -237,10 +247,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive (Huffman)
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {seg[0]}: only 8-bit is implemented"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+            progressive = True
+            prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0/1) "
-                "is implemented"
+                "and progressive (SOF2) are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -249,14 +273,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("invalid JPEG: SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_order = []
             for c in range(ns):
                 cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tbl >> 4, tbl & 0x0F)
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            pos = prog.decode_scan(
+                data, pos + 2 + seglen, scan_order, scan, ss, se, a >> 4,
+                a & 0x0F, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if progressive and prog is not None and prog.any_scan:
+        return prog.render(qt)
     raise ValueError("invalid JPEG: no SOS segment")
 
 
@@ -308,10 +344,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                         x0 = (mx * hi + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    # upsample each component to full MCU-grid resolution, then crop
+    return _finish_planes([planes[cid] for cid, *_ in comps], comps, h, w, hmax, vmax)
+
+
+def _finish_planes(raw_planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop, and color-
+    convert (shared by the baseline and progressive paths)."""
     out_planes = []
-    for cid, hi, vi, _ in comps:
-        p = planes[cid]
+    for (cid, hi, vi, _), p in zip(comps, raw_planes):
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:h, :w])
@@ -322,6 +362,202 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 G.2: coefficients accumulate across
+# scans (spectral selection bands x successive-approximation bit planes)
+# and render once at EOI.
+# ---------------------------------------------------------------------------
+
+
+class _ProgressiveState:
+    """Per-image coefficient store + the four progressive scan kinds
+    (DC/AC × first/refinement), T.81 G.1.2. Coefficients are kept in
+    ZIGZAG order per block; :meth:`render` dequantizes, IDCTs every block
+    vectorized, and reuses the baseline upsample/color tail."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs: dict[int, np.ndarray] = {}
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        self.sampling: dict[int, tuple[int, int]] = {}
+        self.any_scan = False
+        for cid, hi, vi, _ in comps:
+            # full MCU grid so interleaved DC scans can address edge-pad
+            # blocks; non-interleaved scans cover only the real blocks
+            self.coefs[cid] = np.zeros(
+                (self.mcus_y * vi, self.mcus_x * hi, 64), dtype=np.int32
+            )
+            cw = -(-w * hi // self.hmax)  # comp width in samples
+            ch = -(-h * vi // self.vmax)
+            self.nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+            self.sampling[cid] = (hi, vi)
+
+    # -- scan driver --------------------------------------------------------
+
+    def decode_scan(
+        self, data, pos, scan_order, scan_tables, ss, se, ah, al,
+        huff_dc, huff_ac, restart_interval,
+    ) -> int:
+        """Decode one SOS's entropy segment into the coefficient store;
+        returns the byte offset of the next marker."""
+        self.any_scan = True
+        reader = _BitReader(data, pos)
+        pred = {cid: 0 for cid in scan_order}
+        eobrun = 0
+        n_unit = 0
+        if len(scan_order) > 1:
+            # interleaved scan: DC only (G.1.1.1.1), MCU order
+            if ss != 0:
+                raise ValueError("invalid JPEG: interleaved progressive AC scan")
+            dc_tables = {
+                cid: huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                for cid in scan_order
+            }
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        reader.restart()
+                        pred = {cid: 0 for cid in scan_order}
+                        eobrun = 0
+                    for cid in scan_order:
+                        hi, vi = self.sampling[cid]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blk = self.coefs[cid][my * vi + by, mx * hi + bx]
+                                self._dc(reader, blk, dc_tables[cid], pred, cid, ah, al)
+                    n_unit += 1
+        else:
+            cid = scan_order[0]
+            by_n, bx_n = self.nblocks[cid]
+            if ss == 0:
+                dc_t = huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                ac_t = None
+            else:
+                dc_t = None
+                ac_t = huff_ac[scan_tables[cid][1]]
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        reader.restart()
+                        pred[cid] = 0
+                        eobrun = 0
+                    blk = self.coefs[cid][by, bx]
+                    if ss == 0:
+                        self._dc(reader, blk, dc_t, pred, cid, ah, al)
+                    elif ah == 0:
+                        eobrun = self._ac_first(reader, blk, ac_t, ss, se, al, eobrun)
+                    else:
+                        eobrun = self._ac_refine(reader, blk, ac_t, ss, se, al, eobrun)
+                    n_unit += 1
+        # advance to the next true marker (skip stuffed FF00 and stray RSTn)
+        p = reader.pos
+        while p + 1 < len(data):
+            if (
+                data[p] == 0xFF
+                and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)
+            ):
+                break
+            p += 1
+        return p
+
+    # -- block decoders (G.1.2) ---------------------------------------------
+
+    @staticmethod
+    def _dc(reader, blk, dc_t, pred, cid, ah, al) -> None:
+        if ah == 0:  # first DC scan: baseline DPCM at precision Al
+            size = reader.decode(dc_t)
+            pred[cid] += _extend(reader.receive(size), size)
+            blk[0] = pred[cid] << al
+        elif reader.read_bit():  # refinement: one bit appends at plane Al
+            blk[0] |= 1 << al
+
+    @staticmethod
+    def _ac_first(reader, blk, ac_t, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            sym = reader.decode(ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise ValueError("invalid JPEG: progressive AC index overflow")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(reader, blk, ac_t, ss, se, al, eobrun) -> int:
+        """Correction-bit pass (G.1.2.3): newly-nonzero coefficients arrive
+        as ±2^Al; every already-nonzero coefficient crossed on the way
+        carries one correction bit."""
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = reader.decode(ac_t)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # ZRL: advance over 16 zero-history coefficients
+                else:  # s == 1 per spec: a coefficient newly becomes ±2^Al
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits through the rest of the band
+                if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final render ---------------------------------------------------------
+
+    def render(self, qt: dict[int, np.ndarray]) -> np.ndarray:
+        raw = []
+        for cid, hi, vi, tq in self.comps:
+            zz = self.coefs[cid]
+            nat = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+            for k, (r, c) in enumerate(_ZZ_INDEX):
+                nat[:, :, r, c] = zz[:, :, k]
+            nat *= qt[tq]
+            blocks = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, nat, _DCT_M) + 128
+            by, bx = zz.shape[:2]
+            raw.append(blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        return _finish_planes(raw, self.comps, self.h, self.w, self.hmax, self.vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -516,5 +752,145 @@ def encode_jpeg(
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (test-vector generator, T.81 G.1): spectral-selection
+# scans plus optional DC successive approximation — enough surface to
+# exercise every decoder scan kind deterministically (AC SA refinement is
+# additionally covered by real libjpeg progressive files in the tests).
+# ---------------------------------------------------------------------------
+
+
+def _quantized_blocks(plane: np.ndarray) -> tuple[int, int, list[list[int]]]:
+    """Pad to 8×8 blocks and return (blocks_y, blocks_x, zigzag coef lists)."""
+    p = _pad_to_blocks(plane, 8, 8)
+    by, bx = p.shape[0] // 8, p.shape[1] // 8
+    out = []
+    for y in range(by):
+        for x in range(bx):
+            coef = np.round(
+                _fdct(p[8 * y : 8 * y + 8, 8 * x : 8 * x + 8] - 128.0) / _ENC_QUANT
+            ).astype(np.int64)
+            out.append([int(coef[r, c]) for r, c in _ZZ_INDEX])
+    return by, bx, out
+
+
+def _sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_specs)])
+    for cid, tbl in comp_specs:
+        body += bytes([cid, tbl])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _encode_ac_band(bw: _BitWriter, zz: list[int], ss: int, se: int) -> None:
+    """One block's band (Al=0) — baseline run-length coding where EOB is
+    the EOB0 code (EOBRUN of exactly 1, valid progressive coding)."""
+    last_nz = ss - 1
+    for k in range(ss, se + 1):
+        if zz[k]:
+            last_nz = k
+    run = 0
+    for k in range(ss, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = _AC_CODES[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        ln, code = _AC_CODES[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(bits, size)
+        run = 0
+    if last_nz < se:
+        ln, code = _AC_CODES[0x00]  # EOB0
+        bw.put(code, ln)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, *, spectral_split: int = 6, dc_al: int = 0
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive (SOF2) JPEG,
+    4:4:4, flat quantization (the q110/q111 closed-form construction).
+
+    Scan script: one interleaved DC first scan (at precision ``dc_al``),
+    a DC refinement scan per remaining bit plane when ``dc_al > 0``, then
+    per component the AC band split [1, spectral_split] +
+    [spectral_split+1, 63] — libjpeg's default-script shape."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [(1, arr)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            (1, 0.299 * r + 0.587 * g + 0.114 * b),
+            (2, -0.168736 * r - 0.331264 * g + 0.5 * b + 128),
+            (3, 0.5 * r - 0.418688 * g - 0.081312 * b + 128),
+        ]
+    blocks: dict[int, list[list[int]]] = {}
+    for cid, p in planes:
+        _, _, blocks[cid] = _quantized_blocks(p)
+    n_blocks = len(blocks[planes[0][0]])
+
+    out = bytearray(b"\xff\xd8")
+    zzq = bytes(int(_ENC_QUANT[r, c]) for r, c in _ZZ_INDEX)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zzq
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, _ in planes:
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        b"\x00" + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+        + b"\x10" + bytes(_ENC_AC_BITS) + _ENC_AC_VALS
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    # scan 1: interleaved DC first at precision dc_al (4:4:4 → MCU = one
+    # block per component, raster order)
+    out += _sos([(cid, 0x00) for cid, _ in planes], 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, _ in planes}
+    for i in range(n_blocks):
+        for cid, _ in planes:
+            v = blocks[cid][i][0] >> dc_al  # arithmetic shift per G.1.2.1
+            size, bits = _magnitude(v - pred[cid])
+            ln, code = _DC_CODES[size]
+            bw.put(code, ln)
+            bw.put(bits, size)
+            pred[cid] = v
+    bw.flush()
+    out += bw.out
+
+    # DC refinement scans: one bit plane per scan, Al descending
+    for al in range(dc_al - 1, -1, -1):
+        out += _sos([(cid, 0x00) for cid, _ in planes], 0, 0, al + 1, al)
+        bw = _BitWriter()
+        for i in range(n_blocks):
+            for cid, _ in planes:
+                bw.put((blocks[cid][i][0] >> al) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # AC scans: per component, two spectral bands (single band if the
+    # split covers everything), non-interleaved, Al=0
+    split = max(1, min(spectral_split, 63))
+    bands = [(1, split)] + ([(split + 1, 63)] if split < 63 else [])
+    for cid, _ in planes:
+        for ss, se in bands:
+            out += _sos([(cid, 0x00)], ss, se, 0, 0)
+            bw = _BitWriter()
+            for zz in blocks[cid]:
+                _encode_ac_band(bw, zz, ss, se)
+            bw.flush()
+            out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)

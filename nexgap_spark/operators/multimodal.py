@@ -6,12 +6,12 @@ The kernel layer is pluggable: real decoders slot in behind one signature,
 and a deterministic fake (seeded from the payload digest) keeps the
 Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
 real and tested. Four formats now have REAL pure-stdlib codecs behind
-stdlib_decode_kernel: WAV, netpbm, PNG (struct+zlib) and baseline JPEG
-(operators/jpeg.py — the published T.81 algorithm on numpy, incl. real
-libjpeg-produced 4:2:0 files). The remaining NotImplementedError sites are
-the genuinely codec-bound formats (video, progressive JPEG) and the
-explicitly-marked external-library slots (real_decode_kernel /
-real_resize_kernel).
+stdlib_decode_kernel: WAV, netpbm, PNG (struct+zlib) and JPEG — baseline
+since r8, progressive (SOF2) since r9 (operators/jpeg.py — the published
+T.81 algorithm on numpy, incl. real libjpeg-produced 4:2:0 and
+progressive files). The remaining NotImplementedError sites are the
+genuinely codec-bound formats (video) and the explicitly-marked
+external-library slots (real_decode_kernel / real_resize_kernel).
 """
 
 from __future__ import annotations
@@ -306,8 +306,9 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
       aspect];
     * PNG (8-bit, non-interlaced — struct + zlib are stdlib) → the same
       8 raster features;
-    * JPEG (baseline sequential, operators/jpeg.py — the public T.81
-      algorithm on numpy, no codec library) → the same 8 raster features;
+    * JPEG (baseline sequential + progressive, operators/jpeg.py — the
+      public T.81 algorithm on numpy, no codec library) → the same 8
+      raster features;
     * anything else raises NotImplementedError exactly like
       real_decode_kernel (video formats genuinely need codecs).
     """

@@ -20,78 +20,75 @@ from nexgap_spark.plans import advanced  # noqa: F401, E402
 from nexgap_spark.plans import agents  # noqa: F401, E402
 
 # The driver's per-round correctness gate records only the FIRST 50 entries
-# of the registry (observed: CORRECTNESS_r01..r07 each hold exactly the
+# of the registry (observed: CORRECTNESS_r01..r08 each hold exactly the
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 8
-# rotates (VERDICT r7 item 2) to: (a) this round's new q110 at the FRONT
-# (a query registered after the window is pinned waits a full round for
-# external evidence); (b) the seven queries whose last external green is
-# r05 — q53/q58/q83/q84 ceded their slots in r7, q80/q81/q82 ceded to the
-# r7 flagships; (c) q104, whose canonicalization and oracle were reworked
-# this round (staged projections + split_part semantics) — a changed
-# query re-earns its external row; (d) the r06-last-green set, minus
-# eight simple deterministic expression queries that defer to r9 with
-# strong local pins (q10-q15, q18, q19 — groupBy-count / rollup /
-# string-function / set-op queries whose semantics are frozen and
-# hash-checked by selfcheck every round). The 50 r07-green queries and
-# those eight deferrals rotate back in r9.
+# purely about which results get an externally-recorded row. Round 9
+# rotates (VERDICT r8 item 3) to: (a) new q111 at the FRONT; (b) q22 —
+# its parent join moved to the capped-broadcast policy this round, and a
+# changed plan re-earns its external row; (c) the eight r8-deferred
+# simple expression queries (q10-q15/q18/q19 per COVERAGE.md's note);
+# (d) the r07-last-green set, including the spans/converter family
+# (q21/q23/q37 — also replanned under the capped policy) and the
+# q105-q109/q96/q46/q61/q62 flagships, minus the nine frozen analytics
+# queries q48-q52/q54-q57 (untouched since r4-5, selfcheck-pinned) which
+# defer to r10 together with the r08 greens.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "q110_jpeg_features",
-    # (b) last external green r05
-    "q53_hash_sample",
-    "q58_value_histogram",
-    "q80_kmeans_step",
-    "q81_cdc_apply",
-    "q82_run_summary",
-    "q83_query_guard",
-    "q84_url_parse",
-    # (c) reworked this round — re-earn the external row
-    "q104_url_dedup",
-    # (d) last external green r06
-    "q03_top_orders",
-    "q04_priority_semi_join",
-    "q05_customers_no_orders",
-    "q06_revenue_filter",
-    "q07_topk_parts_per_brand",
-    "q09_cumulative_revenue",
-    "q16_sessionize_events",
-    "q20_inverse_cdf_pick",
+    "q111_progressive_jpeg_features",
+    # (b) replanned this round — re-earn the external row
     "q22_span_parent_join",
-    "q24_text_stats",
-    "q25_quality_features",
-    "q26_language_id",
-    "q27_exact_dedup_stats",
-    "q28_doc_fingerprints",
-    "q29_ngram_jaccard_topk",
-    "q30_minhash_signatures",
-    "q32_simhash",
-    "q33_binary_payloads",
-    "q36_embedding_near_dup",
-    "q39_emit_qwen",
-    "q40_media_features",
-    "q43_dup_groups",
-    "q44_dedup_corpus",
-    "q45_hyperplane_lsh",
-    "q59_top_terms",
-    "q60_length_zscore",
-    "q86_chunk_text",
-    "q87_fuzzifier_contract",
-    "q88_persona_suitability",
-    "q89_url_extraction",
-    "q90_url_validate",
-    "q91_url_repair_loop",
-    "q92_file_requirement",
-    "q93_file_plan",
-    "q94_url_rewrite",
-    "q95_new_tag_parse",
-    "q97_wav_features",
-    "q98_keep_best_per_group",
-    "q99_incremental_dedup",
-    "q100_incremental_minhash",
-    "q101_png_features",
+    # (c) deferred from r8
+    "q10_event_type_stats",
+    "q11_rollup_sales",
+    "q12_distinct_counts",
+    "q13_string_functions",
+    "q14_monthly_orders",
+    "q15_nation_set_ops",
+    "q18_json_extraction",
+    "q19_sampling_weights",
+    # (d) last external green r07 (flagships first, then the families)
+    "q105_synthesis_workflow",
+    "q106_ivf_indexed",
+    "q107_agent_execution",
+    "q108_repeated_spans",
+    "q109_generate_and_execute",
+    "q96_url_pipeline",
+    "q46_cube_sales",
+    "q61_centroid_outliers",
+    "q62_tfidf_top_terms",
+    "q102_semantic_dedup",
+    "q103_ngram_logprob",
+    "q01_pricing_summary",
+    "q08_last_event_per_user",
+    "q17_tumbling_window_agg",
+    "q21_span_last_per_group",
+    "q23_span_root_walk",
+    "q31_minhash_lsh_pairs",
+    "q34_cosine_topk",
+    "q35_ivf_topk",
+    "q37_convert_pipeline",
+    "q38_validate_xml",
+    "q41_asof_join",
+    "q42_range_join",
+    "q64_funnel_conversions",
+    "q65_moving_average",
+    "q66_unpivot_matrix",
+    "q67_corr_stats",
+    "q68_decontaminate",
+    "q69_pii_scan",
+    "q70_repetition_profile",
+    "q71_quality_gate",
+    "q72_split_assign",
+    "q73_pack_chunks",
+    "q74_cohort_retention",
+    "q75_column_profile",
+    "q76_quantize_digest",
+    "q77_rolling_active_users",
+    "q78_ordered_funnel",
+    "q79_rebalance_domains",
+    "q85_ivf_nprobe",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

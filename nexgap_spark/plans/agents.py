@@ -1204,3 +1204,75 @@ def q109_generate_and_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("difficulty", "success")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — REAL progressive-JPEG (SOF2) decode features (round 9, closing the
+# r8 codec boundary): solid-gray SOF2 streams synthesized per doc with a
+# doc-dependent scan script (dc_al = doc_id%3 exercises the DC-first,
+# DC-successive-approximation AND DC-refinement decoder paths under the
+# oracle gate; every AC band is EOB-coded). Same closed-form construction
+# as q110: flat quant ⇒ solid rasters survive the lossy format exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_progressive_jpeg_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, 9 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+                      (doc_id * 31) % 256 AS v
+               FROM documents)
+    SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS sum_mean,
+           CAST(MAX(v) AS DOUBLE) AS max_px,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect
+    FROM d GROUP BY w, h ORDER BY width, height
+    """,
+)
+def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.jpeg import encode_jpeg_progressive
+    from nexgap_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decode_kernel,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 9 + int(i) % 8, 5 + int(i) % 6, (int(i) * 31) % 256
+                payloads.append(
+                    encode_jpeg_progressive(
+                        np.full((h, w), v, dtype=np.uint8), dc_al=int(i) % 3
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    f = F.col("features")
+    return (
+        feats.select(
+            F.element_at(f, 1).cast("long").alias("width"),
+            F.element_at(f, 2).cast("long").alias("height"),
+            F.element_at(f, 4).alias("mean_px"),
+            F.element_at(f, 7).alias("max_px"),
+            F.element_at(f, 8).alias("aspect"),
+        )
+        .groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("mean_px"), 2).alias("sum_mean"),
+            F.max("max_px").alias("max_px"),
+            F.round(F.min("aspect"), 6).alias("aspect"),
+        )
+        .orderBy("width", "height")
+    )

@@ -399,18 +399,65 @@ def test_jpeg_against_java_imageio(spark):
     assert np.percentile(diff, 99) < 20, np.percentile(diff, 99)
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_real_files_vs_imageio(spark):
+    # real libjpeg PROGRESSIVE files (spectral selection + AC successive
+    # approximation with refinement scans in full-white-stripe.jpg),
+    # cross-checked against an independent decoder (Java ImageIO)
     import glob
 
+    import numpy as np
     import pytest
 
     from nexgap_spark.operators.jpeg import decode_jpeg
 
-    files = glob.glob("/usr/share/doc/nodejs/*.jpg")
+    files = sorted(glob.glob("/usr/share/doc/nodejs/*.jpg"))
     if not files:
         pytest.skip("no progressive sample on this machine")
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(open(files[0], "rb").read())
+    for path in files:
+        row = spark.read.format("image").load(path).select("image.*").first()
+        ours = decode_jpeg(open(path, "rb").read())
+        assert (row.height, row.width) == ours.shape[:2]
+        theirs = np.frombuffer(row.data, dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )[:, :, ::-1].astype(int)
+        diff = np.abs(theirs - ours.astype(int))
+        assert diff.mean() < 0.5, (path, diff.mean())
+        assert diff.max() <= 4, (path, diff.max())
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    # same quant table => the progressive scan script must reconstruct
+    # IDENTICAL coefficients to the baseline stream, so the decodes match
+    # bit for bit; solid images survive exactly (q111's closed form)
+    import numpy as np
+
+    from nexgap_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = (np.arange(24 * 40).reshape(24, 40) * 7 % 256).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    for dc_al in (0, 1, 2):
+        for split in (1, 6, 63):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, spectral_split=split, dc_al=dc_al)
+            )
+            assert (prog == base).all(), (dc_al, split)
+
+    rgb = np.zeros((20, 36, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(20)[:, None] * 11) % 256
+    rgb[..., 2] = (np.arange(36)[None, :] * 13) % 256
+    assert (
+        decode_jpeg(encode_jpeg_progressive(rgb, dc_al=1))
+        == decode_jpeg(encode_jpeg(rgb))
+    ).all()
+
+    for v in (0, 7, 128, 255):
+        solid = np.full((14, 21), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_progressive(solid, dc_al=1))
+        assert (out == v).all()
 
 
 def test_jpeg_resize_kernel_and_feature_dispatch():
