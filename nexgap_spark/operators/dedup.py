@@ -132,14 +132,21 @@ def shingle_table(
     text_col: str = "text",
     shingle_n: int = 3,
     normalize: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams per document.
+    """(id, shingle) rows — word n-grams per document, distinct by default.
 
     Built with explode(sequence) + element_at instead of array-lambda HOFs:
     higher-order functions are interpreted per element (never codegen'd),
     which serializes the hottest loop of the dedup path. The input is also
     repartitioned first — a single-file parquet scan is one partition, and
-    everything narrow downstream would inherit that serial bottleneck."""
+    everything narrow downstream would inherit that serial bottleneck.
+
+    ``distinct=False`` skips the dedup shuffle (260 k-row exchange at
+    sf0.1, the single most expensive stage of the signature path) for
+    consumers whose aggregate is duplicate-insensitive — MIN-based MinHash
+    signatures give the identical result on the multiset. Jaccard/count
+    consumers (verify_jaccard, ngram_jaccard_pairs) need the default."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     toks = (
@@ -158,9 +165,8 @@ def shingle_table(
         ).alias("_i"),
     )
     parts = [F.element_at("_toks", F.col("_i") + j) for j in range(shingle_n)]
-    return idx.select(
-        F.col(id_col), F.concat_ws(" ", *parts).alias("shingle")
-    ).distinct()
+    out = idx.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -867,7 +873,8 @@ def incremental_minhash(
     lsh_candidate_pairs — a boilerplate flood in the archive must not turn
     one ingest batch into a k² join)."""
     sh = shingle_table(
-        new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        distinct=False,  # MIN-agg signatures are duplicate-insensitive
     )
     sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
     mh = [f"mh{j}" for j in range(num_hashes)]

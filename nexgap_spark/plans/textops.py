@@ -275,7 +275,9 @@ def _minhash_oracle() -> str:
 @query("q30_minhash_signatures", oracle=_minhash_oracle())
 def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs)
+    # distinct=False: MIN-based signatures are duplicate-insensitive, and
+    # the distinct was the query's most expensive exchange (bisected r9)
+    sh = dedup.shingle_table(docs, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     sig_str = F.concat_ws("-", *[F.col(f"mh{j}").cast("string") for j in range(8)])
     return sigs.select("doc_id", sig_str.alias("signature"))
@@ -778,7 +780,7 @@ def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     archive = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    ledger = dedup.minhash_signatures(dedup.shingle_table(archive))
+    ledger = dedup.minhash_signatures(dedup.shingle_table(archive, distinct=False))
     # cap pinned to None: the oracle models the UNCAPPED candidate set, so
     # the contract stays exact at ANY scale factor (q45's documented
     # precedent); production callers keep the scale-guard default
