@@ -112,9 +112,88 @@ def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
         .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(shift))
         .drop("_rep")
     )
-    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    # range-partition by ts, not coalesce: the base scan is one split and
+    # coalesce cannot RAISE partition count — a single output file would
+    # collapse the streaming bench into one mega micro-batch. Range
+    # partitioning makes each part file a disjoint time slice, so the
+    # file-source replay is time-ordered across micro-batches (the
+    # watermark advances and evicts state exactly as a live stream would).
+    out.repartitionByRange(8, "ts").write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
     docs = _shifted(load_table(spark, sf_dir, "documents"), m, ["doc_id"]).drop("_rep")
     docs.coalesce(8).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def bench_stream(spark, path: str, mult: int) -> dict:
+    """Streaming-twin throughput/state rows (VERDICT r8 item 7): run each
+    stateful streaming operator over the scaled events dir with
+    Trigger.AvailableNow + a noop sink, and report wall time, rows/sec and
+    the state-store row count from the engine's own progress metrics.
+    No DuckDB column — the correctness story is the batch-equivalence
+    tests (test_streaming.py); this measures throughput and state bounds."""
+    import shutil
+    import tempfile
+
+    from nexgap_spark.streaming import pipeline as sp
+
+    results: dict = {}
+    # several micro-batches (8 files / 2 per trigger) so state genuinely
+    # carries across batches instead of one mega-batch
+    def _src():
+        return sp.read_event_stream(
+            spark, f"{path}/events.parquet", max_files_per_trigger=2
+        )
+
+    cases = {
+        "windowed_counts": lambda ev: sp.windowed_counts(ev),
+        "session_windows": lambda ev: sp.session_windows(ev),
+        "dedup_events": lambda ev: sp.dedup_events(ev),
+        "stateful_sessions": lambda ev: sp.stateful_sessions(ev),
+        "stream_stream_conversions": lambda ev: sp.stream_stream_conversions(
+            ev.filter(F.col("event_type") == "click"),
+            _src().filter(F.col("event_type") == "purchase"),
+        ),
+    }
+    for name, xf in cases.items():
+        if ONLY and name not in ONLY:
+            continue
+        ckpt = tempfile.mkdtemp(prefix=f"nexgap_stream_ckpt_{name}_")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = (
+            xf(_src())
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        prog = list(q.recentProgress)
+        rows_in = sum(p["numInputRows"] for p in prog)
+        state_rows = max(
+            (
+                so["numRowsTotal"]
+                for p in prog
+                for so in (p.get("stateOperators") or [])
+            ),
+            default=0,
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        results[name] = {
+            "sec": round(dt, 2),
+            "rows_in": rows_in,
+            "rows_per_sec": int(rows_in / dt) if dt else None,
+            "batches": len([p for p in prog if p["numInputRows"]]),
+            "state_rows_max": state_rows,
+        }
+        print(
+            f"[scale_bench] stream {name}: {dt:.2f}s {rows_in} rows "
+            f"({int(rows_in/dt)}/s), state_max {state_rows}",
+            file=sys.stderr,
+        )
+    return results
 
 
 def _duckdb_timed(con, sql: str) -> float | None:
@@ -254,6 +333,12 @@ def main() -> None:
         result["span_mult"] = SPAN_MULT
         result["span"] = bench(spark, con, SPAN_QUERIES, ds, record_plan=True)
         con.close()
+    if family in ("stream", "all"):
+        ds = f"/tmp/nexgap_scale_spans_x{SPAN_MULT}"
+        if not os.path.isdir(f"{ds}/events.parquet"):
+            build_span_dir(spark, sf_dir, SPAN_MULT, ds)
+        result["stream_mult"] = SPAN_MULT
+        result["stream"] = bench_stream(spark, ds, SPAN_MULT)
     print(json.dumps(result, separators=(",", ":")))
 
 
