@@ -47,7 +47,8 @@ ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
 # meaningful q37 signals are Spark's own rows/sec across decades and which
 # parent-join branch the executed plan takes (capped broadcast vs shuffle).
 SPAN_QUERIES = ["q21_span_last_per_group", "q22_span_parent_join",
-                "q23_span_root_walk", "q37_convert_pipeline"]
+                "q23_span_root_walk", "q37_convert_pipeline",
+                "q105_synthesis_workflow"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
 ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
 SPAN_MULT = int(os.environ.get("SCALE_BENCH_SPAN_MULT", "10"))
@@ -84,17 +85,19 @@ def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     out = _shifted(emb, m, ["vec_id"])
     # circular rotation by 5·rep dims: replica vectors point in genuinely
-    # different directions (norms preserved), so no degenerate cos=1 floods
+    # different directions (norms preserved), so no degenerate cos=1 floods.
+    # Column-arg slice, NOT a per-replica WHEN chain: at m=100 the chained
+    # CASE falls out of whole-stage codegen (100 branches) and evaluates
+    # interpreted — measured minutes-per-100k-rows; this form codegens.
     dim = 64
-    rot = F.when(F.col("_rep") == 0, F.col("embedding"))
-    for r in range(1, m):
-        k = (5 * r) % dim
-        rot = rot.when(
-            F.col("_rep") == r,
-            F.concat(F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)),
-        )
+    k = (F.col("_rep") * 5 % dim).cast("int")
+    rot = F.concat(
+        F.slice(F.col("embedding"), k + F.lit(1), F.lit(dim) - k),
+        F.slice(F.col("embedding"), F.lit(1), k),
+    )
     out = out.withColumn("embedding", rot).drop("_rep")
-    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    # repartition, not coalesce: the base scan is one split (see events note)
+    out.repartition(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
 def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
