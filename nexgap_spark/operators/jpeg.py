@@ -626,21 +626,28 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
-    coef = np.round(_fdct(block - 128.0) / _ENC_QUANT).astype(np.int64)
-    dc = int(coef[0, 0])
-    size, bits = _magnitude(dc - pred)
-    ln, code = _DC_CODES[size]
-    bw.put(code, ln)
-    bw.put(bits, size)
-    zz = [int(coef[r, c]) for r, c in _ZZ_INDEX[1:]]
+def _rgb_to_ycbcr(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BT.601 full-range RGB→YCbCr (JFIF) — the single definition both
+    encoders share, so their coefficient streams cannot diverge."""
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return y, cb, cr
+
+
+def _encode_ac_band(bw: "_BitWriter", zz: list[int], ss: int, se: int) -> None:
+    """Run-length-code one block's zigzag band [ss, se] — the shared AC
+    body of the baseline block coder (full band 1..63) and the progressive
+    spectral-band scans, where the trailing EOB doubles as EOB0 (an EOBRUN
+    of exactly 1, valid in both modes)."""
+    last_nz = ss - 1
+    for k in range(ss, se + 1):
+        if zz[k]:
+            last_nz = k
     run = 0
-    last_nz = -1
-    for i, v in enumerate(zz):
-        if v:
-            last_nz = i
-    for i in range(last_nz + 1):
-        v = zz[i]
+    for k in range(ss, last_nz + 1):
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -653,9 +660,19 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
         bw.put(code, ln)
         bw.put(bits, size)
         run = 0
-    if last_nz < 62:
+    if last_nz < se:
         ln, code = _AC_CODES[0x00]
         bw.put(code, ln)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
+    coef = np.round(_fdct(block - 128.0) / _ENC_QUANT).astype(np.int64)
+    dc = int(coef[0, 0])
+    size, bits = _magnitude(dc - pred)
+    ln, code = _DC_CODES[size]
+    bw.put(code, ln)
+    bw.put(bits, size)
+    _encode_ac_band(bw, [int(coef[r, c]) for r, c in _ZZ_INDEX], 1, 63)
     return dc
 
 
@@ -683,10 +700,7 @@ def encode_jpeg(
     if gray:
         planes = [(1, 1, 1, arr)]
     else:
-        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        y, cb, cr = _rgb_to_ycbcr(arr)
         if (sh, sv) != (1, 1):
             cbp = _pad_to_blocks(cb, sv, sh)
             crp = _pad_to_blocks(cr, sv, sh)
@@ -786,33 +800,6 @@ def _sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) 
     return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
 
-def _encode_ac_band(bw: _BitWriter, zz: list[int], ss: int, se: int) -> None:
-    """One block's band (Al=0) — baseline run-length coding where EOB is
-    the EOB0 code (EOBRUN of exactly 1, valid progressive coding)."""
-    last_nz = ss - 1
-    for k in range(ss, se + 1):
-        if zz[k]:
-            last_nz = k
-    run = 0
-    for k in range(ss, last_nz + 1):
-        v = zz[k]
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            ln, code = _AC_CODES[0xF0]
-            bw.put(code, ln)
-            run -= 16
-        size, bits = _magnitude(v)
-        ln, code = _AC_CODES[(run << 4) | size]
-        bw.put(code, ln)
-        bw.put(bits, size)
-        run = 0
-    if last_nz < se:
-        ln, code = _AC_CODES[0x00]  # EOB0
-        bw.put(code, ln)
-
-
 def encode_jpeg_progressive(
     arr: np.ndarray, *, spectral_split: int = 6, dc_al: int = 0
 ) -> bytes:
@@ -829,12 +816,8 @@ def encode_jpeg_progressive(
     if gray:
         planes = [(1, arr)]
     else:
-        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        planes = [
-            (1, 0.299 * r + 0.587 * g + 0.114 * b),
-            (2, -0.168736 * r - 0.331264 * g + 0.5 * b + 128),
-            (3, 0.5 * r - 0.418688 * g - 0.081312 * b + 128),
-        ]
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        planes = [(1, y), (2, cb), (3, cr)]
     blocks: dict[int, list[list[int]]] = {}
     for cid, p in planes:
         _, _, blocks[cid] = _quantized_blocks(p)
