@@ -239,21 +239,21 @@ def convert_spans(
     )
     resolved = span_tree.exclude_meta(resolved)
 
-    # The chain above is narrow (broadcast joins only), so partitioning is
-    # whatever the scan produced — for a small single-file input that is ONE
-    # split, which would serialize the Python transform on one core. Fan out
-    # only when below cluster parallelism; at scale the scan's splits already
-    # exceed it and this is a no-op (no shuffle added).
-    #
-    # Probe the partition count on the RAW SCAN, not on `resolved`: under
-    # AQE, df.rdd on a plan with exchanges EXECUTES every upstream stage
-    # just to read the count, and the real action then recomputes them —
-    # the whole relational chain would run twice per invocation. The plain
-    # scan has no exchanges, so its rdd conversion is free, and its split
-    # count is what decides fan-out anyway.
-    par = resolved.sparkSession.sparkContext.defaultParallelism
-    if spans.rdd.getNumPartitions() < par:
-        resolved = resolved.repartition(par)
+    # The transform below is CPU-bound per RECORD (~100 µs each), so the
+    # right fan-out is core count — NOT the byte-based size AQE coalesces
+    # the upstream A1 window exchange to. session.py deliberately sets
+    # parallelismFirst=false (64 MB advisory targets are correct for JVM
+    # stages at scale), but compressed span text makes that exchange look
+    # tiny: at docs ×100 AQE handed this stage ONE partition and 500 k
+    # records ran serially. An explicit numbered repartition carries the
+    # REPARTITION_BY_NUM shuffle origin, which AQE never coalesces, so
+    # fan-out is guaranteed; the extra exchange moves only the narrowed
+    # one-record-per-trace set, negligible next to the Python stage it
+    # parallelizes. (Do NOT probe partition counts via df.rdd here: under
+    # AQE that executes every upstream stage just to read the number.)
+    resolved = resolved.repartition(
+        resolved.sparkSession.sparkContext.defaultParallelism
+    )
 
     out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]
 
@@ -314,10 +314,12 @@ def convert_spans_nexau(
     ).drop("_p_id")
     resolved = span_tree.exclude_meta(resolved)
 
-    # same small-input fan-out rationale as convert_spans above
-    par = resolved.sparkSession.sparkContext.defaultParallelism
-    if spans.rdd.getNumPartitions() < par:
-        resolved = resolved.repartition(par)
+    # same CPU-bound fan-out rationale as convert_spans above: explicit
+    # numbered repartition so AQE's byte-based coalescing cannot collapse
+    # the Python stage to one partition
+    resolved = resolved.repartition(
+        resolved.sparkSession.sparkContext.defaultParallelism
+    )
 
     out_fields = [f.name for f in NEXAU_CHATCOMPLETION_SCHEMA.fields]
 

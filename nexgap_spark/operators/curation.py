@@ -208,7 +208,15 @@ def repetition_features(
     aggs = []
     for n in ns:
         aggs.append(F.count(f"_g{n}").alias(f"_tot{n}"))
-        aggs.append(F.count_distinct(f"_g{n}").alias(f"_dis{n}"))
+        # size(collect_set) not count_distinct: a multi-column distinct
+        # aggregate plans Expand (one stream copy per distinct column) plus
+        # a second exchange to resolve distinctness. collect_set partial-
+        # aggregates map-side — all of a doc's positions sit in one
+        # partition after explode, so the shuffle moves ONE set row per
+        # doc instead of the multiplied gram stream. Set size is bounded
+        # by tokens-per-document, so executor memory is safe at any corpus
+        # scale.
+        aggs.append(F.size(F.collect_set(f"_g{n}")).alias(f"_dis{n}"))
     stats = stream.groupBy("_rid").agg(*aggs)
     out = df.join(stats, df[id_col] == stats["_rid"], how="left")
     for n in ns:

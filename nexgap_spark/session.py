@@ -131,3 +131,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for the SQL API path."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out_python_stage(df: DataFrame) -> DataFrame:
+    """Fan a DataFrame out to cluster parallelism before a CPU-bound Python
+    (mapInPandas / applyInPandas) stage.
+
+    Python-stage cost is per ROW, so the right partition count is core
+    count — but two mechanisms silently hand such stages fewer partitions:
+    small inputs scan as few file splits (a ×100 scaled corpus written as 8
+    files ran a 500 k-record Arrow stage 8-wide on 32 cores), and AQE's
+    byte-based coalescing (parallelismFirst=false above) shrinks any
+    upstream exchange whose compressed bytes look small. An explicit
+    numbered repartition carries the REPARTITION_BY_NUM shuffle origin,
+    which AQE never coalesces.
+
+    ONLY call this on plans without exchanges (scans + narrow projections):
+    the `df.rdd` partition probe is free there, but under AQE it EXECUTES
+    every upstream stage on a plan with exchanges — operators whose input
+    is post-shuffle (e.g. operators/converter.py) must repartition
+    unconditionally instead.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -441,3 +441,51 @@ def test_span_parent_join_cap_both_branches(spark):
         assert "SortMergeJoin" in over or "ShuffledHashJoin" in over, over
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_converter_python_stage_fans_out_past_aqe_coalescing(spark):
+    # The converter's mapInPandas is CPU-bound per record, but its input
+    # exchange (the A1 window) looks tiny in bytes, and the session's
+    # parallelismFirst=false lets AQE coalesce it — at docs ×100 the whole
+    # 500 k-record Python stage ran on ONE partition. The fix is an
+    # explicit numbered repartition (REPARTITION_BY_NUM origin, exempt
+    # from AQE coalescing); pin both the plan shape and the observed
+    # partition spread of the executed Arrow stage.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.converter import convert_spans
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+    rows = []
+    for rep in range(40):
+        for s in build_spans():
+            s = dict(s)
+            if isinstance(s["output"], dict):
+                s["output"] = [s["output"]]
+            s["trace_id"] = f"{s['trace_id']}_r{rep}"
+            s["span_id"] = f"{s['span_id']}_r{rep}"
+            if s.get("parentObservationId"):
+                s["parentObservationId"] = f"{s['parentObservationId']}_r{rep}"
+            rows.append(s)
+    # worst case: everything arrives in one split
+    spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA).coalesce(1)
+
+    out = convert_spans(spans, config_agents=CONFIG_AGENTS)
+    pids = [
+        r.pid
+        for r in out.select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    ]
+    par = spark.sparkContext.defaultParallelism
+    # 120 output records over `par` round-robin partitions: near-full spread
+    assert len(pids) >= min(par, 120) // 2, pids
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "REPARTITION_BY_NUM" in buf.getvalue()
