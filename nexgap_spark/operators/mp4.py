@@ -1,0 +1,429 @@
+"""Pure-stdlib ISO-BMFF (MP4) container parsing and demuxing.
+
+Implements the public ISO/IEC 14496-12 box format from scratch — no codec
+library. The container level of a video file is plain struct parsing:
+box walk (32/64-bit sizes), movie/track/media headers, sample tables
+(stsd/stts/stsz/stsc/stco/co64), and sample-range resolution that slices
+raw frame payloads out of ``mdat`` — i.e. REAL demuxing. What genuinely
+needs a codec is decoding those frame payloads to pixels; that boundary
+stays a documented ``NotImplementedError``
+(multimodal.real_decode_kernel), exactly like the reference pipeline's
+media columns are opaque bytes plus typed metadata (SURVEY §2 multimodal
+row). ``encode_mp4`` is the deterministic fixture generator — the same
+role encode_wav/encode_png/encode_jpeg play for their formats.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta"}
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, *payload: bytes) -> bytes:
+    data = b"".join(payload)
+    return struct.pack(">I", 8 + len(data)) + typ + data
+
+
+def _full(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big"), *payload)
+
+
+def _video_sample_entry(width: int, height: int) -> bytes:
+    return _box(
+        b"avc1",
+        b"\x00" * 6,
+        struct.pack(">H", 1),  # data_reference_index
+        struct.pack(">HH", 0, 0),
+        b"\x00" * 12,
+        struct.pack(">HH", width, height),
+        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        struct.pack(">I", 0),
+        struct.pack(">H", 1),  # frame_count
+        b"\x00" * 32,  # compressorname
+        struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+
+
+def _audio_sample_entry(rate: int) -> bytes:
+    return _box(
+        b"mp4a",
+        b"\x00" * 6,
+        struct.pack(">H", 1),
+        b"\x00" * 8,
+        struct.pack(">HH", 1, 16),  # channels, sample size
+        struct.pack(">HH", 0, 0),
+        struct.pack(">I", rate << 16),  # 16.16 fixed
+    )
+
+
+def _track(
+    track_id: int,
+    handler: bytes,
+    sample_entry: bytes,
+    *,
+    timescale: int,
+    n_samples: int,
+    sample_sizes: list[int],
+    chunk_offset: int,
+    width: int = 0,
+    height: int = 0,
+) -> bytes:
+    tkhd = _full(
+        b"tkhd",
+        0,
+        0x7,  # enabled | in_movie | in_preview
+        struct.pack(">III", 0, 0, track_id),
+        struct.pack(">I", 0),
+        struct.pack(">I", n_samples),
+        b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0),
+        _UNITY_MATRIX,
+        struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0),
+        struct.pack(">II", timescale, n_samples),
+        struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0), handler, b"\x00" * 12, b"demo\x00"
+    )
+    media_hdr = (
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        if handler == b"vide"
+        else _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    )
+    dinf = _box(
+        b"dinf",
+        _full(b"dref", 0, 0, struct.pack(">I", 1), _full(b"url ", 0, 1)),
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1), sample_entry),
+        _full(b"stts", 0, 0, struct.pack(">III", 1, n_samples, 1)),
+        _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_samples, 1)),
+        _full(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n_samples),
+            b"".join(struct.pack(">I", s) for s in sample_sizes),
+        ),
+        _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset)),
+    )
+    return _box(
+        b"trak", tkhd, _box(b"mdia", mdhd, hdlr, _box(b"minf", media_hdr, dinf, stbl))
+    )
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    *,
+    fps: int = 10,
+    frame_bytes: int = 32,
+    audio_samples: int = 0,
+    audio_rate: int = 8000,
+) -> bytes:
+    """Deterministic minimal-but-valid MP4: ftyp + moov (video trak, and an
+    audio trak when ``audio_samples`` > 0) + mdat. Frame k's payload is
+    ``frame_bytes`` bytes of value ``k % 256`` (so demuxed samples are
+    closed-form checkable); audio samples are 2 bytes each. Written
+    moov-before-mdat, so chunk offsets are resolved with a second pass at
+    identical byte length (stco payloads are fixed-width)."""
+    if n_frames <= 0 or width <= 0 or height <= 0:
+        raise ValueError("need positive width/height/n_frames")
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"iso2", b"mp41")
+    v_sizes = [frame_bytes] * n_frames
+    a_sizes = [2] * audio_samples
+    frames = b"".join(bytes([k % 256]) * frame_bytes for k in range(n_frames))
+    audio = b"".join(
+        struct.pack(">h", (k % 128) - 64) for k in range(audio_samples)
+    )
+
+    def build(v_off: int, a_off: int) -> bytes:
+        mvhd = _full(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", 1000 * fps, 1000 * n_frames),  # duration_s = n/fps
+            struct.pack(">I", 0x00010000),
+            struct.pack(">H", 0x0100),
+            b"\x00" * 10,
+            _UNITY_MATRIX,
+            b"\x00" * 24,
+            struct.pack(">I", 3),
+        )
+        traks = [
+            _track(
+                1,
+                b"vide",
+                _video_sample_entry(width, height),
+                timescale=fps,
+                n_samples=n_frames,
+                sample_sizes=v_sizes,
+                chunk_offset=v_off,
+                width=width,
+                height=height,
+            )
+        ]
+        if audio_samples:
+            traks.append(
+                _track(
+                    2,
+                    b"soun",
+                    _audio_sample_entry(audio_rate),
+                    timescale=audio_rate,
+                    n_samples=audio_samples,
+                    sample_sizes=a_sizes,
+                    chunk_offset=a_off,
+                )
+            )
+        return _box(b"moov", mvhd, *traks)
+
+    moov_len = len(build(0, 0))
+    mdat_payload_at = len(ftyp) + moov_len + 8
+    moov = build(mdat_payload_at, mdat_payload_at + len(frames))
+    assert len(moov) == moov_len
+    return ftyp + moov + _box(b"mdat", frames, audio)
+
+
+# ---------------------------------------------------------------------------
+# Parser / demuxer
+# ---------------------------------------------------------------------------
+
+
+def is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated 64-bit box header")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"invalid box size {size} for {typ!r}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find(buf: bytes, start: int, end: int, typ: bytes):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
+    version = buf[start]
+    return version, start + 4
+
+
+def _parse_track(buf: bytes, start: int, end: int) -> dict:
+    info: dict = {
+        "handler": None,
+        "codec": None,
+        "width": 0,
+        "height": 0,
+        "timescale": 0,
+        "duration": 0,
+        "n_samples": 0,
+        "sample_sizes": [],
+        "chunk_offsets": [],
+        "stsc": [],
+        "stts": [],
+    }
+    tk = _find(buf, start, end, b"tkhd")
+    if tk:
+        v, p = _fullbox(buf, tk[0])
+        # width/height are the last two 16.16 fields of the box
+        w, h = struct.unpack_from(">II", buf, tk[1] - 8)
+        info["width"], info["height"] = w >> 16, h >> 16
+    mdia = _find(buf, start, end, b"mdia")
+    if not mdia:
+        return info
+    md = _find(buf, mdia[0], mdia[1], b"mdhd")
+    if md:
+        v, p = _fullbox(buf, md[0])
+        if v == 1:
+            _, _, ts, dur = struct.unpack_from(">QQIQ", buf, p)
+        else:
+            _, _, ts, dur = struct.unpack_from(">IIII", buf, p)
+        info["timescale"], info["duration"] = ts, dur
+    hd = _find(buf, mdia[0], mdia[1], b"hdlr")
+    if hd:
+        _, p = _fullbox(buf, hd[0])
+        info["handler"] = buf[p + 4 : p + 8].decode("latin-1")
+    minf = _find(buf, mdia[0], mdia[1], b"minf")
+    if not minf:
+        return info
+    stbl = _find(buf, minf[0], minf[1], b"stbl")
+    if not stbl:
+        return info
+    s, e = stbl
+    sd = _find(buf, s, e, b"stsd")
+    if sd:
+        _, p = _fullbox(buf, sd[0])
+        (n_entries,) = struct.unpack_from(">I", buf, p)
+        if n_entries:
+            info["codec"] = buf[p + 8 : p + 12].decode("latin-1")
+    tt = _find(buf, s, e, b"stts")
+    if tt:
+        _, p = _fullbox(buf, tt[0])
+        (n,) = struct.unpack_from(">I", buf, p)
+        info["stts"] = [
+            struct.unpack_from(">II", buf, p + 4 + 8 * i) for i in range(n)
+        ]
+    sz = _find(buf, s, e, b"stsz")
+    if sz:
+        _, p = _fullbox(buf, sz[0])
+        fixed, n = struct.unpack_from(">II", buf, p)
+        info["n_samples"] = n
+        if fixed:
+            info["sample_sizes"] = [fixed] * n
+        else:
+            info["sample_sizes"] = list(
+                struct.unpack_from(f">{n}I", buf, p + 8)
+            )
+    sc = _find(buf, s, e, b"stsc")
+    if sc:
+        _, p = _fullbox(buf, sc[0])
+        (n,) = struct.unpack_from(">I", buf, p)
+        info["stsc"] = [
+            struct.unpack_from(">III", buf, p + 4 + 12 * i) for i in range(n)
+        ]
+    co = _find(buf, s, e, b"stco")
+    if co:
+        _, p = _fullbox(buf, co[0])
+        (n,) = struct.unpack_from(">I", buf, p)
+        info["chunk_offsets"] = list(struct.unpack_from(f">{n}I", buf, p + 4))
+    else:
+        co = _find(buf, s, e, b"co64")
+        if co:
+            _, p = _fullbox(buf, co[0])
+            (n,) = struct.unpack_from(">I", buf, p)
+            info["chunk_offsets"] = list(
+                struct.unpack_from(f">{n}Q", buf, p + 4)
+            )
+    return info
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO-BMFF container → brand, movie duration, per-track
+    metadata (handler, codec fourcc, dims, timescale, sample count, fps)
+    and raw sample tables. Raises ValueError on malformed boxes."""
+    buf = bytes(payload)
+    if not is_mp4(buf):
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    out: dict = {"brand": None, "timescale": 0, "duration": 0, "tracks": []}
+    for typ, s, e in _iter_boxes(buf, 0, len(buf)):
+        if typ == b"ftyp":
+            out["brand"] = buf[s : s + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t2, s2, e2 in _iter_boxes(buf, s, e):
+                if t2 == b"mvhd":
+                    v, p = _fullbox(buf, s2)
+                    if v == 1:
+                        _, _, ts, dur = struct.unpack_from(">QQIQ", buf, p)
+                    else:
+                        _, _, ts, dur = struct.unpack_from(">IIII", buf, p)
+                    out["timescale"], out["duration"] = ts, dur
+                elif t2 == b"trak":
+                    out["tracks"].append(_parse_track(buf, s2, e2))
+    for tr in out["tracks"]:
+        tr["duration_s"] = (
+            tr["duration"] / tr["timescale"] if tr["timescale"] else 0.0
+        )
+        # fps from the time-to-sample table: timescale / per-sample delta
+        tr["fps"] = (
+            tr["timescale"] / tr["stts"][0][1]
+            if tr["stts"] and tr["stts"][0][1]
+            else 0.0
+        )
+    out["duration_s"] = out["duration"] / out["timescale"] if out["timescale"] else 0.0
+    return out
+
+
+def sample_ranges(track: dict) -> list[tuple[int, int]]:
+    """Resolve a track's sample table to absolute (offset, size) per sample
+    — the full stsc expansion: each stsc entry (first_chunk,
+    samples_per_chunk, _) applies from its first_chunk until the next
+    entry's; samples are laid out consecutively within each chunk."""
+    sizes = track["sample_sizes"]
+    chunks = track["chunk_offsets"]
+    stsc = track["stsc"]
+    if not sizes or not chunks or not stsc:
+        return []
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for i, (first, per_chunk, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        for ci in range(first - 1, last):
+            off = chunks[ci]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    return ranges
+                ranges.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return ranges
+
+
+def demux_video_samples(payload: bytes, *, max_samples: int | None = None) -> list[bytes]:
+    """Slice the video track's raw sample payloads out of mdat — real
+    demuxing, no codec. Decoding these samples to pixels IS codec-bound
+    and stays out of scope (multimodal.real_decode_kernel)."""
+    buf = bytes(payload)
+    parsed = parse_mp4(buf)
+    for tr in parsed["tracks"]:
+        if tr["handler"] == "vide":
+            ranges = sample_ranges(tr)
+            if max_samples is not None:
+                ranges = ranges[:max_samples]
+            return [buf[o : o + s] for o, s in ranges]
+    return []
+
+
+def mp4_features(payload: bytes) -> list[float]:
+    """8-feature vector for the multimodal kernel: [width, height,
+    n_tracks, duration_s, fps, n_video_samples, avg_sample_bytes,
+    aspect]."""
+    p = parse_mp4(payload)
+    vid = next((t for t in p["tracks"] if t["handler"] == "vide"), None)
+    if vid is None:
+        raise ValueError("no video track")
+    n = vid["n_samples"]
+    avg = sum(vid["sample_sizes"]) / n if n else 0.0
+    return [
+        float(vid["width"]),
+        float(vid["height"]),
+        float(len(p["tracks"])),
+        p["duration_s"],
+        vid["fps"],
+        float(n),
+        avg,
+        vid["width"] / vid["height"] if vid["height"] else 0.0,
+    ]

@@ -94,25 +94,37 @@ def sample_frames(
     every_n_bytes: int = 64,
     max_frames: int = 4,
 ) -> DataFrame:
-    """Frame sampling plumbing: emit ≤ max_frames byte-slices per video row
-    (a real implementation decodes at timestamps; the slicing fake keeps the
-    one-to-many mapInPandas shape and partition behavior identical)."""
+    """Frame sampling: emit ≤ max_frames payloads per video row. For
+    ISO-BMFF (MP4) payloads this is REAL demuxing — the sample table
+    (stsc/stsz/stco, operators/mp4.py) resolves each frame's byte range in
+    mdat and the raw encoded samples are returned (decoding them to pixels
+    is the codec-bound part). Other payloads fall back to fixed-stride
+    byte slices, keeping the one-to-many mapInPandas shape identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nexgap_spark.operators.mp4 import demux_video_samples, is_mp4
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 if r["kind"] != "video" or not r["payload"]:
                     continue
-                payload = r["payload"]
-                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                payload = bytes(r["payload"])
+                if is_mp4(payload):
+                    slices = demux_video_samples(payload, max_samples=max_frames)
+                else:
+                    slices = [
+                        payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        for i in range(
+                            min(max_frames, max(1, len(payload) // every_n_bytes))
+                        )
+                    ]
+                for i, sl in enumerate(slices):
                     rows.append(
                         {
                             "media_id": r["media_id"],
                             "frame_idx": i,
-                            "frame_payload": payload[
-                                i * every_n_bytes : (i + 1) * every_n_bytes
-                            ],
+                            "frame_payload": sl,
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
@@ -309,8 +321,13 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
     * JPEG (baseline sequential + progressive, operators/jpeg.py — the
       public T.81 algorithm on numpy, no codec library) → the same 8
       raster features;
+    * MP4 / ISO-BMFF (operators/mp4.py — pure struct box walk) →
+      [width, height, n_tracks, duration_s, fps, n_video_samples,
+      avg_sample_bytes, aspect] from the CONTAINER level (mvhd/tkhd/
+      mdhd/stsd/stts/stsz); decoding frame payloads to pixels is the
+      codec-bound part and still raises via real_decode_kernel;
     * anything else raises NotImplementedError exactly like
-      real_decode_kernel (video formats genuinely need codecs).
+      real_decode_kernel (frame-pixel decode genuinely needs codecs).
     """
     import numpy as np
 
@@ -368,9 +385,14 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
             float(a.max()),
             w / h,
         ]
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        from nexgap_spark.operators.mp4 import mp4_features
+
+        return mp4_features(p)
     raise NotImplementedError(
-        f"no codec-free decoder for this payload (kind={kind!r}); video "
-        "formats need codec libraries not present in this environment"
+        f"no codec-free decoder for this payload (kind={kind!r}); decoding "
+        "video FRAME PAYLOADS to pixels needs codec libraries not present "
+        "in this environment (the MP4 container level is handled above)"
     )
 
 

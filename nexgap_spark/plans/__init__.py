@@ -37,6 +37,7 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 _DRIVER_WINDOW = [
     # (a) new this round
     "q111_progressive_jpeg_features",
+    "q112_mp4_metadata",
     # (b) replanned this round — re-earn the external row
     "q22_span_parent_join",
     # (c) deferred from r8

@@ -1276,3 +1276,92 @@ def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — REAL MP4 container metadata (round 9, shrinking the video
+# boundary): deterministic ISO-BMFF files synthesized per doc
+# (operators/mp4.py encode_mp4 — ftyp/moov/mdat with real sample tables;
+# even doc_ids also carry an audio track) and parsed back through the
+# genuine box-walk parser in the multimodal kernel. The container level of
+# a video file is pure struct parsing, so every feature is closed-form;
+# only decoding frame PAYLOADS to pixels remains codec-bound
+# (multimodal.real_decode_kernel). mvhd timescale = 1000·fps makes
+# duration_s = n_frames/fps an exact double in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_mp4_metadata",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      16 * (1 + doc_id % 4) AS w,
+                      16 * (1 + doc_id % 3) AS h,
+                      5 + doc_id % 10 AS nf,
+                      10 + doc_id % 5 AS fps,
+                      24 + doc_id % 8 AS fb,
+                      CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nt
+               FROM documents)
+    SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tracks,
+           CAST(SUM(nf) AS BIGINT) AS sum_frames,
+           ROUND(SUM(nf / CAST(fps AS DOUBLE)), 4) AS sum_duration,
+           ROUND(CAST(SUM(fb) AS DOUBLE), 2) AS sum_avg_bytes,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect
+    FROM d GROUP BY w, h ORDER BY width, height
+    """,
+)
+def q112_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.mp4 import encode_mp4
+    from nexgap_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decode_kernel,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                payloads.append(
+                    encode_mp4(
+                        16 * (1 + i % 4),
+                        16 * (1 + i % 3),
+                        5 + i % 10,
+                        fps=10 + i % 5,
+                        frame_bytes=24 + i % 8,
+                        audio_samples=16 if i % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["video"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    f = F.col("features")
+    return (
+        feats.select(
+            F.element_at(f, 1).cast("long").alias("width"),
+            F.element_at(f, 2).cast("long").alias("height"),
+            F.element_at(f, 3).cast("long").alias("tracks"),
+            F.element_at(f, 4).alias("dur"),
+            F.element_at(f, 6).cast("long").alias("nf"),
+            F.element_at(f, 7).alias("avg_bytes"),
+            F.element_at(f, 8).alias("aspect"),
+        )
+        .groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tracks").alias("sum_tracks"),
+            F.sum("nf").alias("sum_frames"),
+            F.round(F.sum("dur"), 4).alias("sum_duration"),
+            F.round(F.sum("avg_bytes"), 2).alias("sum_avg_bytes"),
+            F.round(F.min("aspect"), 6).alias("aspect"),
+        )
+        .orderBy("width", "height")
+    )

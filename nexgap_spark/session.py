@@ -151,7 +151,13 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     every upstream stage on a plan with exchanges — operators whose input
     is post-shuffle (e.g. operators/converter.py) must repartition
     unconditionally instead.
+
+    Streaming DataFrames pass through untouched: `df.rdd` is illegal on a
+    stream, and micro-batch width is governed by the source's own options
+    (maxFilesPerTrigger × file splits), not the batch fan-out heuristic.
     """
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
