@@ -244,6 +244,7 @@ def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
 
 def _parse_track(buf: bytes, start: int, end: int) -> dict:
     info: dict = {
+        "track_id": 0,
         "handler": None,
         "codec": None,
         "width": 0,
@@ -259,6 +260,9 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
     tk = _find(buf, start, end, b"tkhd")
     if tk:
         v, p = _fullbox(buf, tk[0])
+        (info["track_id"],) = struct.unpack_from(
+            ">I", buf, p + (16 if v == 1 else 8)
+        )
         # width/height are the last two 16.16 fields of the box
         w, h = struct.unpack_from(">II", buf, tk[1] - 8)
         info["width"], info["height"] = w >> 16, h >> 16
@@ -394,13 +398,17 @@ def sample_ranges(track: dict) -> list[tuple[int, int]]:
 
 def demux_video_samples(payload: bytes, *, max_samples: int | None = None) -> list[bytes]:
     """Slice the video track's raw sample payloads out of mdat — real
-    demuxing, no codec. Decoding these samples to pixels IS codec-bound
-    and stays out of scope (multimodal.real_decode_kernel)."""
+    demuxing, no codec. Handles both monolithic (stbl sample tables) and
+    fragmented (moof/trun runs) layouts. Decoding these samples to pixels
+    IS codec-bound and stays out of scope
+    (multimodal.real_decode_kernel)."""
     buf = bytes(payload)
     parsed = parse_mp4(buf)
     for tr in parsed["tracks"]:
         if tr["handler"] == "vide":
             ranges = sample_ranges(tr)
+            if not ranges:
+                ranges = parse_mp4_fragments(buf).get(tr["track_id"], [])
             if max_samples is not None:
                 ranges = ranges[:max_samples]
             return [buf[o : o + s] for o, s in ranges]
@@ -416,14 +424,176 @@ def mp4_features(payload: bytes) -> list[float]:
     if vid is None:
         raise ValueError("no video track")
     n = vid["n_samples"]
-    avg = sum(vid["sample_sizes"]) / n if n else 0.0
+    total = sum(vid["sample_sizes"])
+    duration = p["duration_s"]
+    if n == 0:  # fragmented layout: samples live in moof/trun runs
+        frags = parse_mp4_fragments(bytes(payload)).get(vid["track_id"], [])
+        n = len(frags)
+        total = sum(s for _, s in frags)
+        if not duration and vid["fps"]:
+            duration = n / vid["fps"]
+    avg = total / n if n else 0.0
     return [
         float(vid["width"]),
         float(vid["height"]),
         float(len(p["tracks"])),
-        p["duration_s"],
+        duration,
         vid["fps"],
         float(n),
         avg,
         vid["width"] / vid["height"] if vid["height"] else 0.0,
     ]
+
+
+# ---------------------------------------------------------------------------
+# Fragmented MP4 (fMP4 / CMAF / DASH layout): moov carries only trex
+# defaults; samples arrive in moof+mdat fragments described by trun runs.
+# This is the layout streaming corpora actually contain — a crawl's video
+# payloads are far more often DASH segments than monolithic files.
+# ---------------------------------------------------------------------------
+
+_TFHD_BASE_DATA_OFFSET = 0x1
+_TFHD_DEFAULT_SAMPLE_SIZE = 0x10
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x20000
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_FIRST_SAMPLE_FLAGS = 0x4
+_TRUN_SAMPLE_DURATION = 0x100
+_TRUN_SAMPLE_SIZE = 0x200
+_TRUN_SAMPLE_FLAGS = 0x400
+_TRUN_SAMPLE_CTS = 0x800
+
+
+def encode_fmp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    *,
+    fps: int = 10,
+    frame_bytes: int = 32,
+    frames_per_fragment: int = 4,
+) -> bytes:
+    """Deterministic fragmented MP4: ftyp + moov (trak with EMPTY sample
+    tables + mvex/trex defaults) followed by one moof+mdat pair per
+    fragment. Frame k's payload is ``frame_bytes`` bytes of value
+    ``k % 256``, same contract as encode_mp4."""
+    if n_frames <= 0 or frames_per_fragment <= 0:
+        raise ValueError("need positive n_frames/frames_per_fragment")
+    ftyp = _box(b"ftyp", b"iso5", struct.pack(">I", 512), b"iso5", b"cmfc")
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0),
+        struct.pack(">II", 1000 * fps, 0),  # duration unknown up front
+        struct.pack(">I", 0x00010000), struct.pack(">H", 0x0100),
+        b"\x00" * 10, _UNITY_MATRIX, b"\x00" * 24, struct.pack(">I", 2),
+    )
+    trak = _track(
+        1, b"vide", _video_sample_entry(width, height),
+        timescale=fps, n_samples=0, sample_sizes=[], chunk_offset=0,
+        width=width, height=height,
+    )
+    mvex = _box(
+        b"mvex",
+        _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, frame_bytes, 0)),
+    )
+    moov = _box(b"moov", mvhd, trak, mvex)
+    out = [ftyp, moov]
+    seq = 1
+    k = 0
+    while k < n_frames:
+        run = min(frames_per_fragment, n_frames - k)
+        sizes = [frame_bytes] * run
+        payload = b"".join(bytes([(k + j) % 256]) * frame_bytes for j in range(run))
+        # trun data_offset is from moof start (default-base-is-moof):
+        # moof header + mfhd + traf(tfhd+tfdt+trun) + mdat header
+        trun_flags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
+        trun = _full(
+            b"trun", 0, trun_flags,
+            struct.pack(">I", run),
+            struct.pack(">i", 0),  # patched below
+            b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        tfhd = _full(
+            b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1)
+        )
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", k))
+        traf = _box(b"traf", tfhd, tfdt, trun)
+        moof = _box(b"moof", _full(b"mfhd", 0, 0, struct.pack(">I", seq)), traf)
+        # patch data_offset: moof length + mdat header
+        moof = bytearray(moof)
+        ti = bytes(moof).find(b"trun")
+        struct.pack_into(">i", moof, ti + 12, len(moof) + 8)
+        out.append(bytes(moof))
+        out.append(_box(b"mdat", payload))
+        seq += 1
+        k += run
+    return b"".join(out)
+
+
+def _parse_traf(buf: bytes, start: int, end: int, moof_start: int) -> tuple[int, list[tuple[int, int]]]:
+    """One track fragment → (track_id, [(abs_offset, size), ...])."""
+    track_id = 0
+    base = moof_start
+    default_size = 0
+    runs: list[tuple[int, int]] = []
+    for typ, s, e in _iter_boxes(buf, start, end):
+        if typ == b"tfhd":
+            flags = int.from_bytes(buf[s + 1 : s + 4], "big")
+            (track_id,) = struct.unpack_from(">I", buf, s + 4)
+            pos = s + 8
+            if flags & _TFHD_BASE_DATA_OFFSET:
+                (base,) = struct.unpack_from(">Q", buf, pos)
+                pos += 8
+            elif not flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                base = moof_start  # first-use default per 14496-12 §8.8.7
+            if flags & 0x2:
+                pos += 4  # sample_description_index
+            if flags & 0x8:
+                pos += 4  # default_sample_duration
+            if flags & _TFHD_DEFAULT_SAMPLE_SIZE:
+                (default_size,) = struct.unpack_from(">I", buf, pos)
+        elif typ == b"trun":
+            version = buf[s]
+            flags = int.from_bytes(buf[s + 1 : s + 4], "big")
+            (count,) = struct.unpack_from(">I", buf, s + 4)
+            pos = s + 8
+            off = base
+            if flags & _TRUN_DATA_OFFSET:
+                (doff,) = struct.unpack_from(">i", buf, pos)
+                off = base + doff
+                pos += 4
+            if flags & _TRUN_FIRST_SAMPLE_FLAGS:
+                pos += 4
+            per = (
+                (4 if flags & _TRUN_SAMPLE_DURATION else 0),
+                (4 if flags & _TRUN_SAMPLE_SIZE else 0),
+                (4 if flags & _TRUN_SAMPLE_FLAGS else 0),
+                (4 if flags & _TRUN_SAMPLE_CTS else 0),
+            )
+            for _ in range(count):
+                p = pos
+                if per[0]:
+                    p += 4
+                size = default_size
+                if per[1]:
+                    (size,) = struct.unpack_from(">I", buf, p)
+                    p += 4
+                runs.append((off, size))
+                off += size
+                pos += sum(per)
+    return track_id, runs
+
+
+def parse_mp4_fragments(payload: bytes) -> dict[int, list[tuple[int, int]]]:
+    """Walk every moof and resolve its trun runs to absolute (offset,
+    size) ranges, keyed by track_id. Empty for unfragmented files."""
+    buf = bytes(payload)
+    out: dict[int, list[tuple[int, int]]] = {}
+    for typ, s, e in _iter_boxes(buf, 0, len(buf)):
+        if typ != b"moof":
+            continue
+        moof_start = s - 8  # offsets are from the moof box START
+        for t2, s2, e2 in _iter_boxes(buf, s, e):
+            if t2 == b"traf":
+                tid, runs = _parse_traf(buf, s2, e2, moof_start)
+                out.setdefault(tid, []).extend(runs)
+    return out

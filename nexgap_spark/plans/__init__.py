@@ -89,7 +89,9 @@ _DRIVER_WINDOW = [
     "q77_rolling_active_users",
     "q78_ordered_funnel",
     "q79_rebalance_domains",
-    "q85_ivf_nprobe",
+    # q85_ivf_nprobe rotated out to fit q112 in the 50-slot window: it has
+    # an r8 external green plus the emb×10/×100 scale rows, so it is the
+    # best-evidenced candidate to defer to the local selfcheck this round
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -1280,13 +1280,16 @@ def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ---------------------------------------------------------------------------
 # q112 — REAL MP4 container metadata (round 9, shrinking the video
-# boundary): deterministic ISO-BMFF files synthesized per doc
-# (operators/mp4.py encode_mp4 — ftyp/moov/mdat with real sample tables;
-# even doc_ids also carry an audio track) and parsed back through the
-# genuine box-walk parser in the multimodal kernel. The container level of
-# a video file is pure struct parsing, so every feature is closed-form;
-# only decoding frame PAYLOADS to pixels remains codec-bound
-# (multimodal.real_decode_kernel). mvhd timescale = 1000·fps makes
+# boundary): deterministic ISO-BMFF files synthesized per doc and parsed
+# back through the genuine box-walk parser in the multimodal kernel.
+# Every 5th doc is a FRAGMENTED MP4 (encode_fmp4: moov carries only trex
+# defaults, samples arrive in moof/trun runs — the DASH/CMAF layout), the
+# rest are monolithic (encode_mp4: stbl sample tables; even doc_ids also
+# carry an audio track) — so both demux paths sit under the external
+# oracle gate. The container level of a video file is pure struct
+# parsing, so every feature is closed-form; only decoding frame PAYLOADS
+# to pixels remains codec-bound (multimodal.real_decode_kernel). mvhd
+# timescale = 1000·fps (and n/fps for the fragment fallback) makes
 # duration_s = n_frames/fps an exact double in both engines.
 # ---------------------------------------------------------------------------
 
@@ -1300,7 +1303,9 @@ def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFram
                       5 + doc_id % 10 AS nf,
                       10 + doc_id % 5 AS fps,
                       24 + doc_id % 8 AS fb,
-                      CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nt
+                      CASE WHEN doc_id % 5 = 0 THEN 1
+                           WHEN doc_id % 2 = 0 THEN 2
+                           ELSE 1 END AS nt
                FROM documents)
     SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1313,7 +1318,7 @@ def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q112_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexgap_spark.operators.mp4 import encode_mp4
+    from nexgap_spark.operators.mp4 import encode_fmp4, encode_mp4
     from nexgap_spark.operators.multimodal import (
         extract_features,
         stdlib_decode_kernel,
@@ -1327,6 +1332,18 @@ def q112_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in ids:
                 i = int(i)
+                if i % 5 == 0:
+                    payloads.append(
+                        encode_fmp4(
+                            16 * (1 + i % 4),
+                            16 * (1 + i % 3),
+                            5 + i % 10,
+                            fps=10 + i % 5,
+                            frame_bytes=24 + i % 8,
+                            frames_per_fragment=3,
+                        )
+                    )
+                    continue
                 payloads.append(
                     encode_mp4(
                         16 * (1 + i % 4),

@@ -49,6 +49,13 @@ ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
 SPAN_QUERIES = ["q21_span_last_per_group", "q22_span_parent_join",
                 "q23_span_root_walk", "q37_convert_pipeline",
                 "q105_synthesis_workflow"]
+# Codec throughput (round 9): each query ENCODES one media file per doc
+# with a pure-stdlib writer and decodes it back through the real kernel —
+# per-row Python CPU, so this family is the fan-out guarantee's stress
+# case. DuckDB's oracle is golden-by-construction (doc_id arithmetic), so
+# like q37 the signal is Spark's own rows/sec, not the ratio.
+MEDIA_QUERIES = ["q110_jpeg_features", "q111_progressive_jpeg_features",
+                 "q112_mp4_metadata", "q97_wav_features", "q101_png_features"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
 ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
 SPAN_MULT = int(os.environ.get("SCALE_BENCH_SPAN_MULT", "10"))
@@ -346,6 +353,17 @@ def main() -> None:
             build_span_dir(spark, sf_dir, SPAN_MULT, ds)
         result["stream_mult"] = SPAN_MULT
         result["stream"] = bench_stream(spark, ds)
+    if family in ("media", "all"):
+        # pure-Python codec throughput (encode+decode per doc); reuses the
+        # text family's scaled documents dir — the queries only read doc_id
+        dm = f"/tmp/nexgap_scale_docs_x{TEXT_MULT}"
+        build_docs_dir(spark, sf_dir, TEXT_MULT, dm)
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {cpus}")
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{dm}/documents.parquet/*.parquet')")
+        result["media_mult"] = TEXT_MULT
+        result["media"] = bench(spark, con, MEDIA_QUERIES, dm)
+        con.close()
     print(json.dumps(result, separators=(",", ":")))
 
 

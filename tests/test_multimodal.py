@@ -136,12 +136,14 @@ def test_stdlib_kernel_in_spark_ops(spark):
     assert len(out) == 1  # only the image row
     resized = M.decode_ppm(bytes(out[0].payload))
     assert resized.shape == (2, 2, 3) and int(resized[0, 0, 0]) == 7
-    # genuinely codec-bound payloads (video) still raise through the
-    # kernel slot; a truncated JPEG now reaches the real decoder and gets
-    # a format error rather than a stub raise
+    # genuinely codec-bound payloads (non-BMFF video) still raise through
+    # the kernel slot; truncated JPEG/MP4 payloads now reach the real
+    # decoders and get a format error rather than a stub raise
     import pytest
 
     with pytest.raises(NotImplementedError):
+        M.stdlib_decode_kernel(b"\x00\x00\x01\xba mpeg-program-stream", "video")
+    with pytest.raises(ValueError):
         M.stdlib_decode_kernel(b"\x00\x00\x00\x18ftypmp42", "video")
     with pytest.raises(ValueError, match="SOS"):
         M.stdlib_decode_kernel(b"\xff\xd8\xff\xe0jpeg", "image")
@@ -555,3 +557,116 @@ def test_mp4_sample_frames_real_demux(spark):
     assert len(by_id[2]) == 3 and all(len(f) == 8 for f in by_id[2])
     # audio rows are not frame-sampled
     assert 3 not in by_id
+
+
+def test_mp4_64bit_paths_co64_and_largesize():
+    # the fixture writer emits stco + 32-bit sizes; real large files use
+    # co64 chunk offsets and size==1 largesize headers — build those by
+    # hand and pin the parser's 64-bit branches
+    import struct
+
+    from nexgap_spark.operators import mp4
+
+    b = bytearray(mp4.encode_mp4(16, 16, 3, fps=10, frame_bytes=8))
+    # swap the video track's stco for a co64 with the same offset
+    i = bytes(b).find(b"stco")
+    (off,) = struct.unpack_from(">I", b, i + 12)
+    co64 = struct.pack(">I", 24) + b"co64" + b"\x00" * 4 + struct.pack(">IQ", 1, off)
+    stco = bytes(b)[i - 4 : i + 16]
+    assert len(stco) == 20 and len(co64) == 24
+    # splice: replace the 20-byte stco box with the 24-byte co64 box and
+    # grow every enclosing box header (stbl/minf/mdia/trak/moov) by 4
+    grown = bytes(b)[: i - 4] + co64 + bytes(b)[i + 16 :]
+    buf = bytearray(grown)
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = buf.find(anc)
+        (sz,) = struct.unpack_from(">I", buf, j - 4)
+        struct.pack_into(">I", buf, j - 4, sz + 4)
+    # mdat moved 4 bytes right: patch the co64 offset accordingly
+    k = buf.find(b"co64")
+    struct.pack_into(">IQ", buf, k + 8, 1, off + 4)
+    p = mp4.parse_mp4(bytes(buf))
+    vid = p["tracks"][0]
+    assert vid["chunk_offsets"] == [off + 4]
+    frames = mp4.demux_video_samples(bytes(buf))
+    assert frames == [bytes([k]) * 8 for k in range(3)]
+
+    # size==1 + largesize on a top-level box: wrap the original mdat
+    orig = mp4.encode_mp4(16, 16, 2, fps=10, frame_bytes=4)
+    m = orig.find(b"mdat") - 4
+    (msz,) = struct.unpack_from(">I", orig, m)
+    large = (
+        orig[:m]
+        + struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", msz + 8)
+        + orig[m + 8 : m + msz]
+    )
+    # chunk offsets shift by the 8 extra largesize-header bytes
+    lb = bytearray(large)
+    k = lb.find(b"stco")
+    (o2,) = struct.unpack_from(">I", lb, k + 12)
+    struct.pack_into(">I", lb, k + 12, o2 + 8)
+    assert mp4.demux_video_samples(bytes(lb)) == [b"\x00" * 4, b"\x01" * 4]
+
+
+def test_fmp4_fragmented_demux_and_features():
+    from nexgap_spark.operators import mp4
+
+    b = mp4.encode_fmp4(24, 16, 10, fps=10, frame_bytes=7, frames_per_fragment=4)
+    p = mp4.parse_mp4(b)
+    vid = p["tracks"][0]
+    # moov carries no samples in the fragmented layout...
+    assert vid["n_samples"] == 0 and vid["sample_sizes"] == []
+    # ...but the moof/trun walk recovers every run across 3 fragments
+    frags = mp4.parse_mp4_fragments(b)
+    assert len(frags[1]) == 10
+    assert mp4.demux_video_samples(b) == [bytes([k]) * 7 for k in range(10)]
+    # features fall back to fragment runs: n=10, avg=7, duration=10/fps
+    assert mp4.mp4_features(b) == [24.0, 16.0, 1.0, 1.0, 10.0, 10.0, 7.0, 1.5]
+    # the multimodal kernel handles the fMP4 brand transparently
+    assert MM.stdlib_decode_kernel(b, "video")[5] == 10.0
+
+
+def test_fmp4_tfhd_base_offset_and_default_size():
+    # rewrite one fragment to use explicit tfhd base_data_offset +
+    # default_sample_size (no per-sample trun sizes) — the other two
+    # tfhd/trun flag combinations real DASH packagers emit
+    import struct
+
+    from nexgap_spark.operators import mp4
+
+    b = mp4.encode_fmp4(16, 16, 3, fps=10, frame_bytes=6, frames_per_fragment=3)
+    moof_at = b.find(b"moof") - 4
+    mdat_payload_at = b.find(b"mdat", moof_at) + 4
+    tfhd = (
+        struct.pack(">I", 8 + 4 + 4 + 8 + 4)
+        + b"tfhd"
+        + b"\x00" + (0x1 | 0x10).to_bytes(3, "big")  # base-data-offset | default-sample-size
+        + struct.pack(">I", 1)
+        + struct.pack(">Q", mdat_payload_at + 4)
+        + struct.pack(">I", 6)
+    )
+    trun = (
+        struct.pack(">I", 8 + 4 + 4)
+        + b"trun"
+        + b"\x00\x00\x00\x00"  # no optional fields at all
+        + struct.pack(">I", 3)
+    )
+    traf = struct.pack(">I", 8 + len(tfhd) + len(trun)) + b"traf" + tfhd + trun
+    mfhd = struct.pack(">I", 16) + b"mfhd" + b"\x00" * 4 + struct.pack(">I", 1)
+    moof = struct.pack(">I", 8 + len(mfhd) + len(traf)) + b"moof" + mfhd + traf
+    # splice the rebuilt moof over the original (sizes differ — rebuild file)
+    head = b[:moof_at]
+    mdat = b"".join(
+        [struct.pack(">I", 8 + 18) + b"mdat" + b"\x00" * 4  # 4 pad bytes then samples
+         + b"".join(bytes([k]) * 6 for k in range(3))]
+    )
+    rebuilt = head + moof + mdat
+    # base offset pointed 4 bytes past the mdat header pad
+    base = len(head) + len(moof) + 8 + 4
+    rb = bytearray(rebuilt)
+    ti = rb.find(b"tfhd")
+    struct.pack_into(">Q", rb, ti + 12, base)
+    frames = mp4.demux_video_samples(bytes(rb))
+    assert frames == [bytes([k]) * 6 for k in range(3)]

@@ -443,20 +443,22 @@ def test_span_parent_join_cap_both_branches(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_converter_python_stage_fans_out_past_aqe_coalescing(spark):
+@pytest.mark.parametrize("pipeline", ["a4a", "nexau"])
+def test_converter_python_stage_fans_out_past_aqe_coalescing(spark, pipeline):
     # The converter's mapInPandas is CPU-bound per record, but its input
     # exchange (the A1 window) looks tiny in bytes, and the session's
     # parallelismFirst=false lets AQE coalesce it — at docs ×100 the whole
     # 500 k-record Python stage ran on ONE partition. The fix is an
     # explicit numbered repartition (REPARTITION_BY_NUM origin, exempt
     # from AQE coalescing); pin both the plan shape and the observed
-    # partition spread of the executed Arrow stage.
+    # partition spread of the executed Arrow stage, for BOTH converter
+    # pipelines.
     import contextlib
     import io
 
     from pyspark.sql import functions as F
 
-    from nexgap_spark.operators.converter import convert_spans
+    from nexgap_spark.operators.converter import convert_spans, convert_spans_nexau
     from nexgap_spark.schemas import SPAN_SCHEMA
     from tests.fixtures_spans import CONFIG_AGENTS, build_spans
 
@@ -474,16 +476,16 @@ def test_converter_python_stage_fans_out_past_aqe_coalescing(spark):
     # worst case: everything arrives in one split
     spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA).coalesce(1)
 
-    out = convert_spans(spans, config_agents=CONFIG_AGENTS)
-    pids = [
-        r.pid
-        for r in out.select(F.spark_partition_id().alias("pid"))
-        .distinct()
-        .collect()
-    ]
+    if pipeline == "a4a":
+        out = convert_spans(spans, config_agents=CONFIG_AGENTS)
+    else:
+        out = convert_spans_nexau(spans)
+    rows_out = out.select(F.spark_partition_id().alias("pid")).collect()
+    pids = {r.pid for r in rows_out}
     par = spark.sparkContext.defaultParallelism
-    # 120 output records over `par` round-robin partitions: near-full spread
-    assert len(pids) >= min(par, 120) // 2, pids
+    # N output records over `par` round-robin partitions: near-full spread
+    assert len(rows_out) >= 80, len(rows_out)
+    assert len(pids) >= min(par, len(rows_out)) // 2, pids
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
