@@ -231,29 +231,29 @@ def convert_spans(
     """
     narrowed = span_tree.filter_generation_spans(spans, generation_marker)
     narrowed = span_tree.filter_nonempty_input(narrowed)
-    narrowed = span_tree.last_generation_per_group(narrowed)
+    # The transform below is CPU-bound per RECORD (~100 µs each), so the
+    # right fan-out is core count — NOT the byte-based size AQE coalesces
+    # the A1 window exchange to. session.py deliberately sets
+    # parallelismFirst=false (64 MB advisory targets are correct for JVM
+    # stages at scale), but compressed span text makes that exchange look
+    # tiny: at docs ×100 AQE handed this stage ONE partition and 500 k
+    # records ran serially. Fix: the window PRE-partitions on its own
+    # group key to exactly defaultParallelism — the keyed repartition
+    # satisfies the window's required distribution (it replaces the
+    # window exchange, not adds one) and its REPARTITION_BY_NUM origin is
+    # AQE-coalesce-exempt, so everything downstream (broadcast joins,
+    # filters, the Arrow stage) inherits guaranteed width with zero extra
+    # exchange. (Do NOT probe partition counts via df.rdd here: under AQE
+    # that executes every upstream stage just to read the number.)
+    narrowed = span_tree.last_generation_per_group(
+        narrowed, pre_partition=spans.sparkSession.sparkContext.defaultParallelism
+    )
     # parents resolve against the UNFILTERED table — ancestors are usually
     # non-generation spans that P2 just removed
     resolved = span_tree.resolve_agent_name(
         narrowed, config_agents, parent_source=spans
     )
     resolved = span_tree.exclude_meta(resolved)
-
-    # The transform below is CPU-bound per RECORD (~100 µs each), so the
-    # right fan-out is core count — NOT the byte-based size AQE coalesces
-    # the upstream A1 window exchange to. session.py deliberately sets
-    # parallelismFirst=false (64 MB advisory targets are correct for JVM
-    # stages at scale), but compressed span text makes that exchange look
-    # tiny: at docs ×100 AQE handed this stage ONE partition and 500 k
-    # records ran serially. An explicit numbered repartition carries the
-    # REPARTITION_BY_NUM shuffle origin, which AQE never coalesces, so
-    # fan-out is guaranteed; the extra exchange moves only the narrowed
-    # one-record-per-trace set, negligible next to the Python stage it
-    # parallelizes. (Do NOT probe partition counts via df.rdd here: under
-    # AQE that executes every upstream stage just to read the number.)
-    resolved = resolved.repartition(
-        resolved.sparkSession.sparkContext.defaultParallelism
-    )
 
     out_fields = [f.name for f in CHATCOMPLETION_SCHEMA.fields]
 
@@ -303,7 +303,7 @@ def convert_spans_nexau(
     # parents are usually the non-generation agent spans P2 removed;
     # build side is cap-checked (span_tree._parent_side) like every other
     # parent join, so a giant span table degrades to a shuffle, not an OOM
-    parents = span_tree._parent_side(
+    parents, _ = span_tree._parent_side(
         spans.select(
             F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
         ),

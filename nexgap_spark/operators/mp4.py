@@ -212,7 +212,11 @@ def is_mp4(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[4:8] == b"ftyp"
 
 
-def _iter_boxes(buf: bytes, start: int, end: int):
+def _iter_boxes4(buf: bytes, start: int, end: int):
+    """Yield (typ, box_start, payload_start, end). box_start is the first
+    byte of the size field — the anchor default-base-is-moof offsets need,
+    and box_start == payload_start - 8 only for 32-bit headers (a moof
+    written with size==1 largesize has a 16-byte header)."""
     pos = start
     while pos + 8 <= end:
         size, typ = struct.unpack_from(">I4s", buf, pos)
@@ -226,8 +230,13 @@ def _iter_boxes(buf: bytes, start: int, end: int):
             size = end - pos
         if size < hdr or pos + size > end:
             raise ValueError(f"invalid box size {size} for {typ!r}")
-        yield typ, pos + hdr, pos + size
+        yield typ, pos, pos + hdr, pos + size
         pos += size
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    for typ, _box_start, payload_start, box_end in _iter_boxes4(buf, start, end):
+        yield typ, payload_start, box_end
 
 
 def _find(buf: bytes, start: int, end: int, typ: bytes):
@@ -411,6 +420,14 @@ def demux_video_samples(payload: bytes, *, max_samples: int | None = None) -> li
                 ranges = parse_mp4_fragments(buf).get(tr["track_id"], [])
             if max_samples is not None:
                 ranges = ranges[:max_samples]
+            for o, s in ranges:
+                if o < 0 or o + s > len(buf):
+                    # same strict stance as the box parser: a sample table
+                    # pointing past a truncated mdat must not silently
+                    # yield short/empty 'frames' downstream
+                    raise ValueError(
+                        f"sample range [{o}, {o + s}) exceeds file size {len(buf)}"
+                    )
             return [buf[o : o + s] for o, s in ranges]
     return []
 
@@ -529,12 +546,28 @@ def encode_fmp4(
     return b"".join(out)
 
 
-def _parse_traf(buf: bytes, start: int, end: int, moof_start: int) -> tuple[int, list[tuple[int, int]]]:
-    """One track fragment → (track_id, [(abs_offset, size), ...])."""
+def _parse_traf(
+    buf: bytes,
+    start: int,
+    end: int,
+    moof_start: int,
+    implicit_base: int | None = None,
+) -> tuple[int, list[tuple[int, int]], int | None]:
+    """One track fragment → (track_id, [(abs_offset, size), ...], data_end).
+
+    ``implicit_base``: ISO 14496-12 §8.8.7 — when tfhd carries neither
+    base-data-offset nor default-base-is-moof, the 2nd+ traf in a moof
+    defaults its base to the END of the previous traf's data; the first
+    traf defaults to the moof start. Within a traf, a 2nd+ trun without
+    data_offset likewise continues after the previous run. ``data_end``
+    (max end of this traf's resolved ranges, or the incoming implicit
+    base when it had no runs) feeds the next traf's implicit base.
+    """
     track_id = 0
     base = moof_start
     default_size = 0
     runs: list[tuple[int, int]] = []
+    cursor: int | None = None  # end of previous run within this traf
     for typ, s, e in _iter_boxes(buf, start, end):
         if typ == b"tfhd":
             flags = int.from_bytes(buf[s + 1 : s + 4], "big")
@@ -543,8 +576,10 @@ def _parse_traf(buf: bytes, start: int, end: int, moof_start: int) -> tuple[int,
             if flags & _TFHD_BASE_DATA_OFFSET:
                 (base,) = struct.unpack_from(">Q", buf, pos)
                 pos += 8
-            elif not flags & _TFHD_DEFAULT_BASE_IS_MOOF:
-                base = moof_start  # first-use default per 14496-12 §8.8.7
+            elif flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                base = moof_start
+            else:
+                base = moof_start if implicit_base is None else implicit_base
             if flags & 0x2:
                 pos += 4  # sample_description_index
             if flags & 0x8:
@@ -556,11 +591,14 @@ def _parse_traf(buf: bytes, start: int, end: int, moof_start: int) -> tuple[int,
             flags = int.from_bytes(buf[s + 1 : s + 4], "big")
             (count,) = struct.unpack_from(">I", buf, s + 4)
             pos = s + 8
-            off = base
             if flags & _TRUN_DATA_OFFSET:
                 (doff,) = struct.unpack_from(">i", buf, pos)
                 off = base + doff
                 pos += 4
+            elif cursor is not None:
+                off = cursor  # 2nd+ trun continues after the previous run
+            else:
+                off = base
             if flags & _TRUN_FIRST_SAMPLE_FLAGS:
                 pos += 4
             per = (
@@ -580,7 +618,9 @@ def _parse_traf(buf: bytes, start: int, end: int, moof_start: int) -> tuple[int,
                 runs.append((off, size))
                 off += size
                 pos += sum(per)
-    return track_id, runs
+            cursor = off
+    data_end = max((o + sz for o, sz in runs), default=implicit_base)
+    return track_id, runs, data_end
 
 
 def parse_mp4_fragments(payload: bytes) -> dict[int, list[tuple[int, int]]]:
@@ -588,12 +628,14 @@ def parse_mp4_fragments(payload: bytes) -> dict[int, list[tuple[int, int]]]:
     size) ranges, keyed by track_id. Empty for unfragmented files."""
     buf = bytes(payload)
     out: dict[int, list[tuple[int, int]]] = {}
-    for typ, s, e in _iter_boxes(buf, 0, len(buf)):
+    for typ, box_start, s, e in _iter_boxes4(buf, 0, len(buf)):
         if typ != b"moof":
             continue
-        moof_start = s - 8  # offsets are from the moof box START
+        # offsets are from the moof box START (the size field), which is
+        # NOT payload_start - 8 when the moof uses a 64-bit largesize
+        implicit: int | None = None
         for t2, s2, e2 in _iter_boxes(buf, s, e):
             if t2 == b"traf":
-                tid, runs = _parse_traf(buf, s2, e2, moof_start)
+                tid, runs, implicit = _parse_traf(buf, s2, e2, box_start, implicit)
                 out.setdefault(tid, []).extend(runs)
     return out

@@ -110,9 +110,18 @@ def sample_frames(
                 if r["kind"] != "video" or not r["payload"]:
                     continue
                 payload = bytes(r["payload"])
+                slices = None
                 if is_mp4(payload):
-                    slices = demux_video_samples(payload, max_samples=max_frames)
-                else:
+                    try:
+                        slices = demux_video_samples(payload, max_samples=max_frames)
+                    except ValueError:
+                        # crawl corpora routinely contain truncated or
+                        # malformed containers; one bad row must not kill
+                        # the Arrow stage — degrade to the stride slicer
+                        # (the strict raise stays on the kernel/
+                        # extract_features path, where tests pin it)
+                        slices = None
+                if slices is None:
                     slices = [
                         payload[i * every_n_bytes : (i + 1) * every_n_bytes]
                         for i in range(

@@ -13,6 +13,8 @@ projected (span_id, span_name, parent) columns only.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -56,15 +58,28 @@ def enrich(df: DataFrame, *, query: str, framework: str, langfuse_trace_id: str)
     )
 
 
-def last_generation_per_group(spans: DataFrame, *, tiebreak: str = "span_id") -> DataFrame:
+def last_generation_per_group(
+    spans: DataFrame, *, tiebreak: str = "span_id", pre_partition: int | None = None
+) -> DataFrame:
     """A1 (reference :1637-1687): group generation spans by
     coalesce(parentObservationId, span_id); keep the chronologically last by
     startTime, nulls treated as the epoch floor. One window, one shuffle.
 
     The reference relies on input order for ties; we pin ``tiebreak`` so the
     result is deterministic under any partitioning.
+
+    ``pre_partition``: hash-repartition on the GROUP KEY to exactly this
+    many partitions before the window. The keyed repartition satisfies the
+    window's required distribution, so it REPLACES the window's own
+    exchange rather than adding one — and its REPARTITION_BY_NUM origin is
+    exempt from AQE coalescing, so a downstream CPU-bound Python stage
+    inherits guaranteed width without a second exchange (the r9 fix paid
+    +0.7 s at sf0.1 for an extra post-window round-robin exchange; this
+    gets the same ×100 guarantee for free).
     """
     group_key = F.coalesce(F.col("parentObservationId"), F.col("span_id"))
+    if pre_partition is not None:
+        spans = spans.repartition(pre_partition, group_key)
     ts = F.coalesce(
         F.to_timestamp("startTime"), F.lit(EPOCH_FLOOR).cast("timestamp")
     )
@@ -78,27 +93,53 @@ def last_generation_per_group(spans: DataFrame, *, tiebreak: str = "span_id") ->
 
 PARENT_BROADCAST_CAP = 5_000_000  # rows; ≈ dedup's membership-join cap
 
+# Above this many parent rows the build side is semi-joined down to the
+# ids that actually occur as parent pointers before it is broadcast /
+# shuffled. In real traces the bulk of spans are leaves that nothing
+# references: on the ×100 fixture this shrinks the build 10× (10 M → 1.1 M)
+# and cuts every resolver variant ~3× (measured, SCALE.md round-10). Below
+# the threshold the extra semi-join shuffle costs more than it saves.
+PRUNE_BUILD_ROWS = 2_000_000
+
 
 def _parent_side(
     parents: DataFrame,
     broadcast_parents: bool | None,
     max_rows: int = PARENT_BROADCAST_CAP,
-) -> DataFrame:
-    """Single definition of the parent-join build-side policy.
+    *,
+    ref_ids: DataFrame | None = None,
+) -> tuple[DataFrame, int | None]:
+    """Single definition of the parent-join build-side policy; returns
+    (side, row_count or None).
 
     ``True``/``False`` force broadcast / shuffle; ``None`` (the default
-    everywhere) routes through dedup.capped_broadcast — broadcast only
-    under its explicit row cap, AQE-planned shuffle join above it. Same
-    policy, same cap, as the dedup membership join, so a span table whose
-    projected parent side outgrows executor memory degrades to a shuffle
-    instead of OOMing the cluster. The count the cap costs also
-    materializes the projection once (localCheckpoint), which the
-    iterative resolvers re-read every hop anyway."""
-    if broadcast_parents is None:
-        from nexgap_spark.operators.dedup import capped_broadcast
+    everywhere) broadcasts only under the explicit row cap — same policy,
+    same cap, as dedup's membership join — and leaves the frame un-hinted
+    above it so AQE plans the join from runtime sizes, degrading instead
+    of OOMing the cluster.
 
-        return capped_broadcast(parents, max_rows=max_rows)
-    return F.broadcast(parents) if broadcast_parents else parents
+    The cap check is a plain count over the scan+project plan, never a
+    localCheckpoint: the projection's lineage IS a parquet scan, and
+    within one query every hop of the iterative resolvers reuses the
+    single built broadcast via ReusedExchange anyway — the eager
+    checkpoint write+read was pure overhead (q22's whole constant factor
+    at spans ×100).
+
+    ``ref_ids``: single-column (``_p_id``) frame of every id the probe
+    side can look up — the union of parent pointers. A build row whose id
+    no probe key references can only produce a left-join miss, so when
+    the projection is large (> PRUNE_BUILD_ROWS) it is semi-joined to
+    ``ref_ids`` first: leaf spans (the bulk of a real trace table) never
+    enter the build, which is routinely the difference between a
+    broadcastable build and a per-hop shuffle join at 100 TB."""
+    if broadcast_parents is None:
+        n = parents.count()
+        if ref_ids is not None and n > PRUNE_BUILD_ROWS:
+            parents = parents.join(
+                ref_ids.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
+            )
+        return (F.broadcast(parents) if n <= max_rows else parents), n
+    return (F.broadcast(parents) if broadcast_parents else parents), None
 
 
 def join_parent(
@@ -111,13 +152,14 @@ def join_parent(
     ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
     the reference's whole-file span_id→span dict. Build-side policy:
     :func:`_parent_side` (cap-checked broadcast by default)."""
-    parents = _parent_side(
+    parents, _ = _parent_side(
         spans.select(
             F.col("span_id").alias("_p_id"),
             F.col("span_name").alias("parent_span_name"),
         ),
         broadcast_parents,
         max_broadcast_parent_rows,
+        ref_ids=spans.select(F.col("parentObservationId").alias("_p_id")),
     )
     return spans.join(
         parents, spans["parentObservationId"] == parents["_p_id"], "left"
@@ -157,41 +199,70 @@ def resolve_agent_name(
     itself, which is only correct when nothing has been filtered out yet.
     """
     agents_lc = [a.lower() for a in config_agents]
-    parents = _parent_side(
-        (parent_source if parent_source is not None else spans).select(
+    source = parent_source if parent_source is not None else spans
+    # every hop's cursor is a parentObservationId value — of the probe rows
+    # at hop 0, of the parent rows after — so the union of parent pointers
+    # over both frames bounds what any hop can look up (sound prune set)
+    refs = source.select(F.col("parentObservationId").alias("_p_id"))
+    if parent_source is not None and parent_source is not spans:
+        refs = refs.union(
+            spans.select(F.col("parentObservationId").alias("_p_id"))
+        )
+    parents, _ = _parent_side(
+        source.select(
             F.col("span_id").alias("_p_id"),
             F.col("span_name").alias("_p_name"),
             F.col("parentObservationId").alias("_p_parent"),
         ),
         broadcast_parents,
         max_broadcast_parent_rows,
+        ref_ids=refs,
     )
 
-    out = spans.withColumn("_cursor", F.col("parentObservationId")).withColumn(
-        "agent_name", F.lit(None).cast("string")
-    ).withColumn("_fallback", F.lit(None).cast("string"))
+    pending = (
+        spans.withColumn("_cursor", F.col("parentObservationId"))
+        .withColumn("agent_name", F.lit(None).cast("string"))
+        .withColumn("_fallback", F.lit(None).cast("string"))
+    )
 
+    # Rows exit the loop the moment they can no longer advance (matched an
+    # agent, or ran out of ancestors) and are unioned back at the end, so
+    # each hop joins ONLY the still-unresolved rows — no wasted probe
+    # traffic under broadcast, and no null-cursor rows entering the
+    # over-cap shuffle branch's exchange, where they would all hash to one
+    # partition (self-inflicted skew exactly at the scale the shuffle
+    # branch exists for). The exit branches stay LAZY: each later branch's
+    # lineage re-runs the earlier hop probes over its (shrinking) subset,
+    # which measures ~7% over the ride-along plan at spans ×100 — per-hop
+    # localCheckpoint was 8× worse (block writes of near-full-width
+    # pending rows), so materialization is deliberately absent here.
+    done: list[DataFrame] = []
     for hop in range(max_hops):
-        out = out.join(parents, out["_cursor"] == parents["_p_id"], "left")
+        done.append(pending.filter(F.col("_cursor").isNull()))
+        pending = pending.filter(F.col("_cursor").isNotNull()).join(
+            parents, F.col("_cursor") == parents["_p_id"], "left"
+        )
         stripped = _strip_subagent(F.col("_p_name"))
         matched = F.lower(stripped).isin(agents_lc)
         fallback = stripped if hop == 0 else F.col("_fallback")
-        out = (
-            out.withColumn(
+        pending = (
+            pending.withColumn(
                 "agent_name",
-                F.when(F.col("agent_name").isNotNull(), F.col("agent_name")).when(
-                    F.col("_p_name").isNotNull() & matched, stripped
-                ),
+                F.when(F.col("_p_name").isNotNull() & matched, stripped),
             )
             .withColumn("_fallback", fallback)
             .withColumn(
                 "_cursor",
-                F.when(F.col("agent_name").isNotNull(), F.lit(None)).otherwise(
-                    F.col("_p_parent")
-                ),
+                F.when(
+                    F.col("agent_name").isNotNull(), F.lit(None).cast("string")
+                ).otherwise(F.col("_p_parent")),
             )
             .drop("_p_id", "_p_name", "_p_parent")
         )
+        done.append(pending.filter(F.col("agent_name").isNotNull()))
+        pending = pending.filter(F.col("agent_name").isNull())
+    done.append(pending)
+    out = reduce(DataFrame.unionByName, done)
     return out.withColumn(
         "agent_name", F.coalesce(F.col("agent_name"), F.col("_fallback"))
     ).drop("_cursor", "_fallback")
@@ -212,26 +283,33 @@ def resolve_root(
     Build-side policy: :func:`_parent_side` (cap-checked broadcast by
     default; ``False`` forces shuffle joins for span tables whose 2-column
     projection outgrows executor memory)."""
-    parents = _parent_side(
+    parents, _ = _parent_side(
         spans.select(
             F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
         ),
         broadcast_parents,
         max_broadcast_parent_rows,
+        ref_ids=spans.select(F.col(parent_col).alias("_p_id")),
     )
-    out = spans.withColumn(out_col, F.col(id_col)).withColumn(
+    pending = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )
+    # same exit discipline as resolve_agent_name: rows whose cursor is null
+    # are at their root and leave the loop — later hops join only rows that
+    # still have an ancestor to walk (lazy branches; see the note there on
+    # why per-hop materialization is deliberately absent).
+    done: list[DataFrame] = []
     for _ in range(max_hops):
-        out = (
-            out.join(parents, out["_cursor"] == parents["_p_id"], "left")
-            .withColumn(
-                out_col, F.coalesce(F.col("_p_id"), F.col(out_col))
-            )
+        done.append(pending.filter(F.col("_cursor").isNull()))
+        pending = (
+            pending.filter(F.col("_cursor").isNotNull())
+            .join(parents, F.col("_cursor") == parents["_p_id"], "left")
+            .withColumn(out_col, F.coalesce(F.col("_p_id"), F.col(out_col)))
             .withColumn("_cursor", F.col("_p_parent"))
             .drop("_p_id", "_p_parent")
         )
-    return out.drop("_cursor")
+    done.append(pending)
+    return reduce(DataFrame.unionByName, done).drop("_cursor")
 
 
 def agent_distribution(spans: DataFrame) -> DataFrame:

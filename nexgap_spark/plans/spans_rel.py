@@ -70,11 +70,14 @@ def _derived_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_span_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # startTime stays timestamp-typed: the operator's to_timestamp() is an
+    # identity on it, and formatting 10 M rows to microsecond strings just
+    # to parse them back measured ~40% of the whole query at spans ×100
     spans = _derived_spans(spark, sf_dir).select(
         F.col("span_id"),
         F.col("parent_id").alias("parentObservationId"),
         F.col("span_name"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("startTime"),
+        F.col("ts").alias("startTime"),
     )
     deduped = span_tree.last_generation_per_group(spans)
     return deduped.select(

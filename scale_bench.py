@@ -210,16 +210,22 @@ def _duckdb_timed(con, sql: str) -> float | None:
     """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF).
     Only the timeout interrupt maps to DNF — a genuine oracle error
     (bad SQL, missing table) re-raises so it can't masquerade as a
-    timeout in the bench artifact (ADVICE r8)."""
+    timeout in the bench artifact (ADVICE r8).
+
+    Each run executes on a FRESH cursor (its own connection over the same
+    catalog), so a timer interrupt that lands just as the query completes
+    dies with the cursor instead of spuriously cancelling the NEXT timed
+    run on a shared connection (ADVICE r9)."""
     import threading
 
     import duckdb
 
+    cur = con.cursor()
     fired = threading.Event()
 
     def _interrupt() -> None:
         fired.set()
-        con.interrupt()
+        cur.interrupt()
 
     timer = None
     if DUCKDB_TIMEOUT_S > 0:
@@ -227,7 +233,7 @@ def _duckdb_timed(con, sql: str) -> float | None:
         timer.start()
     t0 = time.perf_counter()
     try:
-        con.sql(sql).fetchall()
+        cur.sql(sql).fetchall()
         return time.perf_counter() - t0
     except duckdb.InterruptException:
         return None
@@ -238,6 +244,7 @@ def _duckdb_timed(con, sql: str) -> float | None:
     finally:
         if timer is not None:
             timer.cancel()
+        cur.close()
 
 
 def _join_kinds(df: DataFrame) -> list[str]:

@@ -25,7 +25,34 @@ def main() -> int:
         "--sf-dir", default=os.environ.get("NEXGAP_SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
     )
     ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query-name prefixes to run (subset sweep; "
+        "does NOT write --out unless --out is passed explicitly)",
+    )
+    ap.add_argument(
+        "--check-fresh",
+        action="store_true",
+        help="don't run anything: exit 1 if the committed artifact's key set "
+        "differs from the current catalog (the mechanical round-close gate — "
+        "two rounds running the artifact missed the last-landed query)",
+    )
     args = ap.parse_args()
+
+    if args.check_fresh:
+        from nexgap_spark.plans import QUERIES
+
+        with open(args.out) as f:
+            artifact = json.load(f)
+        have = set(artifact) - {"_summary"}
+        want = set(QUERIES)
+        missing, extra = sorted(want - have), sorted(have - want)
+        if missing or extra:
+            print(f"STALE: artifact missing {missing or '[]'}, extra {extra or '[]'}")
+            return 1
+        print(f"FRESH: {len(want)} catalog queries all present in {args.out}")
+        return 0
 
     import duckdb
 
@@ -41,9 +68,16 @@ def main() -> int:
             f"read_parquet('{args.sf_dir}/{name}.parquet')"
         )
 
+    todo = dict(QUERIES)
+    if args.only:
+        prefixes = tuple(p.strip() for p in args.only.split(",") if p.strip())
+        todo = {n: f for n, f in todo.items() if n.startswith(prefixes)}
+        if "--out" not in " ".join(sys.argv):
+            args.out = "/tmp/correctness_subset.json"
+
     results: dict[str, dict] = {}
     t0 = time.time()
-    for name, fn in QUERIES.items():
+    for name, fn in todo.items():
         rec: dict = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,

@@ -520,3 +520,148 @@ def test_scale_bench_duckdb_errors_reraise():
     finally:
         scale_bench.DUCKDB_TIMEOUT_S = old
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 fixes for the round-9 ADVICE findings
+# ---------------------------------------------------------------------------
+
+
+def test_sample_frames_malformed_container_falls_back(spark):
+    # ADVICE r9 (multimodal.py): a payload that STARTS with ftyp but is
+    # malformed/truncated must not kill the Arrow stage — crawl corpora
+    # contain corrupt containers routinely. sample_frames degrades to the
+    # stride slicer; the strict ValueError stays on the kernel path.
+    import struct
+
+    from nexgap_spark.operators import multimodal as MM
+    from nexgap_spark.operators import mp4
+
+    bad = (
+        struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x00\x01"
+        + struct.pack(">I", 0xFFFF0000) + b"free" + b"junk" * 8
+    )
+    assert mp4.is_mp4(bad)
+    with pytest.raises(ValueError):
+        mp4.demux_video_samples(bad)
+
+    media = spark.createDataFrame(
+        [(1, "video", bad)], "media_id long, kind string, payload binary"
+    )
+    out = MM.sample_frames(media, max_frames=2, every_n_bytes=8).collect()
+    assert len(out) == 2  # stride slices, not a raised stage
+    assert all(len(bytes(r.frame_payload)) == 8 for r in out)
+
+
+def test_traf_implicit_base_carries_across_trafs_and_truns():
+    # ADVICE r9 (mp4.py _parse_traf): with neither base-data-offset nor
+    # default-base-is-moof, the 2nd+ traf defaults to the END of the
+    # previous traf's data, and a 2nd trun without data_offset continues
+    # after the previous run (ISO 14496-12 §8.8.7) — not a reset to the
+    # moof start.
+    import struct
+
+    from nexgap_spark.operators import mp4
+
+    def tfhd(track_id):
+        return (
+            struct.pack(">I", 8 + 8) + b"tfhd"
+            + b"\x00\x00\x00\x00" + struct.pack(">I", track_id)
+        )
+
+    def trun(sizes):
+        # flags = sample-size only: no data_offset
+        return (
+            struct.pack(">I", 8 + 8 + 4 * len(sizes)) + b"trun"
+            + b"\x00" + (0x200).to_bytes(3, "big")
+            + struct.pack(">I", len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes)
+        )
+
+    def traf(track_id, *runs):
+        body = tfhd(track_id) + b"".join(runs)
+        return struct.pack(">I", 8 + len(body)) + b"traf" + body
+
+    t1 = traf(1, trun([3, 4]), trun([5]))  # 2nd trun continues at +7
+    t2 = traf(2, trun([6, 7]))             # 2nd traf continues at +12
+    body = t1 + t2
+    moof = struct.pack(">I", 8 + len(body)) + b"moof" + body
+
+    frags = mp4.parse_mp4_fragments(moof)
+    assert frags[1] == [(0, 3), (3, 4), (7, 5)]
+    assert frags[2] == [(12, 6), (18, 7)]
+
+
+def test_parse_fragments_largesize_moof_header():
+    # ADVICE r9 (mp4.py parse_mp4_fragments): moof_start was hard-coded as
+    # payload_start - 8; a moof with a size==1 largesize (16-byte header)
+    # shifted every default-base-is-moof offset by 8. The box walk now
+    # yields the true box start.
+    import struct
+
+    from nexgap_spark.operators import mp4
+
+    tfhd = (
+        struct.pack(">I", 8 + 8) + b"tfhd"
+        + b"\x00" + (0x20000).to_bytes(3, "big")  # default-base-is-moof
+        + struct.pack(">I", 1)
+    )
+    trun = (
+        struct.pack(">I", 8 + 8 + 4 + 4) + b"trun"
+        + b"\x00" + (0x1 | 0x200).to_bytes(3, "big")  # data_offset + sizes
+        + struct.pack(">I", 1)
+        + struct.pack(">i", 100)  # offset from moof START
+        + struct.pack(">I", 9)
+    )
+    traf = struct.pack(">I", 8 + len(tfhd) + len(trun)) + b"traf" + tfhd + trun
+    content = traf
+    prefix = struct.pack(">I", 16) + b"free" + b"\x00" * 8  # moof starts at 16
+    moof = (
+        struct.pack(">I", 1) + b"moof" + struct.pack(">Q", 16 + len(content))
+        + content
+    )
+    frags = mp4.parse_mp4_fragments(prefix + moof)
+    # offset resolves from the box START (16), not payload_start - 8 (24)
+    assert frags[1] == [(16 + 100, 9)]
+
+
+def test_demux_truncated_mdat_raises():
+    # ADVICE r9 (mp4.py demux_video_samples): a sample table pointing past
+    # the end of the buffer (truncated mdat) must raise, not silently
+    # yield short/empty frames.
+    import struct
+
+    from nexgap_spark.operators import mp4
+
+    b = bytearray(mp4.encode_mp4(16, 16, 3, fps=10, frame_bytes=8))
+    k = b.find(b"stco")
+    # point the single chunk 4 bytes from EOF: 3×8-byte samples overrun
+    struct.pack_into(">I", b, k + 12, len(b) - 4)
+    with pytest.raises(ValueError, match="exceeds file size"):
+        mp4.demux_video_samples(bytes(b))
+
+
+def test_duckdb_timed_uses_fresh_cursor_per_run():
+    # ADVICE r9 (scale_bench.py): a timer interrupt landing just as the
+    # query completes must not poison the NEXT timed run. Each run now
+    # executes on its own cursor; an interrupted run leaves the shared
+    # connection (and subsequent runs) clean.
+    import duckdb
+
+    import scale_bench
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW v AS SELECT * FROM range(100) t(i)")
+    old = scale_bench.DUCKDB_TIMEOUT_S
+    scale_bench.DUCKDB_TIMEOUT_S = 0.05
+    try:
+        dnf = scale_bench._duckdb_timed(
+            con, "SELECT COUNT(*) FROM range(1000000000) a, range(1000) b"
+        )
+        assert dnf is None
+        # cursors share the catalog; the next run is a clean measurement
+        ok = scale_bench._duckdb_timed(con, "SELECT SUM(i) FROM v")
+        assert isinstance(ok, float)
+    finally:
+        scale_bench.DUCKDB_TIMEOUT_S = old
+        con.close()
