@@ -229,6 +229,13 @@ def convert_spans(
     the serialized task (keep it ≤ a few MB, as the reference's MCP cache is,
     docs/converter.md:184-185).
     """
+    # Materialize an expensive input (synthesized / window-fed span tables)
+    # ONCE: the pipeline reads `spans` as the probe AND as the unfiltered
+    # parent source, and the resolver's exit branches re-read it — over a
+    # parquet scan those re-reads are free and no checkpoint happens, but
+    # re-running a per-row Python synthesis for each consumer took q37
+    # ×100 from 17.6 s to 47 s during round 10's rework.
+    spans = span_tree._ensure_cheap(spans)
     narrowed = span_tree.filter_generation_spans(spans, generation_marker)
     narrowed = span_tree.filter_nonempty_input(narrowed)
     # The transform below is CPU-bound per RECORD (~100 µs each), so the
@@ -296,9 +303,16 @@ def convert_spans_nexau(
     * the document transform is convert_span_record_nexau (raw-XML
       passthrough; see its docstring).
     """
+    # same single-materialization rationale as convert_spans
+    spans = span_tree._ensure_cheap(spans)
     narrowed = span_tree.filter_generation_spans(spans, generation_marker)
     narrowed = span_tree.filter_nonempty_input(narrowed)
-    narrowed = span_tree.last_generation_per_group(narrowed)
+    # keyed pre-window repartition: replaces the window exchange with an
+    # AQE-coalesce-exempt one, guaranteeing Python-stage width with zero
+    # extra shuffle (same rationale as convert_spans above)
+    narrowed = span_tree.last_generation_per_group(
+        narrowed, pre_partition=spans.sparkSession.sparkContext.defaultParallelism
+    )
     # immediate parent only, resolved against the UNFILTERED span table —
     # parents are usually the non-generation agent spans P2 removed;
     # build side is cap-checked (span_tree._parent_side) like every other
@@ -313,13 +327,6 @@ def convert_spans_nexau(
         parents, narrowed["parentObservationId"] == parents["_p_id"], "left"
     ).drop("_p_id")
     resolved = span_tree.exclude_meta(resolved)
-
-    # same CPU-bound fan-out rationale as convert_spans above: explicit
-    # numbered repartition so AQE's byte-based coalescing cannot collapse
-    # the Python stage to one partition
-    resolved = resolved.repartition(
-        resolved.sparkSession.sparkContext.defaultParallelism
-    )
 
     out_fields = [f.name for f in NEXAU_CHATCOMPLETION_SCHEMA.fields]
 

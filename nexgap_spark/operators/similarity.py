@@ -388,11 +388,32 @@ def blocked_near_dup(
 # ---------------------------------------------------------------------------
 
 # Deterministic integer hyperplanes shared verbatim with the DuckDB oracle:
-# plane[j][i] = ((i+1)*A_j + B_j) mod 17 - 8, A/B coprime-ish constants.
-_HYPERPLANE_AB = [(3, 1), (5, 2), (7, 3), (11, 5), (13, 7), (17, 11), (19, 13), (23, 17)]
-HYPERPLANES: list[list[int]] = [
-    [((i + 1) * a + b) % 17 - 8 for i in range(DEFAULT_DIM)] for a, b in _HYPERPLANE_AB
+# plane[j][i] = ((i+1)*A_j + B_j) mod 17 - 8, A/B successive primes. The
+# table extends past the base 8 so `n_planes` can scale with corpus size —
+# bits ≈ log2(N / target_bucket_size) keeps the expected bucket occupancy
+# (and therefore pair count per bucket) constant across decades instead of
+# letting candidates grow ~N²/2^bits (VERDICT r9 item 5).
+_HYPERPLANE_AB = [
+    (3, 1), (5, 2), (7, 3), (11, 5), (13, 7), (17, 11), (19, 13), (23, 17),
+    (29, 19), (31, 23), (37, 29), (41, 31), (43, 37), (47, 41), (53, 43),
+    (59, 47), (61, 53), (67, 59), (71, 61), (73, 67), (79, 71), (83, 73),
 ]
+
+
+def hyperplanes(n: int) -> list[list[int]]:
+    """First ``n`` deterministic hyperplanes (2^n sign buckets)."""
+    if n > len(_HYPERPLANE_AB):
+        raise ValueError(
+            f"n_planes={n} exceeds the deterministic A/B table "
+            f"({len(_HYPERPLANE_AB)}) — extend _HYPERPLANE_AB"
+        )
+    return [
+        [((i + 1) * a + b) % 17 - 8 for i in range(DEFAULT_DIM)]
+        for a, b in _HYPERPLANE_AB[:n]
+    ]
+
+
+HYPERPLANES: list[list[int]] = hyperplanes(8)
 
 
 def centroid_outliers(
@@ -451,6 +472,7 @@ def hyperplane_lsh_pairs(
     dim: int = DEFAULT_DIM,
     max_bucket_size: int | None = 10_000,
     oversized: str = "salt",
+    n_planes: int = 8,
 ) -> DataFrame:
     """Candidate pairs = same-bucket pairs (a < b) with exact cosine attached.
 
@@ -485,14 +507,13 @@ def hyperplane_lsh_pairs(
 
     from nexgap_spark.operators.dedup import _OBSERVE_SEQ
 
-    planes_full = np.asarray(HYPERPLANES, dtype=np.float64)
+    planes_full = np.asarray(hyperplanes(n_planes), dtype=np.float64)
     if dim > planes_full.shape[1]:
         raise ValueError(
             f"dim={dim} exceeds the built-in hyperplane width "
             f"{planes_full.shape[1]} — extend HYPERPLANES for wider vectors"
         )
     planes = planes_full[:, :dim]
-    n_planes = planes.shape[0]
 
     in_schema = vectors.select(id_col, vec_col).schema
     bucketed_schema = T.StructType(

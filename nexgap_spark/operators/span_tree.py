@@ -101,6 +101,51 @@ PARENT_BROADCAST_CAP = 5_000_000  # rows; ≈ dedup's membership-join cap
 # the threshold the extra semi-join shuffle costs more than it saves.
 PRUNE_BUILD_ROWS = 2_000_000
 
+# Logical-plan nodes whose recompute is NOT a cheap rescan: if an input's
+# optimized plan contains any of these, re-executing its lineage (which the
+# cap-check count, the semi-prune refs pass, and every lazy exit-union
+# branch would each do) repeats real work — shuffles, sorts, or per-row
+# Python — so the frame is materialized ONCE up front instead.
+_EXPENSIVE_PLAN_NODES = (
+    "Join",
+    "Window",
+    "Aggregate",
+    "Sort",
+    "Union",
+    "Generate",
+    "Expand",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapPartitions",
+    "RepartitionByExpression",
+    "Repartition",
+    "PythonUDF",
+)
+
+
+def _cheap_lineage(df: DataFrame) -> bool:
+    """True when re-executing ``df``'s plan is just a scan + narrow
+    expressions (Project/Filter over a relation). Analysis-only: reads the
+    optimized logical plan, runs no job."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return not any(tok in plan for tok in _EXPENSIVE_PLAN_NODES)
+
+
+def _ensure_cheap(df: DataFrame) -> DataFrame:
+    """localCheckpoint a frame whose lineage is expensive to re-execute.
+
+    The span operators read their inputs several times — cap-check count,
+    build-side prune, one probe per hop, one branch per exit — which is
+    free over a parquet scan but repeats shuffles/Python stages otherwise
+    (a window-fed converter input re-ran its whole synthesis pipeline per
+    exit branch: q37 spans ×100 went 17.6 s → 47 s before this guard).
+    Unlike persist(), checkpoint blocks release via the ContextCleaner
+    when the frame goes out of scope."""
+    if df.isStreaming:
+        return df
+    return df if _cheap_lineage(df) else df.localCheckpoint()
+
 
 def _parent_side(
     parents: DataFrame,
@@ -152,6 +197,7 @@ def join_parent(
     ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
     the reference's whole-file span_id→span dict. Build-side policy:
     :func:`_parent_side` (cap-checked broadcast by default)."""
+    spans = _ensure_cheap(spans)
     parents, _ = _parent_side(
         spans.select(
             F.col("span_id").alias("_p_id"),
@@ -199,12 +245,14 @@ def resolve_agent_name(
     itself, which is only correct when nothing has been filtered out yet.
     """
     agents_lc = [a.lower() for a in config_agents]
-    source = parent_source if parent_source is not None else spans
+    distinct_source = parent_source is not None and parent_source is not spans
+    spans = _ensure_cheap(spans)
+    source = _ensure_cheap(parent_source) if distinct_source else spans
     # every hop's cursor is a parentObservationId value — of the probe rows
     # at hop 0, of the parent rows after — so the union of parent pointers
     # over both frames bounds what any hop can look up (sound prune set)
     refs = source.select(F.col("parentObservationId").alias("_p_id"))
-    if parent_source is not None and parent_source is not spans:
+    if distinct_source:
         refs = refs.union(
             spans.select(F.col("parentObservationId").alias("_p_id"))
         )
@@ -283,6 +331,7 @@ def resolve_root(
     Build-side policy: :func:`_parent_side` (cap-checked broadcast by
     default; ``False`` forces shuffle joins for span tables whose 2-column
     projection outgrows executor memory)."""
+    spans = _ensure_cheap(spans)
     parents, _ = _parent_side(
         spans.select(
             F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")

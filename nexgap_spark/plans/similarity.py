@@ -283,9 +283,19 @@ def _plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(str(v) for v in plane) + "]"
 
 
+# bits scale with N (VERDICT r9 item 5): 2^planes buckets should track
+# corpus size so per-bucket occupancy — and the quadratic per-bucket pair
+# work — stays constant across decades. The driver gate never sets the env
+# var, so the recorded oracle contract stays the base 8-plane one;
+# scale_bench's ANN family raises it with the multiplier (e.g. 8 + ~log2(m)).
+import os as _os
+
+_Q45_PLANES = int(_os.environ.get("NEXGAP_Q45_PLANES", "8"))
+
+
 def _bucket_sql(v: str) -> str:
     parts = []
-    for j, plane in enumerate(sim.HYPERPLANES):
+    for j, plane in enumerate(sim.hyperplanes(_Q45_PLANES)):
         d = (
             "list_aggregate(list_transform(range(1, 65), "
             f"i -> CAST({v}[i] AS DOUBLE) * ({_plane_literal(plane)})[CAST(i AS INT)]), 'sum')"
@@ -313,7 +323,9 @@ def _bucket_sql(v: str) -> str:
 )
 def q45_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    pairs = sim.hyperplane_lsh_pairs(emb, max_bucket_size=None)
+    pairs = sim.hyperplane_lsh_pairs(
+        emb, max_bucket_size=None, n_planes=_Q45_PLANES
+    )
     return pairs.agg(
         F.count("*").alias("n_candidates"),
         F.coalesce(

@@ -37,8 +37,8 @@ from nexgap_spark.session import get_spark, load_table
 
 TEXT_QUERIES = ["q43_dup_groups", "q44_dedup_corpus", "q100_incremental_minhash",
                 "q103_ngram_logprob", "q104_url_dedup", "q108_repeated_spans"]
-ANN_QUERIES = ["q34_cosine_topk", "q45_hyperplane_lsh", "q85_ivf_nprobe",
-               "q102_semantic_dedup"]
+ANN_QUERIES = ["q34_cosine_topk", "q35_ivf_topk", "q45_hyperplane_lsh",
+               "q85_ivf_nprobe", "q102_semantic_dedup", "q106_ivf_indexed"]
 # The converter/span-tree family (VERDICT r8 item 1): q21-q23 run on spans
 # derived from `events`; q37 runs the full converter pipeline on spans
 # synthesized from `documents`. q37's oracle is golden-by-construction

@@ -591,4 +591,10 @@ def test_converter_python_stage_fans_out_past_aqe_coalescing(spark, pipeline):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
-    assert "REPARTITION_BY_NUM" in buf.getvalue()
+    plan = buf.getvalue()
+    # the AQE-exempt keyed exchange feeds the A1 window; in the a4a path
+    # the resolver materializes the window output (expensive-lineage
+    # guard), so the marker lives in the checkpoint's subplan and the
+    # final plan scans it as ExistingRDD — the partition-spread assertion
+    # above is the runtime contract in that case
+    assert "REPARTITION_BY_NUM" in plan or "ExistingRDD" in plan, plan
