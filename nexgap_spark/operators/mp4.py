@@ -38,9 +38,9 @@ def _full(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
     return _box(typ, bytes([version]) + flags.to_bytes(3, "big"), *payload)
 
 
-def _video_sample_entry(width: int, height: int) -> bytes:
+def _video_sample_entry(width: int, height: int, codec: bytes = b"avc1") -> bytes:
     return _box(
-        b"avc1",
+        codec,
         b"\x00" * 6,
         struct.pack(">H", 1),  # data_reference_index
         struct.pack(">HH", 0, 0),
@@ -138,19 +138,32 @@ def encode_mp4(
     frame_bytes: int = 32,
     audio_samples: int = 0,
     audio_rate: int = 8000,
+    frames: list[bytes] | None = None,
+    codec: bytes = b"avc1",
 ) -> bytes:
     """Deterministic minimal-but-valid MP4: ftyp + moov (video trak, and an
     audio trak when ``audio_samples`` > 0) + mdat. Frame k's payload is
     ``frame_bytes`` bytes of value ``k % 256`` (so demuxed samples are
     closed-form checkable); audio samples are 2 bytes each. Written
     moov-before-mdat, so chunk offsets are resolved with a second pass at
-    identical byte length (stco payloads are fixed-width)."""
+    identical byte length (stco payloads are fixed-width).
+
+    ``frames``: explicit per-sample payloads instead of the synthetic
+    fill — with JPEG-encoded images and ``codec=b"jpeg"`` this writes a
+    real MJPEG (Motion-JPEG-in-MP4) file whose samples round-trip through
+    multimodal.decode_video_frames. ``n_frames`` must match len(frames)."""
+    if frames is not None:
+        if n_frames != len(frames):
+            raise ValueError(f"n_frames={n_frames} != len(frames)={len(frames)}")
+        v_sizes = [len(f) for f in frames]
+        v_payload = b"".join(frames)
+    else:
+        v_sizes = [frame_bytes] * n_frames
+        v_payload = b"".join(bytes([k % 256]) * frame_bytes for k in range(n_frames))
     if n_frames <= 0 or width <= 0 or height <= 0:
         raise ValueError("need positive width/height/n_frames")
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"iso2", b"mp41")
-    v_sizes = [frame_bytes] * n_frames
     a_sizes = [2] * audio_samples
-    frames = b"".join(bytes([k % 256]) * frame_bytes for k in range(n_frames))
     audio = b"".join(
         struct.pack(">h", (k % 128) - 64) for k in range(audio_samples)
     )
@@ -173,7 +186,7 @@ def encode_mp4(
             _track(
                 1,
                 b"vide",
-                _video_sample_entry(width, height),
+                _video_sample_entry(width, height, codec),
                 timescale=fps,
                 n_samples=n_frames,
                 sample_sizes=v_sizes,
@@ -198,9 +211,9 @@ def encode_mp4(
 
     moov_len = len(build(0, 0))
     mdat_payload_at = len(ftyp) + moov_len + 8
-    moov = build(mdat_payload_at, mdat_payload_at + len(frames))
+    moov = build(mdat_payload_at, mdat_payload_at + len(v_payload))
     assert len(moov) == moov_len
-    return ftyp + moov + _box(b"mdat", frames, audio)
+    return ftyp + moov + _box(b"mdat", v_payload, audio)
 
 
 # ---------------------------------------------------------------------------

@@ -405,6 +405,39 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
     )
 
 
+def decode_video_frames(payload: bytes, *, max_frames: int | None = None):
+    """Video → per-frame PIXEL arrays for intra-frame codecs: real
+    demuxing (operators/mp4.py sample tables / trun runs) followed by the
+    from-scratch T.81 JPEG decoder on each sample. This closes the
+    frame-pixel boundary for MJPEG (Motion-JPEG-in-MP4 — every sample is
+    a complete JPEG image), which needs no inter-frame codec at all;
+    H.26x/VP/AV1 samples still raise the documented NotImplementedError
+    (an inter-frame codec stack is genuinely out of scope — the reference
+    ships no codec of any kind).
+
+    Returns a list of uint8 numpy arrays, one per decoded frame.
+    """
+    from nexgap_spark.operators.jpeg import decode_jpeg
+    from nexgap_spark.operators.mp4 import demux_video_samples, parse_mp4
+
+    samples = demux_video_samples(payload, max_samples=max_frames)
+    frames = []
+    for s in samples:
+        if s[:2] != b"\xff\xd8":
+            parsed = parse_mp4(bytes(payload))
+            codec = next(
+                (t["codec"] for t in parsed["tracks"] if t["handler"] == "vide"),
+                None,
+            )
+            raise NotImplementedError(
+                f"frame-pixel decode for codec {codec!r}: only MJPEG "
+                "(JPEG-in-MP4) samples decode here; inter-frame codecs "
+                "need libraries not present in this environment"
+            )
+        frames.append(decode_jpeg(s))
+    return frames
+
+
 def ppm_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
     """REAL image resize for netpbm payloads: nearest-neighbor via numpy
     index maps, re-encoded as the same P5/P6 format. Slots into

@@ -107,11 +107,15 @@ PRUNE_BUILD_ROWS = 2_000_000
 # branch would each do) repeats real work — shuffles, sorts, or per-row
 # Python — so the frame is materialized ONCE up front instead.
 _EXPENSIVE_PLAN_NODES = (
+    # NOT listed: Union — a union's recompute cost is its children's, and
+    # any expensive child shows its own token in the subtree string (a
+    # union of two document-scan projections is exactly the cheap case:
+    # flagging it checkpointed q37's whole fat synthesized span table for
+    # nothing, +10 s at ×100)
     "Join",
     "Window",
     "Aggregate",
     "Sort",
-    "Union",
     "Generate",
     "Expand",
     "MapInPandas",
@@ -163,12 +167,14 @@ def _parent_side(
     above it so AQE plans the join from runtime sizes, degrading instead
     of OOMing the cluster.
 
-    The cap check is a plain count over the scan+project plan, never a
-    localCheckpoint: the projection's lineage IS a parquet scan, and
+    The cap check is a plain count over the scan+project plan, not a
+    full-table localCheckpoint: the projection's lineage IS a parquet
+    scan (callers run expensive lineage through _ensure_cheap first), and
     within one query every hop of the iterative resolvers reuses the
     single built broadcast via ReusedExchange anyway — the eager
-    checkpoint write+read was pure overhead (q22's whole constant factor
-    at spans ×100).
+    checkpoint write+read of the WHOLE projection was q22's constant
+    factor at spans ×100. Only the post-prune remnant (10× smaller) is
+    checkpointed, see below.
 
     ``ref_ids``: single-column (``_p_id``) frame of every id the probe
     side can look up — the union of parent pointers. A build row whose id
@@ -176,13 +182,19 @@ def _parent_side(
     the projection is large (> PRUNE_BUILD_ROWS) it is semi-joined to
     ``ref_ids`` first: leaf spans (the bulk of a real trace table) never
     enter the build, which is routinely the difference between a
-    broadcastable build and a per-hop shuffle join at 100 TB."""
+    broadcastable build and a per-hop shuffle join at 100 TB. The pruned
+    frame is checkpointed (narrow id/name rows — cheap) so the cap
+    re-check and the broadcast build don't each re-run the semi join, and
+    the CAP APPLIES TO THE PRUNED SIZE — what actually ships to
+    executors — so a 10 M-span table whose referenced-parent set is 1 M
+    still gets the broadcast plan (measured 2× on q22 at spans ×100)."""
     if broadcast_parents is None:
         n = parents.count()
         if ref_ids is not None and n > PRUNE_BUILD_ROWS:
             parents = parents.join(
                 ref_ids.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
-            )
+            ).localCheckpoint()
+            n = parents.count()
         return (F.broadcast(parents) if n <= max_rows else parents), n
     return (F.broadcast(parents) if broadcast_parents else parents), None
 
@@ -246,7 +258,13 @@ def resolve_agent_name(
     """
     agents_lc = [a.lower() for a in config_agents]
     distinct_source = parent_source is not None and parent_source is not spans
+    probe_in = spans
     spans = _ensure_cheap(spans)
+    # isEmpty is a separate job, and a separate job REBUILDS the broadcast
+    # side — worth it only when the probe was just materialized (fat
+    # checkpoint branch scans are what the early exit saves); over a lazy
+    # parquet-scan probe the no-op tail hops are cheaper than the check
+    probe_materialized = spans is not probe_in
     source = _ensure_cheap(parent_source) if distinct_source else spans
     # every hop's cursor is a parentObservationId value — of the probe rows
     # at hop 0, of the parent rows after — so the union of parent pointers
@@ -267,7 +285,7 @@ def resolve_agent_name(
         ref_ids=refs,
     )
 
-    pending = (
+    init = (
         spans.withColumn("_cursor", F.col("parentObservationId"))
         .withColumn("agent_name", F.lit(None).cast("string"))
         .withColumn("_fallback", F.lit(None).cast("string"))
@@ -279,22 +297,22 @@ def resolve_agent_name(
     # traffic under broadcast, and no null-cursor rows entering the
     # over-cap shuffle branch's exchange, where they would all hash to one
     # partition (self-inflicted skew exactly at the scale the shuffle
-    # branch exists for). The exit branches stay LAZY: each later branch's
-    # lineage re-runs the earlier hop probes over its (shrinking) subset,
-    # which measures ~7% over the ride-along plan at spans ×100 — per-hop
-    # localCheckpoint was 8× worse (block writes of near-full-width
-    # pending rows), so materialization is deliberately absent here.
-    done: list[DataFrame] = []
+    # branch exists for). One merged exit branch per hop (resolved OR out
+    # of ancestors), and the loop short-circuits via isEmpty() once
+    # pending drains — a trace forest of depth d pays d hops, not
+    # max_hops (the converter's depth-1 traces paid 5 no-op hops and 10
+    # extra branch scans of the fat probe checkpoint before this). The
+    # exit branches stay LAZY: per-hop localCheckpoint measured 8× worse
+    # (block writes of near-full-width pending rows).
+    done: list[DataFrame] = [init.filter(F.col("_cursor").isNull())]
+    pending = init.filter(F.col("_cursor").isNotNull())
     for hop in range(max_hops):
-        done.append(pending.filter(F.col("_cursor").isNull()))
-        pending = pending.filter(F.col("_cursor").isNotNull()).join(
-            parents, F.col("_cursor") == parents["_p_id"], "left"
-        )
+        joined = pending.join(parents, F.col("_cursor") == parents["_p_id"], "left")
         stripped = _strip_subagent(F.col("_p_name"))
         matched = F.lower(stripped).isin(agents_lc)
         fallback = stripped if hop == 0 else F.col("_fallback")
-        pending = (
-            pending.withColumn(
+        joined = (
+            joined.withColumn(
                 "agent_name",
                 F.when(F.col("_p_name").isNotNull() & matched, stripped),
             )
@@ -307,8 +325,16 @@ def resolve_agent_name(
             )
             .drop("_p_id", "_p_name", "_p_parent")
         )
-        done.append(pending.filter(F.col("agent_name").isNotNull()))
-        pending = pending.filter(F.col("agent_name").isNull())
+        done.append(
+            joined.filter(
+                F.col("agent_name").isNotNull() | F.col("_cursor").isNull()
+            )
+        )
+        pending = joined.filter(
+            F.col("agent_name").isNull() & F.col("_cursor").isNotNull()
+        )
+        if probe_materialized and hop < max_hops - 1 and pending.isEmpty():
+            break
     done.append(pending)
     out = reduce(DataFrame.unionByName, done)
     return out.withColumn(
@@ -331,7 +357,9 @@ def resolve_root(
     Build-side policy: :func:`_parent_side` (cap-checked broadcast by
     default; ``False`` forces shuffle joins for span tables whose 2-column
     projection outgrows executor memory)."""
+    probe_in = spans
     spans = _ensure_cheap(spans)
+    probe_materialized = spans is not probe_in  # see resolve_agent_name
     parents, _ = _parent_side(
         spans.select(
             F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
@@ -340,23 +368,27 @@ def resolve_root(
         max_broadcast_parent_rows,
         ref_ids=spans.select(F.col(parent_col).alias("_p_id")),
     )
-    pending = spans.withColumn(out_col, F.col(id_col)).withColumn(
+    init = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )
     # same exit discipline as resolve_agent_name: rows whose cursor is null
     # are at their root and leave the loop — later hops join only rows that
-    # still have an ancestor to walk (lazy branches; see the note there on
-    # why per-hop materialization is deliberately absent).
-    done: list[DataFrame] = []
-    for _ in range(max_hops):
-        done.append(pending.filter(F.col("_cursor").isNull()))
+    # still have an ancestor to walk (lazy branches + isEmpty
+    # short-circuit; see the note there on why per-hop materialization is
+    # deliberately absent).
+    done: list[DataFrame] = [init.filter(F.col("_cursor").isNull())]
+    pending = init.filter(F.col("_cursor").isNotNull())
+    for hop in range(max_hops):
         pending = (
-            pending.filter(F.col("_cursor").isNotNull())
-            .join(parents, F.col("_cursor") == parents["_p_id"], "left")
+            pending.join(parents, F.col("_cursor") == parents["_p_id"], "left")
             .withColumn(out_col, F.coalesce(F.col("_p_id"), F.col(out_col)))
             .withColumn("_cursor", F.col("_p_parent"))
             .drop("_p_id", "_p_parent")
         )
+        done.append(pending.filter(F.col("_cursor").isNull()))
+        pending = pending.filter(F.col("_cursor").isNotNull())
+        if probe_materialized and hop < max_hops - 1 and pending.isEmpty():
+            break
     done.append(pending)
     return reduce(DataFrame.unionByName, done).drop("_cursor")
 

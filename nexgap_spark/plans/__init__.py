@@ -39,6 +39,10 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # resolver replan is re-verified by selfcheck + the new plan audits, and
 # they held r9 driver greens on the same semantics.
 _DRIVER_WINDOW = [
+    # (0) new this round: MJPEG frame-pixel decode (q101 deferred to fit —
+    # its PNG family keeps q110/q97 rows in-window plus the media-family
+    # scale table landed this round)
+    "q113_mjpeg_video_pixels",
     # (a) never externally recorded (rows-only sketches by design)
     "q47_approx_distinct",
     "q63_approx_quantiles",
@@ -91,7 +95,6 @@ _DRIVER_WINDOW = [
     "q97_wav_features",
     "q98_keep_best_per_group",
     "q99_incremental_dedup",
-    "q101_png_features",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

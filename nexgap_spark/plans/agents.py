@@ -1382,3 +1382,90 @@ def q112_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — MJPEG frame-PIXEL decode end-to-end: per doc an MJPEG
+# (Motion-JPEG-in-MP4) file is written with the pure-stdlib muxer whose
+# samples are REAL JPEGs from the from-scratch T.81 encoder, then the
+# pipeline demuxes the samples (mp4.py sample tables) and decodes each to
+# pixels (jpeg.py) — the first query past the container level into frame
+# payloads, closing the video-pixel boundary for the one codec family
+# that needs no inter-frame stack. Gray values are EVEN constants, so the
+# lossy format is exact on solid rasters (DC quant 16 divides 8·v-1024)
+# and every per-frame mean is closed form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_mjpeg_video_pixels",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+         f AS (SELECT doc_id, CAST(j.j AS BIGINT) AS j
+               FROM d, unnest(range(0, nf)) AS j(j))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ROUND(SUM(CAST(2 * ((doc_id * 7 + j * 13) % 120) + 8 AS DOUBLE)), 2)
+               AS mean_sum,
+           ROUND(MAX(CAST(2 * ((doc_id * 7 + j * 13) % 120) + 8 AS DOUBLE)), 2)
+               AS max_mean
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q113_mjpeg_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.jpeg import encode_jpeg
+    from nexgap_spark.operators.mp4 import encode_mp4
+    from nexgap_spark.operators.multimodal import decode_video_frames
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = 2 + i % 3
+                frames = [
+                    encode_jpeg(
+                        np.full(
+                            (16, 16), 2 * ((i * 7 + j * 13) % 120) + 8,
+                            dtype=np.uint8,
+                        )
+                    )
+                    for j in range(nf)
+                ]
+                payloads.append(
+                    encode_mp4(16, 16, nf, fps=10, frames=frames, codec=b"jpeg")
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["video"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                means = [
+                    float(fr.mean()) for fr in decode_video_frames(bytes(r["payload"]))
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(r["media_id"]),
+                        "n_frames": len(means),
+                        "mean_sum": round(sum(means), 2),
+                        "max_mean": round(max(means), 2),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "mean_sum", "max_mean"]
+            )
+
+    out = media.mapInPandas(
+        decode, schema="doc_id long, n_frames long, mean_sum double, max_mean double"
+    )
+    return out.orderBy("doc_id")

@@ -55,7 +55,8 @@ SPAN_QUERIES = ["q21_span_last_per_group", "q22_span_parent_join",
 # case. DuckDB's oracle is golden-by-construction (doc_id arithmetic), so
 # like q37 the signal is Spark's own rows/sec, not the ratio.
 MEDIA_QUERIES = ["q110_jpeg_features", "q111_progressive_jpeg_features",
-                 "q112_mp4_metadata", "q97_wav_features", "q101_png_features"]
+                 "q112_mp4_metadata", "q113_mjpeg_video_pixels",
+                 "q97_wav_features", "q101_png_features"]
 TEXT_MULT = int(os.environ.get("SCALE_BENCH_TEXT_MULT", "10"))
 ANN_MULT = int(os.environ.get("SCALE_BENCH_ANN_MULT", "3"))
 SPAN_MULT = int(os.environ.get("SCALE_BENCH_SPAN_MULT", "10"))

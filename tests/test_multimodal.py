@@ -670,3 +670,31 @@ def test_fmp4_tfhd_base_offset_and_default_size():
     struct.pack_into(">Q", rb, ti + 12, base)
     frames = mp4.demux_video_samples(bytes(rb))
     assert frames == [bytes([k]) * 6 for k in range(3)]
+
+
+def test_mjpeg_video_pixel_decode():
+    # round 10: frame-PIXEL decode for the intra-frame codec family —
+    # MJPEG samples are complete JPEGs, so demux (mp4.py) + the T.81
+    # decoder (jpeg.py) yield real pixel rasters with no codec library.
+    import numpy as np
+
+    from nexgap_spark.operators import mp4
+    from nexgap_spark.operators.jpeg import encode_jpeg
+    from nexgap_spark.operators.multimodal import decode_video_frames
+
+    frames = [
+        encode_jpeg(np.full((16, 24), 2 * k + 10, dtype=np.uint8)) for k in range(4)
+    ]
+    b = mp4.encode_mp4(24, 16, 4, fps=10, frames=frames, codec=b"jpeg")
+    p = mp4.parse_mp4(b)
+    assert p["tracks"][0]["codec"] == "jpeg"
+    out = decode_video_frames(b)
+    assert [f.shape for f in out] == [(16, 24)] * 4
+    # even constant grays survive the lossy format exactly (DC quant 16)
+    assert [int(f.mean()) for f in out] == [10, 12, 14, 16]
+    assert all((f == f.flat[0]).all() for f in out)
+    # max_frames caps the demux, not just the decode
+    assert len(decode_video_frames(b, max_frames=2)) == 2
+    # inter-frame codecs keep the documented boundary
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_video_frames(mp4.encode_mp4(16, 16, 2, fps=10, frame_bytes=8))
