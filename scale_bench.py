@@ -149,6 +149,16 @@ def bench_stream(spark, path: str) -> dict:
     from nexgap_spark.streaming import pipeline as sp
 
     results: dict = {}
+    # Optional RocksDB state store (VERDICT r9 item 7): at 100 TB/day the
+    # HDFS-backed in-memory provider bounds state by executor heap; RocksDB
+    # spills to local disk with the same semantics. Read at query start, so
+    # a session-level conf flip is all a production job needs too.
+    if os.environ.get("SCALE_BENCH_STATE_PROVIDER", "").lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        results["state_provider"] = "rocksdb"
     # several micro-batches (8 files / 2 per trigger) so state genuinely
     # carries across batches instead of one mega-batch
     def _src():
