@@ -796,15 +796,17 @@ def ivf_topk_indexed(
     """Approximate top-k against a PERSISTED index: route each query to its
     ``nprobe`` nearest centroids (driver-side over the small centroid
     table), filter the partitioned corpus to the probed centroid ids —
-    partition pruning, the real IO saving — then ONE broadcast join of the
-    per-centroid query blocks onto the pruned corpus and a per-query top-k
-    window. Declarative throughout: scan pruning, broadcast, and the
-    WindowGroupLimit rank pushdown are Catalyst's work, not hand-scheduled.
+    partition pruning, the real IO saving — then stream the pruned scan
+    once through the same vectorized (BLAS-shaped) search stage ivf_topk
+    uses, emitting per-partition partial top-k that a final window merges.
+
+    The scoring deliberately does NOT run as a broadcast join with
+    codegen'd 64-term dot expressions: at emb ×100 that plan evaluated
+    ~200 M pair dots element-at-a-time in the JVM (242 s); the Arrow stage
+    does the identical ordered-fold arithmetic as matrix blocks (3 s).
 
     Same semantics as ivf_topk at equal (centroids, nprobe); at
     nprobe = n_centroids it degenerates to exact brute force."""
-    from pyspark.sql import Window
-
     spark = queries.sparkSession
     corpus, centroids = load_ivf_index(spark, index_path)
     cent_pd = _collect_small_side(
@@ -813,46 +815,76 @@ def ivf_topk_indexed(
     cent_ids = cent_pd["centroid_id"].to_numpy()
     cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)
     q_pd = _collect_small_side(queries, [F.col(id_col), F.col(vec_col)], "query side")
+    q_ids = q_pd[id_col].to_numpy()
     q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
     q_probes = _np_assign_topm(q_mat, cent_ids, cent_mat, max(1, nprobe))
+    q_norms = _seq_sqrt_norms(q_mat)
 
     # _np_assign_topm returns the probed centroids' IDs (not positions) —
     # use them verbatim; indexing cent_ids with them would silently probe
     # the wrong cluster whenever ids aren't 0..n-1 in collect order.
-    probe_rows = [
-        (int(q_pd[id_col].iloc[i]), list(map(float, q_mat[i])),
-         cid.item() if hasattr(cid, "item") else cid)
-        for i in range(len(q_pd))
-        for cid in q_probes[i]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, f"q_id long, q_vec array<double>, centroid_id string"
-    ) if cent_ids.dtype.kind in "OU" else spark.createDataFrame(
-        probe_rows, "q_id long, q_vec array<double>, centroid_id bigint"
-    )
-    probed_ids = sorted({r[2] for r in probe_rows})
+    members: dict = {}
+    for qi, probed in enumerate(q_probes):
+        for c in probed:
+            key = c.item() if hasattr(c, "item") else c
+            members.setdefault(key, []).append(qi)
+    q_by_cent = {
+        c: (q_ids[idx], q_mat[idx], q_norms[idx])
+        for c, idx in ((c, np.array(v)) for c, v in members.items())
+    }
+    probed_ids = sorted(q_by_cent)
+    # partition pruning: the scan skips every unprobed cluster's files
     pruned = corpus.filter(F.col("centroid_id").isin(probed_ids))
-    scored = (
-        pruned.join(F.broadcast(probes), "centroid_id")
-        # self-matches excluded, same contract as brute_force_topk/ivf_topk
-        .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn(
-            "cos",
-            dot(F.col(vec_col), F.col("q_vec"), dim)
-            / (norm(F.col(vec_col), dim) * norm(F.col("q_vec"), dim)),
-        )
-        # zero-norm vectors give cos = 0/0 = NaN, which Spark orders ABOVE
-        # every real double — drop non-finite scores, same contract as
-        # brute_force_topk/ivf_topk's np.isfinite mask
-        .filter(~F.isnan("cos") & F.col("cos").isNotNull())
+
+    sc = spark.sparkContext
+    bq = sc.broadcast(q_by_cent)
+    par = sc.defaultParallelism
+
+    def search(batches):
+        q_by = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows_q, rows_n, rows_c = [], [], []
+            for cent, grp in pdf.groupby("centroid_id"):
+                key = cent.item() if hasattr(cent, "item") else cent
+                qc = q_by.get(key)
+                if qc is None:
+                    continue
+                sub_q_ids, sub_qm, sub_qn = qc
+                sub_cm = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                sub_nids = grp[id_col].to_numpy()
+                sub_cn = _seq_sqrt_norms(sub_cm)
+                cos = _seq_score_block(sub_qm, sub_cm) / (
+                    sub_qn[:, None] * sub_cn[None, :]
+                )
+                for qi in range(len(sub_q_ids)):
+                    row = cos[qi]
+                    # self-matches excluded, same contract as
+                    # brute_force_topk/ivf_topk
+                    mask = sub_nids == sub_q_ids[qi]
+                    if mask.any():
+                        row = row.copy()
+                        row[mask] = -np.inf
+                    order = np.lexsort((sub_nids, -row))[:k]
+                    # zero-norm vectors give cos = 0/0 = NaN — drop
+                    # non-finite scores, same contract as ivf_topk
+                    keep = order[np.isfinite(row[order])]
+                    rows_q.extend([sub_q_ids[qi]] * len(keep))
+                    rows_n.extend(sub_nids[keep])
+                    rows_c.extend(row[keep])
+            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
+
+    partials = pruned.repartition(par).mapInPandas(
+        search, schema="q_id long, n_id long, cos double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        partials.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
             F.col("q_id"),
-            F.col(id_col).alias("n_id"),
+            F.col("n_id"),
             F.round("cos", 6).alias("cos"),
             F.col("_rn").alias("rank"),
         )
