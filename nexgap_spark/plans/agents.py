@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nexgap_spark.plans.registry import query
-from nexgap_spark.session import load_table as t
+from nexgap_spark.session import fan_out_python_stage, load_table as t
 
 # ---------------------------------------------------------------------------
 # q87 — fuzzifier response contract (X4; fuzzifier_agent.py:210-255).
@@ -718,7 +718,10 @@ def q96_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q97_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.operators.multimodal import encode_wav, extract_features, stdlib_decode_kernel
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -787,7 +790,10 @@ def q101_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stdlib_decode_kernel,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -857,7 +863,10 @@ def q110_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stdlib_decode_kernel,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1237,7 +1246,10 @@ def q111_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFram
         stdlib_decode_kernel,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1324,7 +1336,10 @@ def q112_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         stdlib_decode_kernel,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1417,7 +1432,10 @@ def q113_mjpeg_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.operators.mp4 import encode_mp4
     from nexgap_spark.operators.multimodal import decode_video_frames
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # codec synth/decode below is CPU-bound per ROW: fan out to core
+    # count past the file-split width (a x10 corpus written as 8 files
+    # otherwise runs the whole Arrow stage 8-wide on 32 cores)
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
