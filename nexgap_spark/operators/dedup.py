@@ -677,33 +677,19 @@ def dup_groups(
     )
 
 
-def capped_broadcast(
-    small: DataFrame, *, max_rows: int = 5_000_000, reuse: bool = True
-) -> DataFrame:
+def capped_broadcast(small: DataFrame, *, max_rows: int = 5_000_000) -> DataFrame:
     """Broadcast ``small`` only under an explicit row cap; above it, return
-    it un-hinted so AQE plans the shuffle join.
-
-    ``reuse=True`` (default): localCheckpoint (eager) materializes the frame
-    once so the cap check costs one count, not a second pass over its
-    lineage — and unlike persist(), the blocks are released by the
-    ContextCleaner when the DataFrame goes out of scope. Right whenever the
-    consumer re-reads the frame (iterative resolvers, multi-join pipelines)
-    or the lineage is expensive (the whole shingle→minhash→LSH chain).
-
-    ``reuse=False``: single-use consumers — one join, one read. The eager
-    checkpoint is pure overhead there (write + read back + count for a
-    frame the join reads exactly once), so the cap check runs as a plain
-    count over the UNmaterialized plan and the broadcast (or shuffle)
-    exchange is the only materialization. Costs one extra pass over the
-    lineage, which for the scan+project shapes single-use callers have is
-    far cheaper than materializing the rows.
+    it un-hinted so AQE plans the shuffle join. localCheckpoint (eager)
+    materializes the frame once so the cap check costs one count, not a
+    second pass over its lineage — and unlike persist(), the blocks are
+    released by the ContextCleaner when the DataFrame goes out of scope.
+    Every caller here has an EXPENSIVE build-side lineage (minhash/LSH
+    chains, gram aggregations), so the materialization always pays; the
+    span family, whose build sides are scan+project plans, keeps its own
+    checkpoint-free policy in span_tree._parent_side.
 
     The single definition of the membership-join policy: engine.dedup_corpus
     and dedup_corpus_join both route here so the cap can't drift."""
-    if not reuse:
-        if small.count() <= max_rows:
-            return F.broadcast(small)
-        return small
     small = small.localCheckpoint()
     if small.count() <= max_rows:  # default ≈120 MB of ids
         small = F.broadcast(small)
