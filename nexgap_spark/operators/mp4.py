@@ -264,6 +264,19 @@ def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
     return version, start + 4
 
 
+def _check_count(n: int, entry_size: int, pos: int, box_end: int, typ: str) -> int:
+    """Validate an entry count read from the file against the enclosing
+    box's remaining payload. Corrupt/hostile sample tables can claim
+    billions of entries; unpacking f">{n}I" would then build a huge format
+    string and allocation before failing. Raising ValueError here keeps it
+    a clean parse error (sample_frames' stride fallback applies)."""
+    if n < 0 or pos + n * entry_size > box_end:
+        raise ValueError(
+            f"{typ} claims {n} entries but box has only {box_end - pos} payload bytes"
+        )
+    return n
+
+
 def _parse_track(buf: bytes, start: int, end: int) -> dict:
     info: dict = {
         "track_id": 0,
@@ -320,6 +333,7 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
     if tt:
         _, p = _fullbox(buf, tt[0])
         (n,) = struct.unpack_from(">I", buf, p)
+        _check_count(n, 8, p + 4, tt[1], "stts")
         info["stts"] = [
             struct.unpack_from(">II", buf, p + 4 + 8 * i) for i in range(n)
         ]
@@ -329,8 +343,13 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
         fixed, n = struct.unpack_from(">II", buf, p)
         info["n_samples"] = n
         if fixed:
+            # fixed-size table carries no per-sample array; still bound n so
+            # [fixed] * n can't be a multi-GiB allocation from 8 bytes of input
+            if n > 16_777_216:
+                raise ValueError(f"stsz claims {n} samples (implausible)")
             info["sample_sizes"] = [fixed] * n
         else:
+            _check_count(n, 4, p + 8, sz[1], "stsz")
             info["sample_sizes"] = list(
                 struct.unpack_from(f">{n}I", buf, p + 8)
             )
@@ -338,6 +357,7 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
     if sc:
         _, p = _fullbox(buf, sc[0])
         (n,) = struct.unpack_from(">I", buf, p)
+        _check_count(n, 12, p + 4, sc[1], "stsc")
         info["stsc"] = [
             struct.unpack_from(">III", buf, p + 4 + 12 * i) for i in range(n)
         ]
@@ -345,12 +365,14 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
     if co:
         _, p = _fullbox(buf, co[0])
         (n,) = struct.unpack_from(">I", buf, p)
+        _check_count(n, 4, p + 4, co[1], "stco")
         info["chunk_offsets"] = list(struct.unpack_from(f">{n}I", buf, p + 4))
     else:
         co = _find(buf, s, e, b"co64")
         if co:
             _, p = _fullbox(buf, co[0])
             (n,) = struct.unpack_from(">I", buf, p)
+            _check_count(n, 8, p + 4, co[1], "co64")
             info["chunk_offsets"] = list(
                 struct.unpack_from(f">{n}Q", buf, p + 4)
             )

@@ -17,6 +17,7 @@ external-library slots (real_decode_kernel / real_resize_kernel).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -114,7 +115,9 @@ def sample_frames(
                 if is_mp4(payload):
                     try:
                         slices = demux_video_samples(payload, max_samples=max_frames)
-                    except ValueError:
+                    except (ValueError, struct.error, IndexError, OverflowError):
+                        # struct.error is NOT a ValueError subclass: raw
+                        # unpack_from on a truncated box raises it directly
                         # crawl corpora routinely contain truncated or
                         # malformed containers; one bad row must not kill
                         # the Arrow stage — degrade to the stride slicer

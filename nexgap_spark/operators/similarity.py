@@ -875,8 +875,13 @@ def ivf_topk_indexed(
                     rows_c.extend(row[keep])
             yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
 
+    # derive the id field types from the actual schemas — the corpus id's
+    # native type must survive (hard-coding long would coerce/fail string
+    # or int ids that id_col= legitimately allows)
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
     partials = pruned.repartition(par).mapInPandas(
-        search, schema="q_id long, n_id long, cos double"
+        search, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

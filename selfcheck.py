@@ -24,7 +24,7 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("NEXGAP_SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
     )
-    ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument("--out", default=None)
     ap.add_argument(
         "--only",
         default=None,
@@ -39,6 +39,15 @@ def main() -> int:
         "two rounds running the artifact missed the last-landed query)",
     )
     args = ap.parse_args()
+
+    # resolve the default AFTER parsing: a subset sweep (--only) without an
+    # explicit --out must never overwrite the committed artifact — a None
+    # default distinguishes "user passed --out" from "default" without
+    # scanning sys.argv for substrings
+    if args.out is None:
+        args.out = (
+            "/tmp/correctness_subset.json" if args.only else "CORRECTNESS_LOCAL.json"
+        )
 
     if args.check_fresh:
         from nexgap_spark.plans import QUERIES
@@ -72,8 +81,6 @@ def main() -> int:
     if args.only:
         prefixes = tuple(p.strip() for p in args.only.split(",") if p.strip())
         todo = {n: f for n, f in todo.items() if n.startswith(prefixes)}
-        if "--out" not in " ".join(sys.argv):
-            args.out = "/tmp/correctness_subset.json"
 
     results: dict[str, dict] = {}
     t0 = time.time()

@@ -233,6 +233,31 @@ def test_ivf_index_build_and_query(spark, tmp_path):
             assert abs(ref - r.cos) < 1e-4
 
 
+def test_ivf_index_non_bigint_ids(spark, tmp_path):
+    # the mapInPandas result schema must carry the corpus id's NATIVE type:
+    # string ids (a perfectly legal id_col) would fail or silently coerce
+    # under a hard-coded `n_id long`
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+        .select(F.concat(F.lit("doc_"), F.col("vec_id")).alias("vec_id"), "embedding")
+    )
+    cents = emb.limit(4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_str")
+    build_ivf_index(emb, cents, path)
+    queries = emb.limit(3)
+    out = ivf_topk_indexed(queries, path, k=2, nprobe=4)
+    assert dict(out.dtypes)["n_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r.n_id.startswith("doc_") for r in rows)
+
+
 def test_semantic_dedup(spark):
     # two tight clusters + one singleton: within-cluster near-dups collapse
     # to the min id, cross-cluster similarity is never even computed

@@ -538,6 +538,50 @@ def test_mp4_kernel_dispatch_and_malformed():
         MM.stdlib_decode_kernel(b"\x00\x00\x01\xba mpeg-ps", "video")
 
 
+def test_mp4_hostile_sample_counts():
+    """Corrupt/hostile count fields in sample tables must raise a clean
+    ValueError BEFORE any f">{n}I" format-string build or allocation — on
+    the crawl-corpus path an unvalidated 4-byte count is a per-row DoS."""
+    import struct as _struct
+
+    from nexgap_spark.operators import mp4
+
+    b = mp4.encode_mp4(16, 16, 5, fps=10, frame_bytes=8)
+    # stsz layout: [size][typ][ver/flags][fixed][count]; count at typ+12
+    for typ, count_off in ((b"stsz", 12), (b"stco", 8), (b"stts", 8), (b"stsc", 8)):
+        i = b.find(typ)
+        assert i > 0, typ
+        hostile = bytearray(b)
+        _struct.pack_into(">I", hostile, i + count_off, 0xFFFFFFF0)
+        with pytest.raises(ValueError, match="entries|implausible"):
+            mp4.parse_mp4(bytes(hostile))
+
+
+def test_mp4_struct_error_falls_back_in_sample_frames(spark):
+    """demux raises struct.error (not a ValueError subclass) on some
+    truncated boxes — sample_frames must degrade to the stride slicer for
+    those too, not kill the Arrow stage."""
+    import struct as _struct
+
+    from nexgap_spark.operators import mp4
+
+    def _box(typ, payload=b""):
+        return _struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    # consistent box sizes, but mvhd's fullbox payload is too short for the
+    # header read → raw unpack_from past the buffer → struct.error
+    bad = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+        b"moov", _box(b"mvhd", b"\x00\x00\x00\x00")
+    )
+    with pytest.raises(_struct.error):
+        mp4.demux_video_samples(bad)
+    media = spark.createDataFrame(
+        [(1, "video", bad)], "media_id long, kind string, payload binary"
+    )
+    out = MM.sample_frames(media, max_frames=3, every_n_bytes=8).collect()
+    assert len(out) == 3 and all(len(bytes(r.frame_payload)) == 8 for r in out[:-1])
+
+
 def test_mp4_sample_frames_real_demux(spark):
     from nexgap_spark.operators import mp4
 

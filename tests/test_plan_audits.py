@@ -588,13 +588,22 @@ def test_converter_python_stage_fans_out_past_aqe_coalescing(spark, pipeline):
     assert len(rows_out) >= 80, len(rows_out)
     assert len(pids) >= min(par, len(rows_out)) // 2, pids
 
+    # Plan-shape contract, asserted on the PRE-checkpoint frame: the
+    # resolver may materialize the window output (expensive-lineage guard),
+    # which hides the keyed exchange behind ExistingRDD in the final plan —
+    # so explain the narrowed→window subplan directly, where the
+    # AQE-coalesce-exempt keyed repartition must appear regardless of any
+    # later checkpoint. (The runtime partition-spread assertion above stays
+    # the executed-plan contract.)
+    from nexgap_spark.operators import span_tree
+
+    cheap = span_tree._ensure_cheap(spans)
+    narrowed = span_tree.filter_nonempty_input(
+        span_tree.filter_generation_spans(cheap)
+    )
+    windowed = span_tree.last_generation_per_group(narrowed, pre_partition=par)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
+        windowed.explain("formatted")
     plan = buf.getvalue()
-    # the AQE-exempt keyed exchange feeds the A1 window; in the a4a path
-    # the resolver materializes the window output (expensive-lineage
-    # guard), so the marker lives in the checkpoint's subplan and the
-    # final plan scans it as ExistingRDD — the partition-spread assertion
-    # above is the runtime contract in that case
-    assert "REPARTITION_BY_NUM" in plan or "ExistingRDD" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
