@@ -134,15 +134,24 @@ class Engine:
         use_openai_format: bool = False,
         config_agents: list[str],
         agent_tools: dict[str, list[dict[str, Any]]] | None = None,
+        framework_config: dict[str, Any] | None = None,
     ) -> tuple[DataFrame, str]:
         """Framework-dispatched convert (run_end_to_end.py:429-488): resolve
         the converter strategy for ``framework`` (registered override, else
         the wire-format default) and run it. Returns (records, validator
         mode) so the caller can feed `validate`/`filter_valid` the matching
-        mode without re-resolving."""
+        mode without re-resolving.
+
+        ``framework_config``: when given, it is validated with the
+        strategy's OWN schema gate (framework-config pydantic twin for a4a,
+        nexau_config_schema twin for nexau) before any conversion plan is
+        built — a malformed config raises here, on the driver, never as
+        executor-side errors after broadcast."""
         from nexgap_spark.operators.dispatch import resolve_converter
 
         strat = resolve_converter(framework, use_openai_format=use_openai_format)
+        if framework_config is not None:
+            strat.validate_config(framework_config)
         records = strat.convert(
             spans, config_agents=config_agents, agent_tools=agent_tools
         )

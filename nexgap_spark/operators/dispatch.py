@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame
 from nexgap_spark.operators.converter import convert_spans, convert_spans_nexau
 
 
+def _validate_framework_cfg(cfg: dict[str, Any]) -> dict[str, Any]:
+    from nexgap_spark.sources.config_schema import require_valid_framework_config
+
+    return require_valid_framework_config(cfg)
+
+
+def _validate_nexau_cfg(cfg: dict[str, Any]) -> dict[str, Any]:
+    from nexgap_spark.sources.config_schema import require_valid_nexau_config
+
+    return require_valid_nexau_config(cfg)
+
+
 @dataclass(frozen=True)
 class ConverterStrategy:
     """What `Engine.convert`/`validate`/`emit` need to know per framework."""
@@ -32,6 +44,13 @@ class ConverterStrategy:
     validator_mode: str = "a4a"
     emit_target: str | None = None
     convert: Callable[..., DataFrame] = field(default=convert_spans)
+    # per-strategy config gate: the reference validates each config FORMAT
+    # with its own pydantic model (framework_config_schema vs
+    # nexau_config_schema) before anything consumes it — a malformed config
+    # must fail on the driver, pre-broadcast, not mid-job
+    validate_config: Callable[[dict[str, Any]], dict[str, Any]] = field(
+        default=_validate_framework_cfg
+    )
 
 
 # format defaults — the reference's convert_spans_to_chatcompletion.py
@@ -39,7 +58,10 @@ class ConverterStrategy:
 # XML), run_end_to_end.py:433-437
 OPENAI_DEFAULT = ConverterStrategy(name="openai-default", validator_mode="a4a")
 NEXAU_DEFAULT = ConverterStrategy(
-    name="nexau-default", validator_mode="nexau", convert=convert_spans_nexau
+    name="nexau-default",
+    validator_mode="nexau",
+    convert=convert_spans_nexau,
+    validate_config=_validate_nexau_cfg,
 )
 
 _REGISTRY: dict[str, ConverterStrategy] = {}
@@ -75,7 +97,10 @@ def _make_default_registrations() -> None:
     register_framework(
         "nexau",
         ConverterStrategy(
-            name="nexau", validator_mode="nexau", convert=convert_spans_nexau
+            name="nexau",
+            validator_mode="nexau",
+            convert=convert_spans_nexau,
+            validate_config=_validate_nexau_cfg,
         ),
     )
 

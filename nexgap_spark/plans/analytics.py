@@ -410,13 +410,31 @@ def q58_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q63 — approximate quantiles (KLL/GK-style sketch via approx_percentile):
 # the 100 TB path for q49. Mergeable sketch state → one map-side-combinable
-# shuffle, no global sort. No cross-engine oracle (sketch internals differ
-# by engine/accuracy); the driver records rows-only and
-# tests/test_timeseries.py bounds it against the exact q49 answers.
+# shuffle, no global sort.
+#
+# Oracle note (hash exemption lifted): at the correctness gate's scale
+# (sf0.01, ~3 k rows per priority) accuracy=10000 puts the GK sketch in its
+# EXACT regime (rank error n/accuracy < 1), and Spark's percentile_approx
+# definition — smallest value with ≥ p·N values ≤ it — is DuckDB's
+# quantile_disc, so a value oracle is legitimate there (verified equal on
+# all 5×4 cells). At scale the sketch is approximate by design; its
+# error-bounded behavior vs the exact q49 is pinned in
+# tests/test_timeseries.py::test_q63_approx_quantiles_near_exact.
 # ---------------------------------------------------------------------------
 
 
-@query("q63_approx_quantiles")
+@query(
+    "q63_approx_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n,
+           ROUND(QUANTILE_DISC(o_totalprice, 0.25), 2) AS p25,
+           ROUND(QUANTILE_DISC(o_totalprice, 0.5),  2) AS p50,
+           ROUND(QUANTILE_DISC(o_totalprice, 0.75), 2) AS p75,
+           ROUND(QUANTILE_DISC(o_totalprice, 0.9),  2) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q63_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     pct = F.percentile_approx(

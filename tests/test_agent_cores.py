@@ -491,6 +491,148 @@ def test_agent_tools_map_from_config_validates_then_builds():
         agent_tools_map_from_config(bad)
 
 
+VALID_NEXAU_CFG = {
+    "name": "main_agent",
+    "max_context": 100000,
+    "max_running_subagents": 5,
+    "system_prompt": "You are the coordinating agent.",
+    "system_prompt_type": "jinja",
+    "llm_config": {
+        "model": "some-model",
+        "temperature": 0.7,
+        "max_tokens": 4096,
+        "top_p": 0.9,
+        "frequency_penalty": 0.0,
+        "presence_penalty": 0.0,
+        "timeout": 60,
+        "max_retries": 3,
+        "debug": False,
+    },
+    "tools": [
+        {"name": "search", "yaml_path": "tools/search.yaml", "binding": "pkg.tools:search"},
+        {"name": "read", "yaml_path": "tools/read.yaml", "binding": "pkg.io.files:read_file"},
+    ],
+    "sub_agents": [{"name": "worker", "config_path": "agents/worker.yaml"}],
+}
+
+
+def test_nexau_config_schema_valid_passes():
+    from nexgap_spark.sources.config_schema import (
+        require_valid_nexau_config,
+        validate_nexau_config,
+    )
+
+    assert validate_nexau_config(VALID_NEXAU_CFG) == []
+    assert require_valid_nexau_config(VALID_NEXAU_CFG) is VALID_NEXAU_CFG
+    # minimal config: only the two required fields
+    assert validate_nexau_config({"name": "a", "system_prompt": "p"}) == []
+
+
+def test_nexau_config_schema_llm_ranges_rejected():
+    import copy
+
+    from nexgap_spark.sources.config_schema import validate_nexau_config
+
+    cfg = copy.deepcopy(VALID_NEXAU_CFG)
+    cfg["llm_config"].update(
+        temperature=2.5, top_p=-0.1, frequency_penalty=5, timeout=0, max_retries=-1
+    )
+    errs = validate_nexau_config(cfg)
+    assert any("temperature=2.5 outside [0.0, 2.0]" in e for e in errs)
+    assert any("top_p=-0.1 outside [0.0, 1.0]" in e for e in errs)
+    assert any("frequency_penalty=5.0 outside [-2.0, 2.0]" in e for e in errs)
+    assert any("timeout=0 must be > 0" in e for e in errs)
+    assert any("max_retries=-1 below minimum 0" in e for e in errs)
+
+
+def test_nexau_config_schema_binding_format_and_extras():
+    import copy
+
+    from nexgap_spark.sources.config_schema import (
+        require_valid_nexau_config,
+        validate_nexau_config,
+    )
+
+    cfg = copy.deepcopy(VALID_NEXAU_CFG)
+    cfg["tools"][0]["binding"] = "no colon here"
+    cfg["tools"][1]["name"] = "search"  # duplicate
+    cfg["unexpected"] = 1  # top-level extra='forbid'
+    cfg["system_prompt"] = "  "  # blank after strip
+    cfg["max_context"] = 0
+    cfg["system_prompt_type"] = "yaml"
+    errs = validate_nexau_config(cfg)
+    assert any("not module.path:function_name" in e for e in errs)
+    assert any("duplicate tool name 'search'" in e for e in errs)
+    assert any("unknown top-level field 'unexpected'" in e for e in errs)
+    assert any("missing required field 'system_prompt'" in e for e in errs)
+    assert any("max_context=0 below minimum 1" in e for e in errs)
+    assert any("system_prompt_type must be one of" in e for e in errs)
+    with pytest.raises(ValueError, match="invalid nexau config"):
+        require_valid_nexau_config(cfg)
+    # bindings that SHOULD pass: single module, deep path
+    ok = copy.deepcopy(VALID_NEXAU_CFG)
+    ok["tools"][0]["binding"] = "m:f"
+    ok["tools"][1]["binding"] = "a.b.c.d:run_it"
+    assert validate_nexau_config(ok) == []
+
+
+def test_nexau_config_schema_recursive_sub_agents():
+    import copy
+
+    from nexgap_spark.sources.config_schema import validate_nexau_config
+
+    configs = {
+        "agents/worker.yaml": {"name": "worker", "system_prompt": "w",
+                               "sub_agents": [{"name": "leaf", "config_path": "agents/leaf.yaml"}]},
+        "agents/leaf.yaml": {"name": "leaf", "system_prompt": "", "bad_key": 1},
+    }
+    errs = validate_nexau_config(VALID_NEXAU_CFG, load_sub_agent=configs.__getitem__)
+    # the leaf's violations surface with the full path chain attached
+    assert any("agents/leaf.yaml" in e and "system_prompt" in e for e in errs)
+    assert any("unknown top-level field 'bad_key'" in e for e in errs)
+    # cycles are reported, not followed
+    cyc = copy.deepcopy(VALID_NEXAU_CFG)
+    cyc_configs = {
+        "agents/worker.yaml": {"name": "worker", "system_prompt": "w",
+                               "sub_agents": [{"name": "again", "config_path": "agents/worker.yaml"}]},
+    }
+    errs = validate_nexau_config(cyc, load_sub_agent=cyc_configs.__getitem__)
+    assert any("sub-agent cycle via 'agents/worker.yaml'" in e for e in errs)
+    # unloadable path is a violation, not a crash
+    errs = validate_nexau_config(cyc, load_sub_agent={}.__getitem__)
+    assert any("failed to load" in e for e in errs)
+
+
+def test_nexau_dispatch_strategy_gates_config(spark):
+    # the nexau strategy validates with the NEXAU schema, a4a with the
+    # framework schema — invalid configs fail before any broadcast/convert
+    from nexgap_spark.engine import Engine
+    from nexgap_spark.operators.dispatch import resolve_converter
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import build_spans
+
+    assert resolve_converter("nexau").validate_config(VALID_NEXAU_CFG) is VALID_NEXAU_CFG
+    assert resolve_converter("nexa4a").validate_config(VALID_CFG) is VALID_CFG
+
+    eng = Engine(spark)
+    rows = []
+    for s in build_spans():
+        s = dict(s)
+        if isinstance(s["output"], dict):
+            s["output"] = [s["output"]]
+        rows.append(s)
+    spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA)
+    with pytest.raises(ValueError, match="invalid nexau config"):
+        eng.convert_framework(
+            spans, "nexau", config_agents=[],
+            framework_config={"name": "", "system_prompt": "p"},
+        )
+    out, mode = eng.convert_framework(
+        spans, "nexau", config_agents=[], framework_config=VALID_NEXAU_CFG
+    )
+    assert mode == "nexau" and out.count() > 0
+
+
 def test_parse_new_tag_contract():
     ok = A.parse_new_tag('{"en": "Data Cleaning", "zh": "数据清洗", "id": "clean"}', "p1")
     assert ok == {"en": "Data Cleaning", "zh": "数据清洗", "id": "p1_clean"}

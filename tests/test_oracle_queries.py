@@ -36,14 +36,30 @@ def test_entry_smoke(spark):
 
 
 def test_q47_approx_distinct_within_rsd(spark):
-    # no cross-engine oracle by design; bound the HLL estimate against the
-    # exact distinct counts instead (rsd=0.02 → assert within 5%)
+    # bound the RAW HLL estimates against the exact distinct counts at 5%
+    # (tighter than the 10% contract the registered query/oracle emit as
+    # booleans); q12 computes the exact twin
+    from pyspark.sql import functions as F
+
     from nexgap_spark.plans.registry import QUERIES
+    from nexgap_spark.session import load_table
     from tests.conftest import SF_DIR
 
-    approx = {r.l_returnflag: r for r in QUERIES["q47_approx_distinct"](spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        )
+        .collect()
+    }
     exact = {r.l_returnflag: r for r in QUERIES["q12_distinct_counts"](spark, SF_DIR).collect()}
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k].approx_parts - exact[k].n_parts) <= 0.05 * exact[k].n_parts
         assert abs(approx[k].approx_supps - exact[k].n_supps) <= 0.05 * exact[k].n_supps
+    # the registered query's tolerance booleans must all hold
+    for r in QUERIES["q47_approx_distinct"](spark, SF_DIR).collect():
+        assert r.parts_within_tol and r.supps_within_tol, r
