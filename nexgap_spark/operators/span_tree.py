@@ -204,12 +204,47 @@ def join_parent(
     *,
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
+    trace_col: str | None = None,
 ) -> DataFrame:
     """J1+J2 (reference :454-458, :511-526): attach the parent span's name as
     ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
     the reference's whole-file span_id→span dict. Build-side policy:
-    :func:`_parent_side` (cap-checked broadcast by default)."""
+    :func:`_parent_side` (cap-checked broadcast by default).
+
+    ``trace_col``: trace-co-located mode. A span's parent always lives in
+    the SAME trace (Langfuse semantics; the reference indexes within one
+    trace's span list, :454-458), so naming the trace-id column adds it to
+    the join keys — semantically a no-op, but over a span table stored
+    BUCKETED on ``trace_col`` (sources.bucketed.write_bucketed) the join
+    keys now contain the bucket key and the parent join plans with ZERO
+    exchange (session.py sets requireAllClusterKeysForCoPartition=false):
+    each bucket zips against itself locally. That is the 100 TB at-rest
+    layout for span stores — no broadcast build, no cap policy, and no
+    shuffle whose cost grows with table size; skew is bounded by the
+    largest single trace. Requires non-null trace ids (a null trace
+    cannot co-locate and would lose its parent edge)."""
     spans = _ensure_cheap(spans)
+    if trace_col is not None:
+        # hint("shuffle_hash"): sorted trace/span ids delta-compress so
+        # well that the whole parent side can look broadcastable from file
+        # stats — and broadcasting the FULL table is exactly what this
+        # layout exists to avoid. The hint pins a bucket-local hash join:
+        # with both sides' bucket partitioning already satisfying the
+        # distribution it is exchange-free AND sort-free (measured faster
+        # than the merge hint's per-bucket sorts), and the per-task hash
+        # build is bounded by bucket size — the knob the table owner sizes
+        # to executor memory at write time.
+        parents = spans.select(
+            F.col(trace_col).alias("_p_trace"),
+            F.col("span_id").alias("_p_id"),
+            F.col("span_name").alias("parent_span_name"),
+        ).hint("shuffle_hash")
+        return spans.join(
+            parents,
+            (spans[trace_col] == parents["_p_trace"])
+            & (spans["parentObservationId"] == parents["_p_id"]),
+            "left",
+        ).drop("_p_trace", "_p_id")
     parents, _ = _parent_side(
         spans.select(
             F.col("span_id").alias("_p_id"),
@@ -236,6 +271,7 @@ def resolve_agent_name(
     parent_source: DataFrame | None = None,
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
+    trace_col: str | None = None,
 ) -> DataFrame:
     """J3 (reference :460-509): walk each span's parent chain; the agent name
     is the first ancestor whose span_name (case-insensitively, after
@@ -255,6 +291,11 @@ def resolve_agent_name(
     ``parent_source``: the UNFILTERED span table to resolve parents against
     (the reference indexes the whole file, :454-458); defaults to ``spans``
     itself, which is only correct when nothing has been filtered out yet.
+
+    ``trace_col``: trace-co-located mode (see :func:`join_parent` /
+    :func:`resolve_root`) — every hop joins on (trace, cursor=span), so a
+    probe and parent source both stored bucketed on the trace column walk
+    ancestors with zero exchange and no broadcast build.
     """
     agents_lc = [a.lower() for a in config_agents]
     distinct_source = parent_source is not None and parent_source is not spans
@@ -269,27 +310,75 @@ def resolve_agent_name(
     # every hop's cursor is a parentObservationId value — of the probe rows
     # at hop 0, of the parent rows after — so the union of parent pointers
     # over both frames bounds what any hop can look up (sound prune set)
-    refs = source.select(F.col("parentObservationId").alias("_p_id"))
-    if distinct_source:
-        refs = refs.union(
-            spans.select(F.col("parentObservationId").alias("_p_id"))
-        )
-    parents, _ = _parent_side(
-        source.select(
+    if trace_col is not None:
+        # shuffle_hash hint: see join_parent — pins the exchange-free,
+        # sort-free bucket-local hash join over a broadcast of the full
+        # parent table
+        parents = source.select(
+            F.col(trace_col).alias("_p_trace"),
             F.col("span_id").alias("_p_id"),
             F.col("span_name").alias("_p_name"),
             F.col("parentObservationId").alias("_p_parent"),
-        ),
-        broadcast_parents,
-        max_broadcast_parent_rows,
-        ref_ids=refs,
-    )
+        ).hint("shuffle_hash")
+        drop_cols = ("_p_trace", "_p_id", "_p_name", "_p_parent")
+    else:
+        refs = source.select(F.col("parentObservationId").alias("_p_id"))
+        if distinct_source:
+            refs = refs.union(
+                spans.select(F.col("parentObservationId").alias("_p_id"))
+            )
+        parents, _ = _parent_side(
+            source.select(
+                F.col("span_id").alias("_p_id"),
+                F.col("span_name").alias("_p_name"),
+                F.col("parentObservationId").alias("_p_parent"),
+            ),
+            broadcast_parents,
+            max_broadcast_parent_rows,
+            ref_ids=refs,
+        )
+        drop_cols = ("_p_id", "_p_name", "_p_parent")
 
     init = (
         spans.withColumn("_cursor", F.col("parentObservationId"))
         .withColumn("agent_name", F.lit(None).cast("string"))
         .withColumn("_fallback", F.lit(None).cast("string"))
     )
+
+    if trace_col is not None:
+        # straight-through chain, no exit branches — rationale in
+        # resolve_root's trace mode (branch re-execution multiplies the
+        # bucket-local hash joins; finished rows have a null cursor, which
+        # never matches, so they stream through each probe untouched)
+        out = init
+        for hop in range(max_hops):
+            cond = (out[trace_col] == parents["_p_trace"]) & (
+                F.col("_cursor") == parents["_p_id"]
+            )
+            joined = out.join(parents, cond, "left")
+            stripped = _strip_subagent(F.col("_p_name"))
+            matched = F.lower(stripped).isin(agents_lc)
+            fallback = stripped if hop == 0 else F.col("_fallback")
+            out = (
+                joined.withColumn(
+                    "agent_name",
+                    F.coalesce(
+                        F.col("agent_name"),
+                        F.when(F.col("_p_name").isNotNull() & matched, stripped),
+                    ),
+                )
+                .withColumn("_fallback", fallback)
+                .withColumn(
+                    "_cursor",
+                    F.when(
+                        F.col("agent_name").isNotNull(), F.lit(None).cast("string")
+                    ).otherwise(F.col("_p_parent")),
+                )
+                .drop(*drop_cols)
+            )
+        return out.withColumn(
+            "agent_name", F.coalesce(F.col("agent_name"), F.col("_fallback"))
+        ).drop("_cursor", "_fallback")
 
     # Rows exit the loop the moment they can no longer advance (matched an
     # agent, or ran out of ancestors) and are unioned back at the end, so
@@ -323,7 +412,7 @@ def resolve_agent_name(
                     F.col("agent_name").isNotNull(), F.lit(None).cast("string")
                 ).otherwise(F.col("_p_parent")),
             )
-            .drop("_p_id", "_p_name", "_p_parent")
+            .drop(*drop_cols)
         )
         done.append(
             joined.filter(
@@ -351,26 +440,69 @@ def resolve_root(
     out_col: str = "root_id",
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
+    trace_col: str | None = None,
 ) -> DataFrame:
     """J3 companion: resolve each span's root ancestor by iterative broadcast
     self-join (bounded depth). Rows whose parent is null are their own root.
     Build-side policy: :func:`_parent_side` (cap-checked broadcast by
     default; ``False`` forces shuffle joins for span tables whose 2-column
-    projection outgrows executor memory)."""
+    projection outgrows executor memory).
+
+    ``trace_col``: trace-co-located mode (see :func:`join_parent`). Every
+    hop joins on (trace, cursor=span); over a table bucketed on
+    ``trace_col`` the FIRST hop is exchange-free and each hop's output
+    keeps the bucket partitioning, so the ENTIRE multi-hop walk plans with
+    zero exchange — the walk cost stops growing with table size and is
+    bounded by trace size instead."""
     probe_in = spans
     spans = _ensure_cheap(spans)
     probe_materialized = spans is not probe_in  # see resolve_agent_name
-    parents, _ = _parent_side(
-        spans.select(
-            F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
-        ),
-        broadcast_parents,
-        max_broadcast_parent_rows,
-        ref_ids=spans.select(F.col(parent_col).alias("_p_id")),
-    )
+    if trace_col is not None:
+        # shuffle_hash hint: see join_parent — pins the exchange-free,
+        # sort-free bucket-local hash join over a broadcast of the full
+        # parent table
+        parents = spans.select(
+            F.col(trace_col).alias("_p_trace"),
+            F.col(id_col).alias("_p_id"),
+            F.col(parent_col).alias("_p_parent"),
+        ).hint("shuffle_hash")
+        drop_cols = ("_p_trace", "_p_id", "_p_parent")
+    else:
+        parents, _ = _parent_side(
+            spans.select(
+                F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
+            ),
+            broadcast_parents,
+            max_broadcast_parent_rows,
+            ref_ids=spans.select(F.col(parent_col).alias("_p_id")),
+        )
+        drop_cols = ("_p_id", "_p_parent")
     init = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )
+    if trace_col is not None:
+        # Straight-through chain, NO exit branches: the lazy branch union
+        # exists for the broadcast/shuffle paths, where it keeps resolved
+        # and null-cursor rows out of per-hop probe traffic and exchange
+        # skew — and where each branch's re-execution of its lineage
+        # prefix rides a REUSED broadcast. Here there is no exchange to
+        # skew and no broadcast to reuse: branch k would re-run k
+        # bucket-local hash joins, turning d hops into O(d²) joins
+        # (measured 3.6 s vs 2.0 s at spans ×100). A null cursor never
+        # equals a parent id, so finished rows stream through each hash
+        # probe untouched — the linear chain is d joins, executed once.
+        out = init
+        for _ in range(max_hops):
+            cond = (out[trace_col] == parents["_p_trace"]) & (
+                F.col("_cursor") == parents["_p_id"]
+            )
+            out = (
+                out.join(parents, cond, "left")
+                .withColumn(out_col, F.coalesce(F.col("_p_id"), F.col(out_col)))
+                .withColumn("_cursor", F.col("_p_parent"))
+                .drop(*drop_cols)
+            )
+        return out.drop("_cursor")
     # same exit discipline as resolve_agent_name: rows whose cursor is null
     # are at their root and leave the loop — later hops join only rows that
     # still have an ancestor to walk (lazy branches + isEmpty
@@ -383,7 +515,7 @@ def resolve_root(
             pending.join(parents, F.col("_cursor") == parents["_p_id"], "left")
             .withColumn(out_col, F.coalesce(F.col("_p_id"), F.col(out_col)))
             .withColumn("_cursor", F.col("_p_parent"))
-            .drop("_p_id", "_p_parent")
+            .drop(*drop_cols)
         )
         done.append(pending.filter(F.col("_cursor").isNull()))
         pending = pending.filter(F.col("_cursor").isNotNull())

@@ -67,6 +67,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # A scan bucketed on a SUBSET of a join's keys still co-partitions
+        # the join (rows with equal full keys share the bucket key, hence
+        # the partition); Spark >=3.3 disables using that by default. The
+        # trace-co-located span layout depends on it: spans bucketed by
+        # trace_id join on (trace_id, parent=span) with ZERO exchange.
+        # Purely a planner relaxation — results are unaffected.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Python-worker lifecycle: keep the idle pool big enough that every

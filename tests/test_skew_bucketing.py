@@ -135,3 +135,125 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS users_bucketed")
+
+
+def _derived_span_frame(spark, with_trace=True):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    parent = (
+        F.when(F.col("event_id") % 100 == 0, F.lit(None).cast("long"))
+        .when(F.col("event_id") % 10 == 0, F.col("event_id") - (F.col("event_id") % 100))
+        .otherwise(F.col("event_id") - (F.col("event_id") % 10))
+    )
+    cols = [
+        F.col("event_id").alias("span_id"),
+        parent.alias("parentObservationId"),
+        F.col("event_type").alias("span_name"),
+    ]
+    if with_trace:
+        cols.append((F.col("event_id") - F.col("event_id") % 100).alias("trace_id"))
+    return ev.select(*cols)
+
+
+def test_trace_colocated_parent_join_no_exchange(spark, tmp_path):
+    """The 100 TB span at-rest layout: bucketed on trace_id, parent join
+    keyed (trace, parent=span) plans with ZERO exchange and matches the
+    broadcast-path results exactly."""
+    from nexgap_spark.operators import span_tree
+
+    spans = _derived_span_frame(spark)
+    write_bucketed(
+        spans,
+        "spans_by_trace",
+        str(tmp_path / "spans"),
+        bucket_cols=["trace_id"],
+        buckets=8,
+        sort_cols=["trace_id", "span_id"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = read_bucketed(spark, "spans_by_trace")
+        joined = span_tree.join_parent(t, trace_col="trace_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = sorted(
+            (r.span_id, r.parent_span_name) for r in joined.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = sorted(
+        (r.span_id, r.parent_span_name)
+        for r in span_tree.join_parent(spans).collect()
+    )
+    assert got == want and len(got) == spans.count()
+
+
+def test_trace_colocated_resolve_root_no_exchange(spark, tmp_path):
+    """Multi-hop root walk over the bucketed layout: every hop joins on
+    (trace, cursor=span) — the WHOLE walk plans exchange-free, and equals
+    the broadcast-path resolution."""
+    from nexgap_spark.operators import span_tree
+
+    spans = _derived_span_frame(spark)
+    write_bucketed(
+        spans,
+        "spans_by_trace_rr",
+        str(tmp_path / "spans_rr"),
+        bucket_cols=["trace_id"],
+        buckets=8,
+        sort_cols=["trace_id", "span_id"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = read_bucketed(spark, "spans_by_trace_rr")
+        resolved = span_tree.resolve_root(
+            t, id_col="span_id", parent_col="parentObservationId",
+            max_hops=3, trace_col="trace_id",
+        )
+        plan = resolved._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = sorted((r.span_id, r.root_id) for r in resolved.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = sorted(
+        (r.span_id, r.root_id)
+        for r in span_tree.resolve_root(
+            spans, id_col="span_id", parent_col="parentObservationId", max_hops=3
+        ).collect()
+    )
+    assert got == want
+    # every span's root must be the 100-block root (the derived-forest rule)
+    assert all(root % 100 == 0 for _, root in got)
+    spark.sql("DROP TABLE IF EXISTS spans_by_trace")
+    spark.sql("DROP TABLE IF EXISTS spans_by_trace_rr")
+
+
+def test_trace_colocated_resolve_agent_name_equals_broadcast(spark):
+    """trace_col resolution must be a pure layout optimization — identical
+    agent_name output to the broadcast path on the Langfuse-shaped fixture
+    (string ids, Sub-agent prefixes, config match + fallback)."""
+    from nexgap_spark.operators import span_tree
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+    rows = []
+    for s in build_spans():
+        s = dict(s)
+        if isinstance(s["output"], dict):
+            s["output"] = [s["output"]]
+        rows.append(s)
+    spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA)
+    want = sorted(
+        (r.span_id, r.agent_name)
+        for r in span_tree.resolve_agent_name(spans, CONFIG_AGENTS).collect()
+    )
+    got = sorted(
+        (r.span_id, r.agent_name)
+        for r in span_tree.resolve_agent_name(
+            spans, CONFIG_AGENTS, trace_col="trace_id"
+        ).collect()
+    )
+    assert got == want
