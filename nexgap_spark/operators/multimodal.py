@@ -107,10 +107,12 @@ def sample_frames(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or not r["payload"]:
+            for mid, kind, payload_raw in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or not payload_raw:
                     continue
-                payload = bytes(r["payload"])
+                payload = bytes(payload_raw)
                 slices = None
                 if is_mp4(payload):
                     try:
@@ -134,7 +136,7 @@ def sample_frames(
                 for i, sl in enumerate(slices):
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_payload": sl,
                         }
@@ -207,16 +209,18 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["payload"] is None:
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
                     continue
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "width": width,
                         "height": height,
-                        "payload": kernel(bytes(r["payload"]), width, height),
+                        "payload": kernel(bytes(payload), width, height),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])

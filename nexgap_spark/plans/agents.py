@@ -1466,21 +1466,19 @@ def q113_mjpeg_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
+            # columnar accumulation + zip over columns, not list-of-dicts +
+            # iterrows: both measurably taxed the 50 k-doc stage
+            ids, nfs, sums, maxs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 means = [
-                    float(fr.mean()) for fr in decode_video_frames(bytes(r["payload"]))
+                    float(fr.mean()) for fr in decode_video_frames(bytes(payload))
                 ]
-                rows.append(
-                    {
-                        "doc_id": int(r["media_id"]),
-                        "n_frames": len(means),
-                        "mean_sum": round(sum(means), 2),
-                        "max_mean": round(max(means), 2),
-                    }
-                )
+                ids.append(int(mid))
+                nfs.append(len(means))
+                sums.append(round(sum(means), 2))
+                maxs.append(round(max(means), 2))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_frames", "mean_sum", "max_mean"]
+                {"doc_id": ids, "n_frames": nfs, "mean_sum": sums, "max_mean": maxs}
             )
 
     out = media.mapInPandas(
