@@ -159,6 +159,33 @@ def bench_stream(spark, path: str) -> dict:
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         results["state_provider"] = "rocksdb"
+        # write-amp knobs under test (VERDICT r10 item 4): changelog
+        # checkpointing replaces full-SST-upload-per-batch with an
+        # append-only changelog (snapshot uploads go async/periodic);
+        # boundedMemoryUsage caps block-cache+memtable across instances
+        if os.environ.get("SCALE_BENCH_ROCKSDB_CHANGELOG", "") == "1":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
+            results["rocksdb_changelog"] = True
+        if os.environ.get("SCALE_BENCH_ROCKSDB_NOTRACK", "") == "1":
+            # skips the per-put total-row bookkeeping (numRowsTotal reads
+            # 0) — the documented lever for put-heavy stores like the
+            # stream-stream join's 4 stores/partition
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+                "false",
+            )
+            results["rocksdb_notrack"] = True
+        if os.environ.get("SCALE_BENCH_ROCKSDB_BOUNDED_MEM", "") == "1":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+            )
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048"
+            )
+            results["rocksdb_bounded_mem"] = True
     # several micro-batches (8 files / 2 per trigger) so state genuinely
     # carries across batches instead of one mega-batch
     def _src():
