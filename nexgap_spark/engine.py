@@ -151,7 +151,7 @@ class Engine:
 
         strat = resolve_converter(framework, use_openai_format=use_openai_format)
         if framework_config is not None:
-            strat.validate_config(framework_config)
+            strat.validate(framework_config)
         records = strat.convert(
             spans, config_agents=config_agents, agent_tools=agent_tools
         )

@@ -47,10 +47,18 @@ class ConverterStrategy:
     # per-strategy config gate: the reference validates each config FORMAT
     # with its own pydantic model (framework_config_schema vs
     # nexau_config_schema) before anything consumes it — a malformed config
-    # must fail on the driver, pre-broadcast, not mid-job
-    validate_config: Callable[[dict[str, Any]], dict[str, Any]] = field(
-        default=_validate_framework_cfg
-    )
+    # must fail on the driver, pre-broadcast, not mid-job. None = derive
+    # from validator_mode (so a registration that sets mode='nexau' but
+    # forgets this field cannot silently validate with the wrong schema).
+    validate_config: Callable[[dict[str, Any]], dict[str, Any]] | None = None
+
+    def validate(self, cfg: dict[str, Any]) -> dict[str, Any]:
+        fn = self.validate_config or (
+            _validate_nexau_cfg
+            if self.validator_mode == "nexau"
+            else _validate_framework_cfg
+        )
+        return fn(cfg)
 
 
 # format defaults — the reference's convert_spans_to_chatcompletion.py
@@ -58,10 +66,7 @@ class ConverterStrategy:
 # XML), run_end_to_end.py:433-437
 OPENAI_DEFAULT = ConverterStrategy(name="openai-default", validator_mode="a4a")
 NEXAU_DEFAULT = ConverterStrategy(
-    name="nexau-default",
-    validator_mode="nexau",
-    convert=convert_spans_nexau,
-    validate_config=_validate_nexau_cfg,
+    name="nexau-default", validator_mode="nexau", convert=convert_spans_nexau
 )
 
 _REGISTRY: dict[str, ConverterStrategy] = {}
@@ -97,10 +102,7 @@ def _make_default_registrations() -> None:
     register_framework(
         "nexau",
         ConverterStrategy(
-            name="nexau",
-            validator_mode="nexau",
-            convert=convert_spans_nexau,
-            validate_config=_validate_nexau_cfg,
+            name="nexau", validator_mode="nexau", convert=convert_spans_nexau
         ),
     )
 

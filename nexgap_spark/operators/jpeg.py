@@ -85,6 +85,12 @@ class _HuffTable:
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
+                if code >= (1 << length):
+                    # more codes than the length can hold — keep the
+                    # module's ValueError convention (the old dict-only
+                    # build deferred this to a decode-time ValueError; the
+                    # LUT fill would otherwise IndexError here)
+                    raise ValueError("invalid JPEG: over-subscribed Huffman table")
                 self.lookup[(length, code)] = vals[k]
                 if length <= 8:
                     base = code << (8 - length)
@@ -349,8 +355,10 @@ def _render_zz_blocks(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
     block (shared by the baseline scan and the progressive render — the
     per-block 8×8 matmul loop was the q113 media family's hot spot)."""
     by, bx = zz.shape[:2]
-    nat = zz[:, :, _ZZ_PERM].reshape(by, bx, 8, 8)
-    nat = nat * q
+    # float64 BEFORE the dequantize multiply: the progressive path hands
+    # int32 coefficients, and coef*q with a 16-bit DQT can exceed 2^31 —
+    # an int32 product would wrap silently
+    nat = zz[:, :, _ZZ_PERM].reshape(by, bx, 8, 8).astype(np.float64) * q
     blocks = (_DCT_M.T @ nat) @ _DCT_M + 128
     return blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 

@@ -343,10 +343,17 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
         fixed, n = struct.unpack_from(">II", buf, p)
         info["n_samples"] = n
         if fixed:
-            # fixed-size table carries no per-sample array; still bound n so
-            # [fixed] * n can't be a multi-GiB allocation from 8 bytes of input
-            if n > 16_777_216:
-                raise ValueError(f"stsz claims {n} samples (implausible)")
+            # fixed-size table carries no per-sample array; bound n by the
+            # FILE size (each sample occupies >= 1 byte of mdat, so a valid
+            # count can never exceed the byte count) — a fixed cap would
+            # reject structurally valid long tracks (e.g. per-frame PCM
+            # audio passes 16.7M samples in ~6 minutes), while this keeps
+            # [fixed] * n linear in the input instead of 8 bytes -> GiB
+            if n > len(buf):
+                raise ValueError(
+                    f"stsz claims {n} fixed-size samples but the file has "
+                    f"only {len(buf)} bytes"
+                )
             info["sample_sizes"] = [fixed] * n
         else:
             _check_count(n, 4, p + 8, sz[1], "stsz")

@@ -32,7 +32,7 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # and need the external rows_match/schema_match/hash_match record that
 # replaces their r10 "err: no_oracle" rows; (c) the thirteen r8-last-green
 # queries the r10 window deferred (q24-q26, q28-q30, q32/q33, q43-q45,
-# q100, q101); (d) 32 of the remaining r9-last-green queries. Deferred to
+# q100, q101); (d) 31 of the remaining r9-last-green queries. Deferred to
 # r12 (last external green r9, strongest non-driver evidence — all frozen
 # single-expression analytics pinned by selfcheck every round): q01, q08,
 # q10-q15, q17-q19, q46, q64, q65, q66.

@@ -259,6 +259,10 @@ def bench_span_bucketed(spark, con, scaled_dir: str, trials: int = TRIALS) -> di
     from nexgap_spark.operators import span_tree
     from nexgap_spark.sources.bucketed import read_bucketed, write_bucketed
 
+    names = ("q22_bucketed_parent_join", "q23_bucketed_root_walk")
+    if ONLY and not any(n in ONLY for n in names):
+        # nothing selected — don't pay the layout build for an empty result
+        return {}
     table = "scale_spans_by_trace"
     path = f"{scaled_dir}/spans_by_trace"
     ev = spark.read.parquet(f"{scaled_dir}/events.parquet")

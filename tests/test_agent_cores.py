@@ -611,8 +611,16 @@ def test_nexau_dispatch_strategy_gates_config(spark):
     from nexgap_spark.schemas import SPAN_SCHEMA
     from tests.fixtures_spans import build_spans
 
-    assert resolve_converter("nexau").validate_config(VALID_NEXAU_CFG) is VALID_NEXAU_CFG
-    assert resolve_converter("nexa4a").validate_config(VALID_CFG) is VALID_CFG
+    assert resolve_converter("nexau").validate(VALID_NEXAU_CFG) is VALID_NEXAU_CFG
+    assert resolve_converter("nexa4a").validate(VALID_CFG) is VALID_CFG
+    # the gate derives from validator_mode when the field is omitted — a
+    # custom nexau-style registration can't silently get the a4a schema
+    from nexgap_spark.operators.dispatch import ConverterStrategy
+
+    bare = ConverterStrategy(name="custom", validator_mode="nexau")
+    assert bare.validate(VALID_NEXAU_CFG) is VALID_NEXAU_CFG
+    with pytest.raises(ValueError, match="invalid nexau config"):
+        bare.validate(VALID_CFG)
 
     eng = Engine(spark)
     rows = []

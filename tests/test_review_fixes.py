@@ -665,3 +665,50 @@ def test_duckdb_timed_uses_fresh_cursor_per_run():
     finally:
         scale_bench.DUCKDB_TIMEOUT_S = old
         con.close()
+
+
+def test_huff_table_over_subscribed_raises_value_error():
+    # r11 review: the LUT fill would IndexError on an over-subscribed DHT;
+    # the module's convention is ValueError("invalid JPEG: ...") so the
+    # crawl-corpus guards (sample_frames fallback, per-row try) catch it
+    from nexgap_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="over-subscribed"):
+        J._HuffTable([3] + [0] * 15, bytes([1, 2, 3]))
+
+
+def test_render_zz_blocks_dequantizes_in_float64():
+    # r11 review: progressive coefficients arrive int32; coef*q with a
+    # 16-bit DQT can exceed 2^31 — the dequantize must upcast first
+    import numpy as np
+
+    from nexgap_spark.operators import jpeg as J
+
+    zz = np.zeros((1, 1, 64), dtype=np.int32)
+    zz[0, 0, 0] = 2**24
+    q = np.full((8, 8), 65535, dtype=np.int64)
+    out = J._render_zz_blocks(zz, q)
+    # an int32 wrap would go negative / tiny; the true DC is ~1.37e14/8
+    assert float(out.max()) > 1e8
+
+
+def test_stsz_fixed_count_bounded_by_file_not_constant():
+    # r11 review: a fixed cap rejected valid long tracks (per-frame PCM
+    # passes 16.7M samples in minutes); the sound bound is the file size
+    # (every sample occupies >= 1 byte of mdat)
+    import struct as st
+
+    from nexgap_spark.operators import mp4
+
+    b = mp4.encode_mp4(16, 16, 5, fps=10, frame_bytes=8)
+    i = b.find(b"stsz")
+    hostile = bytearray(b)
+    st.pack_into(">I", hostile, i + 8, 2)  # fixed sample size
+    st.pack_into(">I", hostile, i + 12, len(b) + 1)  # count > file bytes
+    with pytest.raises(ValueError, match="fixed-size samples"):
+        mp4.parse_mp4(bytes(hostile))
+    ok = bytearray(b)
+    st.pack_into(">I", ok, i + 8, 2)
+    st.pack_into(">I", ok, i + 12, len(b) // 4)  # large but plausible
+    parsed = mp4.parse_mp4(bytes(ok))
+    assert parsed["tracks"][0]["n_samples"] == len(b) // 4
