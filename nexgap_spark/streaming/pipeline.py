@@ -608,3 +608,51 @@ def incremental_dedup_sink(
         .foreachBatch(write_batch)
         .start()
     )
+
+
+def use_rocksdb_state(
+    spark: SparkSession,
+    *,
+    changelog_checkpointing: bool = True,
+    bounded_memory_mb: int | None = None,
+) -> None:
+    """Flip streaming state storage to RocksDB with the measured
+    best-practice knobs (SCALE.md round-11). The default HDFS-backed
+    provider bounds state by executor heap; RocksDB moves it to local
+    disk with identical semantics. Session-level SQL confs, read at query
+    START — set before ``.start()``, no pipeline change needed.
+
+    ``changelog_checkpointing``: on by default — per-batch full-SST
+    uploads become an append-only changelog with async snapshots; the one
+    knob that measurably moved the write-amp (−22 % on the stream-stream
+    join at events ×100).
+
+    Provider-selection rule (measured): operators whose state WRITES are
+    proportional to the semantic horizon (windowed/session aggs, dedup,
+    custom stateful) run within ~15 % of the memory provider — flip this
+    on whenever state may outgrow heap. Stream-stream joins write every
+    input row into state and pay ~3.5× even tuned; keep the default
+    provider there while the join buffer fits heap."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    if changelog_checkpointing:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    if bounded_memory_mb is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+            str(bounded_memory_mb),
+        )
+
+
+def use_default_state(spark: SparkSession) -> None:
+    """Back to the HDFS-backed in-memory provider (the twin of
+    use_rocksdb_state, for tests and for the stream-stream-join rule)."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -481,3 +481,28 @@ def test_incremental_dedup_sink_across_runs(spark, tmp_path):
     assert kept == {1, 2, 3, 11, 12}
     digests = SP.read_committed_epochs(spark, ledger, "digest string")
     assert digests.count() == 3  # alpha-beta, gamma, delta — NULLs never ledger
+
+
+def test_rocksdb_state_provider_helper(spark, event_stream, tmp_path):
+    """use_rocksdb_state flips the provider + changelog knobs session-wide
+    (read at query start), and a stateful query produces the SAME result
+    under RocksDB as under the default provider."""
+    # default-provider baseline
+    base = SP.run_batch_to_memory(SP.windowed_counts(event_stream), "rk_base")
+    base.processAllAvailable(); base.stop()
+    want = sorted(tuple(r) for r in spark.sql("select * from rk_base").collect())
+
+    SP.use_rocksdb_state(spark, changelog_checkpointing=True, bounded_memory_mb=512)
+    try:
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ) == "true"
+        q = SP.run_batch_to_memory(SP.windowed_counts(event_stream), "rk_rocks")
+        q.processAllAvailable(); q.stop()
+        got = sorted(tuple(r) for r in spark.sql("select * from rk_rocks").collect())
+        assert got == want and len(got) > 0
+    finally:
+        SP.use_default_state(spark)
