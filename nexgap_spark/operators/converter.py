@@ -221,6 +221,7 @@ def convert_spans(
     config_agents: list[str],
     agent_tools: dict[str, list[dict[str, Any]]] | None = None,
     generation_marker: str | tuple[str, ...] = span_tree.GENERATION_MARKERS,
+    trace_col: str | None = None,
 ) -> DataFrame:
     """Full converter pipeline: P2 → P10 → A1 window dedup → J3 agent
     resolution → P3 → per-row document transform (mapInPandas).
@@ -228,6 +229,11 @@ def convert_spans(
     `agent_tools` is captured in the UDF closure; Spark broadcasts it with
     the serialized task (keep it ≤ a few MB, as the reference's MCP cache is,
     docs/converter.md:184-185).
+
+    ``trace_col``: trace-co-located mode — over a span store bucketed on
+    the trace column (span_tree.join_parent's docstring) the J3 resolver
+    runs every hop as an exchange-free bucket-local join instead of the
+    capped-broadcast build. Same output either way (pinned in tests).
     """
     # Materialize an expensive input (synthesized / window-fed span tables)
     # ONCE: the pipeline reads `spans` as the probe AND as the unfiltered
@@ -258,7 +264,7 @@ def convert_spans(
     # parents resolve against the UNFILTERED table — ancestors are usually
     # non-generation spans that P2 just removed
     resolved = span_tree.resolve_agent_name(
-        narrowed, config_agents, parent_source=spans
+        narrowed, config_agents, parent_source=spans, trace_col=trace_col
     )
     resolved = span_tree.exclude_meta(resolved)
 
@@ -286,6 +292,7 @@ def convert_spans_nexau(
     config_agents: list[str] | None = None,
     agent_tools: dict[str, list[dict[str, Any]]] | None = None,
     generation_marker: str | tuple[str, ...] = span_tree.GENERATION_MARKERS,
+    trace_col: str | None = None,
 ) -> DataFrame:
     """NexAU whole-record pipeline (reference
     convert_spans_to_chatcompletion_nexau.py:314-373): P2 → P10 → A1
@@ -316,16 +323,31 @@ def convert_spans_nexau(
     # immediate parent only, resolved against the UNFILTERED span table —
     # parents are usually the non-generation agent spans P2 removed;
     # build side is cap-checked (span_tree._parent_side) like every other
-    # parent join, so a giant span table degrades to a shuffle, not an OOM
-    parents, _ = span_tree._parent_side(
-        spans.select(
-            F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
-        ),
-        None,
-    )
-    resolved = narrowed.join(
-        parents, narrowed["parentObservationId"] == parents["_p_id"], "left"
-    ).drop("_p_id")
+    # parent join, so a giant span table degrades to a shuffle, not an OOM.
+    # trace_col: exchange-free bucket-local join over a trace-bucketed
+    # store instead (span_tree.join_parent's docstring)
+    if trace_col is not None:
+        parents = spans.select(
+            F.col(trace_col).alias("_p_trace"),
+            F.col("span_id").alias("_p_id"),
+            F.col("span_name").alias("agent_name"),
+        ).hint("shuffle_hash")
+        resolved = narrowed.join(
+            parents,
+            (narrowed[trace_col] == parents["_p_trace"])
+            & (narrowed["parentObservationId"] == parents["_p_id"]),
+            "left",
+        ).drop("_p_trace", "_p_id")
+    else:
+        parents, _ = span_tree._parent_side(
+            spans.select(
+                F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
+            ),
+            None,
+        )
+        resolved = narrowed.join(
+            parents, narrowed["parentObservationId"] == parents["_p_id"], "left"
+        ).drop("_p_id")
     resolved = span_tree.exclude_meta(resolved)
 
     out_fields = [f.name for f in NEXAU_CHATCOMPLETION_SCHEMA.fields]

@@ -257,3 +257,33 @@ def test_trace_colocated_resolve_agent_name_equals_broadcast(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_trace_colocated_converter_pipelines_equal(spark):
+    """convert_spans / convert_spans_nexau with trace_col must produce
+    byte-identical records to the broadcast path — the layout mode covers
+    the WHOLE q37-shaped pipeline, not just the standalone joins."""
+    from nexgap_spark.operators.converter import convert_spans, convert_spans_nexau
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+    rows = []
+    for s in build_spans():
+        s = dict(s)
+        if isinstance(s["output"], dict):
+            s["output"] = [s["output"]]
+        rows.append(s)
+    spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA)
+
+    def key(df):
+        return sorted(
+            (r.trace_id, r.span_id, r.agent_name, str(r.messages))
+            for r in df.collect()
+        )
+
+    assert key(convert_spans(spans, config_agents=CONFIG_AGENTS, trace_col="trace_id")) == key(
+        convert_spans(spans, config_agents=CONFIG_AGENTS)
+    )
+    assert key(convert_spans_nexau(spans, trace_col="trace_id")) == key(
+        convert_spans_nexau(spans)
+    )
