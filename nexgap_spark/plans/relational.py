@@ -761,6 +761,12 @@ def q46_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts. A broken sketch flips the booleans and fails the hash. The
 # tighter 5 % bound on the raw estimates is pinned in
 # tests/test_oracle_queries.py::test_q47_approx_distinct_within_rsd.
+#
+# Scale note: carrying the contract in-query costs an Expand (two exact
+# count_distinct columns → 3× row multiplier before the partial agg) —
+# the price of a VALIDATION query, paid once per audit. The production
+# sketch path is approx_count_distinct alone: mergeable KB-sized state,
+# no Expand, no exact twin — that is what runs at 100 TB.
 # ---------------------------------------------------------------------------
 
 
