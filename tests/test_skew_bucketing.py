@@ -287,3 +287,48 @@ def test_trace_colocated_converter_pipelines_equal(spark):
     assert key(convert_spans_nexau(spans, trace_col="trace_id")) == key(
         convert_spans_nexau(spans)
     )
+
+
+def test_trace_colocated_survives_mega_trace_skew(spark, tmp_path):
+    """The layout's documented bound is 'skew limited by the largest single
+    trace' — prove the degenerate case: ONE trace holding most of the
+    table must still join correctly through the bucket-local path (one hot
+    bucket works harder; nothing breaks, nothing is lost)."""
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators import span_tree
+
+    n_hot, n_cold = 50_000, 5_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("span_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") - 1).alias("parentObservationId"),  # one deep chain
+        F.lit("hot").alias("span_name"),
+        F.lit(0).cast("long").alias("trace_id"),
+    )
+    cold = spark.range(n_cold).select(
+        (F.col("id") + 1_000_000).alias("span_id"),
+        F.lit(None).cast("long").alias("parentObservationId"),
+        F.lit("cold").alias("span_name"),
+        (F.col("id") + 1_000_000).alias("trace_id"),
+    )
+    spans = hot.unionByName(cold)
+    write_bucketed(
+        spans, "spans_mega_trace", str(tmp_path / "mega"),
+        bucket_cols=["trace_id"], buckets=8, sort_cols=["trace_id", "span_id"],
+    )
+    try:
+        t = read_bucketed(spark, "spans_mega_trace")
+        joined = span_tree.join_parent(t, trace_col="trace_id")
+        got = (
+            joined.groupBy(
+                F.coalesce("parent_span_name", F.lit("ROOT")).alias("p")
+            ).count().collect()
+        )
+        by = {r.p: r["count"] for r in got}
+        # hot trace: span k's parent is k-1 (named 'hot') except the root
+        assert by == {"hot": n_hot - 1, "ROOT": n_cold + 1}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spans_mega_trace")
