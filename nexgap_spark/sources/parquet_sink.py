@@ -117,3 +117,50 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_mb: int = 256,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files (``ceil(total_bytes / target_mb)`` outputs,
+    round-robin balanced).
+
+    Small-file corpora are the default outcome of incremental ingestion
+    (one file per micro-batch/task) and they hurt twice at scale: metadata
+    storms on the namenode/object store, and — measured in this repo —
+    ``maxPartitionBytes`` PACKING many small files into few scan splits,
+    which serializes per-row Python stages (SCALE.md round-10 media
+    family, 6–15×). ``session.fan_out_python_stage`` guards the latter
+    per-query; compaction fixes the layout once AT REST, which also
+    restores JVM-scan parallelism that the guard deliberately leaves
+    alone.
+
+    Writes to ``out_path`` (never in place — overwriting a directory while
+    scanning it is undefined), returns
+    ``{files_before, bytes, files_after, rows}``. Sizing uses the Hadoop
+    FileSystem API, so any supported scheme works, not just local paths.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    summary = fs.getContentSummary(jpath)
+    total_bytes = summary.getLength()
+    files_before = summary.getFileCount()
+    n_out = max(1, -(-int(total_bytes) // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    jout = jvm.org.apache.hadoop.fs.Path(out_path)
+    files_after = fs.getContentSummary(jout).getFileCount()
+    return {
+        "files_before": int(files_before),
+        "bytes": int(total_bytes),
+        "files_after": int(files_after),
+        "rows": int(rows),
+    }

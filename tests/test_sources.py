@@ -193,3 +193,19 @@ def test_compact_parquet_clustered_ranges_stay_disjoint(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint → point/range filters skip whole files
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from nexgap_spark.sources.parquet_sink import compact_parquet_dir
+
+    src = str(tmp_path / "shards")
+    # the incremental-ingest failure mode: 64 milli-files
+    spark.range(64_000).repartition(64).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet_dir(spark, src, out, target_mb=256)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"] / 8
+    assert stats["rows"] == 64_000
+    got = spark.read.parquet(out)
+    assert got.count() == 64_000
+    assert got.selectExpr("sum(id)").first()[0] == 64_000 * 63_999 // 2
