@@ -106,9 +106,32 @@ def get_spark(
     return spark
 
 
+# Analyzed-scan cache: `spark.read.parquet` pays a file listing + footer
+# schema-inference pass PER CALL — measured ~0.1 s/table, which multiplied
+# into ~0.6 s of driver-side plan-construction for a 5-table join and was
+# a visible share of every sub-second query (the real-deployment analog is
+# registering tables in a catalog ONCE). DataFrames are immutable, so
+# reuse is free; the cached frame pins its file listing, hence
+# invalidate_scan_cache() wherever a directory is rewritten in-place.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_scan_cache(sf_dir: str | None = None) -> None:
+    """Drop cached scans (all, or one directory's): a rewritten path's
+    cached DataFrame holds the OLD file listing and would fail mid-query
+    with deleted-file errors."""
+    if sf_dir is None:
+        _SCAN_CACHE.clear()
+        return
+    key_dir = os.path.abspath(sf_dir)
+    for k in [k for k in _SCAN_CACHE if k[1] == key_dir]:
+        del _SCAN_CACHE[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (column pruning / predicate pushdown apply
-    downstream because this stays a plain parquet scan — no caching here).
+    downstream because this stays a plain parquet scan — no persist()
+    anywhere; only the ANALYZED scan plan is reused across queries).
 
     events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark reads as
     nanosecond longs (nanosAsLong) — normalize to Spark's native µs timestamp
@@ -121,13 +144,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # confs are session-wide). The encoding normalization handles both
     # encodings the driver has shipped (nanos-as-bigint, timestamp_ntz) on
     # every column — don't special-case one column and break on the next
-    # encoding change.
+    # encoding change. Runs per call (cheap conf sets) so a cached frame
+    # never skips the TZ pin on a fresh consumer session.
     from nexgap_spark.operators.timeutil import normalize_ts_encoding, pin_utc_session
 
     pin_utc_session(spark)
-    return normalize_ts_encoding(
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    )
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = normalize_ts_encoding(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        )
+        if len(_SCAN_CACHE) >= 256:
+            _SCAN_CACHE.clear()
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -33,7 +33,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from nexgap_spark.session import get_spark, load_table
+from nexgap_spark.session import get_spark, invalidate_scan_cache, load_table
 
 TEXT_QUERIES = ["q43_dup_groups", "q44_dedup_corpus", "q100_incremental_minhash",
                 "q103_ngram_logprob", "q104_url_dedup", "q108_repeated_spans"]
@@ -77,6 +77,7 @@ def _shifted(df: DataFrame, m: int, id_cols: list[str]) -> DataFrame:
 
 
 def build_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    invalidate_scan_cache(path)  # this dir is about to be rewritten
     docs = load_table(spark, sf_dir, "documents")
     out = _shifted(docs, m, ["doc_id"])
     # salt every token with the replica id → no cross-replica shingle hits
@@ -90,6 +91,7 @@ def build_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
 
 
 def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    invalidate_scan_cache(path)  # this dir is about to be rewritten
     emb = load_table(spark, sf_dir, "embeddings")
     out = _shifted(emb, m, ["vec_id"])
     # circular rotation by 5·rep dims: replica vectors point in genuinely
@@ -114,6 +116,7 @@ def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
     spans_rel rule (root iff event_id % 100 == 0); doc_id shifts disjointly
     (q37 reads only doc_id/source/text prefixes — no text salting needed,
     traces are per-doc so replicas never interact)."""
+    invalidate_scan_cache(path)  # this dir is about to be rewritten
     ev = load_table(spark, sf_dir, "events")
     top = ev.agg(F.max("event_id")).first()[0] + 1
     shift = -(-top // 100) * 100
