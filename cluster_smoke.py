@@ -8,8 +8,8 @@ smoke: catch executor-boundary serialization surprises before a real
 cluster does.
 
 Usage: python cluster_smoke.py  → one JSON line
-  {"local[32]": {q: sec}, "local-cluster[4,8,4096]": {q: sec},
-   "delta": {q: ratio}}
+  {"sf_dir": ..., "local": {q: sec}, "local_cluster": {q: sec},
+   "delta": {q: cluster/local ratio}}
 Queries: the span family (broadcast-build heavy), the dedup headliners
 (shuffle heavy), one ANN probe (broadcast + Arrow stage), one media row
 (Python-worker heavy). sf0.1 catalog queries — small enough that 4 GiB
@@ -40,10 +40,11 @@ TRIALS = int(os.environ.get("CLUSTER_SMOKE_TRIALS", "2"))
 
 def run_master(master: str, sf_dir: str) -> dict[str, float]:
     os.environ["SPARK_MASTER"] = master
-    from pyspark.sql import SparkSession
-
     from nexgap_spark.plans import QUERIES as CATALOG
-    from nexgap_spark.session import get_spark
+    from nexgap_spark.session import get_spark, invalidate_scan_cache
+
+    # cached scans are bound to their session; a new master = new session
+    invalidate_scan_cache()
 
     # First real executor-boundary finding of this smoke: in local[*] the
     # Python workers inherit the driver's sys.path, so the package (and
@@ -73,8 +74,6 @@ def run_master(master: str, sf_dir: str) -> dict[str, float]:
         out[name] = round(best, 2)
         print(f"[smoke] {master} {name}: {best:.2f}s", file=sys.stderr)
     spark.stop()
-    # a stopped session must not leak into the next builder call
-    SparkSession.builder._options.clear()
     return out
 
 

@@ -14,7 +14,12 @@ text analysis, multimodal plumbing) and a Structured Streaming module.
 
 __version__ = "0.1.0"
 
-from nexgap_spark.session import get_spark, load_table, load_tables  # noqa: F401
+from nexgap_spark.session import (  # noqa: F401
+    get_spark,
+    invalidate_scan_cache,
+    load_table,
+    load_tables,
+)
 
 
 def __getattr__(name):

@@ -233,7 +233,11 @@ def convert_spans(
     ``trace_col``: trace-co-located mode — over a span store bucketed on
     the trace column (span_tree.join_parent's docstring) the J3 resolver
     runs every hop as an exchange-free bucket-local join instead of the
-    capped-broadcast build. Same output either way (pinned in tests).
+    capped-broadcast build. Same output as the broadcast path for rows
+    with NON-NULL trace ids (pinned in tests); a NULL trace id cannot
+    co-locate, so such a row keeps agent_name NULL here where the
+    broadcast path would still resolve it — don't enable trace mode on
+    tables with null trace ids.
     """
     # Materialize an expensive input (synthesized / window-fed span tables)
     # ONCE: the pipeline reads `spans` as the probe AND as the unfiltered

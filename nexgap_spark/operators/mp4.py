@@ -343,16 +343,17 @@ def _parse_track(buf: bytes, start: int, end: int) -> dict:
         fixed, n = struct.unpack_from(">II", buf, p)
         info["n_samples"] = n
         if fixed:
-            # fixed-size table carries no per-sample array; bound n by the
-            # FILE size (each sample occupies >= 1 byte of mdat, so a valid
-            # count can never exceed the byte count) — a fixed cap would
-            # reject structurally valid long tracks (e.g. per-frame PCM
-            # audio passes 16.7M samples in ~6 minutes), while this keeps
-            # [fixed] * n linear in the input instead of 8 bytes -> GiB
-            if n > len(buf):
+            # fixed-size table carries no per-sample array; bound n·fixed
+            # by the FILE size (each sample occupies >= fixed bytes of
+            # mdat, so a valid table can never claim more total bytes than
+            # the file holds) — a constant cap would reject structurally
+            # valid long tracks (e.g. per-frame PCM audio passes 16.7M
+            # samples in ~6 minutes), while n alone would let a hostile
+            # (fixed=4096, n=len(buf)) table allocate ~8x the file size
+            if n * fixed > len(buf):
                 raise ValueError(
-                    f"stsz claims {n} fixed-size samples but the file has "
-                    f"only {len(buf)} bytes"
+                    f"stsz claims {n} samples x {fixed} bytes but the file "
+                    f"has only {len(buf)} bytes"
                 )
             info["sample_sizes"] = [fixed] * n
         else:

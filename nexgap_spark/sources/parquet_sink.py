@@ -109,6 +109,13 @@ def compact_parquet(
     df = spark.read.parquet(src)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
+    _compaction_rewrite(df, dst, n_files, sort_cols)
+    return n_files
+
+
+def _compaction_rewrite(df, dst: str, n_files: int, sort_cols: list[str] | None) -> None:
+    """Shared rewrite core for both compaction entry points (rows-targeted
+    compact_parquet, bytes-targeted compact_parquet_dir)."""
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -116,7 +123,6 @@ def compact_parquet(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)
-    return n_files
 
 
 def compact_parquet_dir(
@@ -125,10 +131,12 @@ def compact_parquet_dir(
     out_path: str,
     *,
     target_mb: int = 256,
+    sort_cols: list[str] | None = None,
 ) -> dict:
-    """Small-file compaction: rewrite a parquet directory into
-    size-targeted files (``ceil(total_bytes / target_mb)`` outputs,
-    round-robin balanced).
+    """BYTES-targeted small-file compaction: rewrite a parquet directory
+    into ``ceil(data_bytes / target_mb)`` files (the rows-targeted twin is
+    :func:`compact_parquet`; both share one rewrite core, including the
+    optional ``sort_cols`` re-clustering).
 
     Small-file corpora are the default outcome of incremental ingestion
     (one file per micro-batch/task) and they hurt twice at scale: metadata
@@ -142,22 +150,33 @@ def compact_parquet_dir(
 
     Writes to ``out_path`` (never in place — overwriting a directory while
     scanning it is undefined), returns
-    ``{files_before, bytes, files_after, rows}``. Sizing uses the Hadoop
-    FileSystem API, so any supported scheme works, not just local paths.
+    ``{files_before, bytes, files_after, rows}`` counting ONLY parquet
+    data files (``_SUCCESS``/checksum artifacts excluded — a local
+    checksummed FS would otherwise double the counts). Sizing uses the
+    Hadoop FileSystem API, so any supported scheme works.
     """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    summary = fs.getContentSummary(jpath)
-    total_bytes = summary.getLength()
-    files_before = summary.getFileCount()
+
+    def _data_file_stats(dir_path: str) -> tuple[int, int]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)
+        n, total = 0, 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # _SUCCESS, .crc, _committed markers
+            n += 1
+            total += st.getLen()
+        return n, total
+
+    files_before, total_bytes = _data_file_stats(path)
     n_out = max(1, -(-int(total_bytes) // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     rows = df.count()
-    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
-    jout = jvm.org.apache.hadoop.fs.Path(out_path)
-    files_after = fs.getContentSummary(jout).getFileCount()
+    _compaction_rewrite(df, out_path, n_out, sort_cols)
+    files_after, _ = _data_file_stats(out_path)
     return {
         "files_before": int(files_before),
         "bytes": int(total_bytes),

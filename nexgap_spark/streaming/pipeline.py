@@ -637,11 +637,13 @@ def use_rocksdb_state(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    if changelog_checkpointing:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-            "true",
-        )
+    # set EVERY knob explicitly both ways — conditional sets would make a
+    # prior call's values sticky (a later use_rocksdb_state() with defaults
+    # would silently inherit an earlier bounded_memory_mb cap)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
     if bounded_memory_mb is not None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
@@ -650,9 +652,21 @@ def use_rocksdb_state(
             "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
             str(bounded_memory_mb),
         )
+    else:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "false"
+        )
 
 
 def use_default_state(spark: SparkSession) -> None:
     """Back to the HDFS-backed in-memory provider (the twin of
-    use_rocksdb_state, for tests and for the stream-stream-join rule)."""
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    use_rocksdb_state, for tests and for the stream-stream-join rule).
+    Clears the rocksdb.* knobs too so a later use_rocksdb_state starts
+    from its own arguments, not leftovers."""
+    for key in (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+    ):
+        spark.conf.unset(key)

@@ -693,9 +693,11 @@ def test_render_zz_blocks_dequantizes_in_float64():
 
 
 def test_stsz_fixed_count_bounded_by_file_not_constant():
-    # r11 review: a fixed cap rejected valid long tracks (per-frame PCM
-    # passes 16.7M samples in minutes); the sound bound is the file size
-    # (every sample occupies >= 1 byte of mdat)
+    # r11 review (two passes): a constant cap rejected valid long tracks
+    # (per-frame PCM passes 16.7M samples in minutes); bounding n alone by
+    # the file size still let (fixed=4096, n=len) allocate ~8x the file.
+    # The sound bound is n * fixed <= file bytes (every sample occupies
+    # >= fixed bytes of mdat).
     import struct as st
 
     from nexgap_spark.operators import mp4
@@ -704,11 +706,17 @@ def test_stsz_fixed_count_bounded_by_file_not_constant():
     i = b.find(b"stsz")
     hostile = bytearray(b)
     st.pack_into(">I", hostile, i + 8, 2)  # fixed sample size
-    st.pack_into(">I", hostile, i + 12, len(b) + 1)  # count > file bytes
-    with pytest.raises(ValueError, match="fixed-size samples"):
+    st.pack_into(">I", hostile, i + 12, len(b) + 1)  # n*fixed > file bytes
+    with pytest.raises(ValueError, match="stsz claims"):
         mp4.parse_mp4(bytes(hostile))
+    # structurally impossible even with n <= file bytes: big fixed size
+    hostile2 = bytearray(b)
+    st.pack_into(">I", hostile2, i + 8, 4096)
+    st.pack_into(">I", hostile2, i + 12, len(b) - 1)
+    with pytest.raises(ValueError, match="stsz claims"):
+        mp4.parse_mp4(bytes(hostile2))
     ok = bytearray(b)
     st.pack_into(">I", ok, i + 8, 2)
-    st.pack_into(">I", ok, i + 12, len(b) // 4)  # large but plausible
+    st.pack_into(">I", ok, i + 12, len(b) // 4)  # n*fixed = len/2: plausible
     parsed = mp4.parse_mp4(bytes(ok))
     assert parsed["tracks"][0]["n_samples"] == len(b) // 4
