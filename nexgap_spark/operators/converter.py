@@ -343,7 +343,7 @@ def convert_spans_nexau(
             "left",
         ).drop("_p_trace", "_p_id")
     else:
-        parents, _ = span_tree._parent_side(
+        parents, _, _hinted = span_tree._parent_side(
             spans.select(
                 F.col("span_id").alias("_p_id"), F.col("span_name").alias("agent_name")
             ),

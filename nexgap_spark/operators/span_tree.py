@@ -191,12 +191,23 @@ def _parent_side(
     if broadcast_parents is None:
         n = parents.count()
         if ref_ids is not None and n > PRUNE_BUILD_ROWS:
+            # ref_ids may be a THUNK: building the prune set can itself be
+            # expensive (a window-fed probe's parent pointers), and it is
+            # only needed on this branch — callers defer materialization
+            # decisions into the callable (resolve_agent_name checkpoints
+            # its probe inside the thunk exactly when the prune fires)
+            refs = ref_ids() if callable(ref_ids) else ref_ids
             parents = parents.join(
-                ref_ids.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
+                refs.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
             ).localCheckpoint()
             n = parents.count()
-        return (F.broadcast(parents) if n <= max_rows else parents), n
-    return (F.broadcast(parents) if broadcast_parents else parents), None
+        hinted = n <= max_rows
+        return (F.broadcast(parents) if hinted else parents), n, hinted
+    return (
+        (F.broadcast(parents) if broadcast_parents else parents),
+        None,
+        bool(broadcast_parents),
+    )
 
 
 def join_parent(
@@ -245,7 +256,7 @@ def join_parent(
             & (spans["parentObservationId"] == parents["_p_id"]),
             "left",
         ).drop("_p_trace", "_p_id")
-    parents, _ = _parent_side(
+    parents, _, _hinted = _parent_side(
         spans.select(
             F.col("span_id").alias("_p_id"),
             F.col("span_name").alias("parent_span_name"),
@@ -300,13 +311,20 @@ def resolve_agent_name(
     agents_lc = [a.lower() for a in config_agents]
     distinct_source = parent_source is not None and parent_source is not spans
     probe_in = spans
-    spans = _ensure_cheap(spans)
-    # isEmpty is a separate job, and a separate job REBUILDS the broadcast
-    # side — worth it only when the probe was just materialized (fat
-    # checkpoint branch scans are what the early exit saves); over a lazy
-    # parquet-scan probe the no-op tail hops are cheaper than the check
-    probe_materialized = spans is not probe_in
-    source = _ensure_cheap(parent_source) if distinct_source else spans
+    if distinct_source:
+        # Probe-checkpoint decision DEFERRED: when the loop runs as a
+        # straight-through chain the probe is consumed exactly once, so
+        # materializing an expensive (window-fed) probe is pure cost there
+        # — the r10 "+0.5 s small-data tax" existed only because the exit-
+        # branch unions re-read the probe per branch, and the chain has no
+        # branches. The shuffle fallback (branch loop) still re-reads it,
+        # so it checkpoints below once the build policy is known.
+        source = _ensure_cheap(parent_source)
+    else:
+        # probe IS the parent source: the cap count + build read its
+        # lineage regardless of loop shape — materialize expensive inputs
+        spans = _ensure_cheap(spans)
+        source = spans
     # every hop's cursor is a parentObservationId value — of the probe rows
     # at hop 0, of the parent rows after — so the union of parent pointers
     # over both frames bounds what any hop can look up (sound prune set)
@@ -321,13 +339,25 @@ def resolve_agent_name(
             F.col("parentObservationId").alias("_p_parent"),
         ).hint("shuffle_hash")
         drop_cols = ("_p_trace", "_p_id", "_p_name", "_p_parent")
+        hinted = False  # irrelevant in trace mode (chain regardless)
     else:
-        refs = source.select(F.col("parentObservationId").alias("_p_id"))
         if distinct_source:
-            refs = refs.union(
-                spans.select(F.col("parentObservationId").alias("_p_id"))
-            )
-        parents, _ = _parent_side(
+            # thunk, not a frame: the prune set includes the PROBE's parent
+            # pointers (hop-0 cursors), and reading them off an expensive
+            # probe lineage should (a) happen only if the prune fires at
+            # all and (b) materialize the probe ONCE for both the prune
+            # and the loop — the nonlocal assignment hands the
+            # checkpointed frame to everything built after this call
+            def refs():
+                nonlocal spans
+                spans = _ensure_cheap(spans)
+                return source.select(
+                    F.col("parentObservationId").alias("_p_id")
+                ).union(spans.select(F.col("parentObservationId").alias("_p_id")))
+
+        else:
+            refs = source.select(F.col("parentObservationId").alias("_p_id"))
+        parents, _, hinted = _parent_side(
             source.select(
                 F.col("span_id").alias("_p_id"),
                 F.col("span_name").alias("_p_name"),
@@ -339,22 +369,36 @@ def resolve_agent_name(
         )
         drop_cols = ("_p_id", "_p_name", "_p_parent")
 
+    use_chain = trace_col is not None or hinted
+    if distinct_source and not use_chain:
+        # shuffle fallback re-reads the probe per exit branch — NOW the
+        # deferred checkpoint pays (see the head of the function)
+        spans = _ensure_cheap(spans)
+    # isEmpty is a separate job, and a separate job REBUILDS the broadcast
+    # side — worth it only when the probe was just materialized (fat
+    # checkpoint branch scans are what the early exit saves); over a lazy
+    # parquet-scan probe the no-op tail hops are cheaper than the check
+    probe_materialized = spans is not probe_in
+
     init = (
         spans.withColumn("_cursor", F.col("parentObservationId"))
         .withColumn("agent_name", F.lit(None).cast("string"))
         .withColumn("_fallback", F.lit(None).cast("string"))
     )
 
-    if trace_col is not None:
+    if use_chain:
         # straight-through chain, no exit branches — rationale in
-        # resolve_root's trace mode (branch re-execution multiplies the
-        # bucket-local hash joins; finished rows have a null cursor, which
-        # never matches, so they stream through each probe untouched)
+        # resolve_root (the chain applies whenever per-hop probe traffic
+        # is exchange-free: the bucket-local trace layout AND the
+        # broadcast build, where consecutive BHJs against the one reused
+        # broadcast fuse into a single codegen pass over the probe);
+        # finished rows have a null cursor, which never matches, so they
+        # stream through each probe untouched
         out = init
         for hop in range(max_hops):
-            cond = (out[trace_col] == parents["_p_trace"]) & (
-                F.col("_cursor") == parents["_p_id"]
-            )
+            cond = F.col("_cursor") == parents["_p_id"]
+            if trace_col is not None:
+                cond = (out[trace_col] == parents["_p_trace"]) & cond
             joined = out.join(parents, cond, "left")
             stripped = _strip_subagent(F.col("_p_name"))
             matched = F.lower(stripped).isin(agents_lc)
@@ -468,7 +512,7 @@ def resolve_root(
         ).hint("shuffle_hash")
         drop_cols = ("_p_trace", "_p_id", "_p_parent")
     else:
-        parents, _ = _parent_side(
+        parents, _, hinted = _parent_side(
             spans.select(
                 F.col(id_col).alias("_p_id"), F.col(parent_col).alias("_p_parent")
             ),
@@ -480,22 +524,26 @@ def resolve_root(
     init = spans.withColumn(out_col, F.col(id_col)).withColumn(
         "_cursor", F.col(parent_col)
     )
-    if trace_col is not None:
-        # Straight-through chain, NO exit branches: the lazy branch union
-        # exists for the broadcast/shuffle paths, where it keeps resolved
-        # and null-cursor rows out of per-hop probe traffic and exchange
-        # skew — and where each branch's re-execution of its lineage
-        # prefix rides a REUSED broadcast. Here there is no exchange to
-        # skew and no broadcast to reuse: branch k would re-run k
-        # bucket-local hash joins, turning d hops into O(d²) joins
-        # (measured 3.6 s vs 2.0 s at spans ×100). A null cursor never
-        # equals a parent id, so finished rows stream through each hash
-        # probe untouched — the linear chain is d joins, executed once.
+    if trace_col is not None or hinted:
+        # Straight-through chain, NO exit branches. The lazy branch union
+        # is ONLY right for the over-cap shuffle fallback, where it keeps
+        # resolved/null-cursor rows out of the per-hop exchange (null-key
+        # skew) — everywhere the per-hop probe is exchange-free it loses:
+        # * bucket-local trace layout: branch k re-runs k hash joins,
+        #   turning d hops into O(d²) joins (3.6 s vs 2.0 s at ×100);
+        # * broadcast build: consecutive BHJs against the ONE reused
+        #   broadcast fuse into a single codegen pass over the probe, so
+        #   the chain reads the probe once and never re-executes branch
+        #   prefixes (6.0 s vs 3.6 s at spans ×100) — and because the
+        #   probe is consumed exactly once, no materialization of it is
+        #   needed for the loop itself.
+        # A null cursor never equals a parent id, so finished rows stream
+        # through each probe untouched — d joins, executed once.
         out = init
         for _ in range(max_hops):
-            cond = (out[trace_col] == parents["_p_trace"]) & (
-                F.col("_cursor") == parents["_p_id"]
-            )
+            cond = F.col("_cursor") == parents["_p_id"]
+            if trace_col is not None:
+                cond = (out[trace_col] == parents["_p_trace"]) & cond
             out = (
                 out.join(parents, cond, "left")
                 .withColumn(out_col, F.coalesce(F.col("_p_id"), F.col(out_col)))
