@@ -146,8 +146,12 @@ class _BitReader:
                 return False
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
         self.nbits += 8
+        # mask to the valid window: without it the Python bignum grows one
+        # byte per fill for the whole entropy segment, making every shift/
+        # mask O(segment size) and whole-scan decode quadratic on large
+        # JPEGs without restart intervals
+        self.bitbuf = ((self.bitbuf << 8) | b) & ((1 << self.nbits) - 1)
         return True
 
     def read_bit(self) -> int:

@@ -134,8 +134,13 @@ def brute_force_topk(
                 rows_c.extend(row[keep])
             yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
 
+    # derive id field types from the actual schemas (same pattern as
+    # ivf_topk_indexed): hard-coding long would coerce/fail string or int
+    # ids that id_col= legitimately allows
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
     partials = corpus.repartition(par).mapInPandas(
-        score, schema="q_id long, n_id long, cos double"
+        score, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -291,7 +296,9 @@ def ivf_topk(
     members: dict[int, list[int]] = {}
     for qi, probed in enumerate(q_probes):
         for c in probed:
-            members.setdefault(int(c), []).append(qi)
+            # .item() (not int()): centroid ids inherit the caller's id
+            # type — string ids are legal, same as ivf_topk_indexed
+            members.setdefault(c.item() if hasattr(c, "item") else c, []).append(qi)
     q_by_cent = {
         c: (q_ids[idx], q_mat[idx], q_norms[idx])
         for c, idx in ((c, np.array(v)) for c, v in members.items())
@@ -312,7 +319,7 @@ def ivf_topk(
             c_norms = _seq_sqrt_norms(cm)
             rows_q, rows_n, rows_c = [], [], []
             for cent in np.unique(assigned):
-                qc = q_by.get(int(cent))
+                qc = q_by.get(cent.item() if hasattr(cent, "item") else cent)
                 if qc is None:
                     continue
                 sub_q_ids, sub_qm, sub_qn = qc
@@ -334,8 +341,11 @@ def ivf_topk(
                     rows_c.extend(row[keep])
             yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "cos": rows_c})
 
+    # derive id field types from the actual schemas (see brute_force_topk)
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
     partials = corpus.repartition(par).mapInPandas(
-        search, schema="q_id long, n_id long, cos double"
+        search, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -596,8 +606,11 @@ def hyperplane_lsh_pairs(
                 "_salt", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
             ).drop("_bsz")
             group_keys = ["bucket", "_salt"]
+    # pair ids inherit the input id type (see brute_force_topk): hard-coded
+    # bigint silently coerced string/int ids passed via id_col=
+    pair_id_type = vectors.schema[id_col].dataType.simpleString()
     return bucketed.groupBy(*group_keys).applyInPandas(
-        _pairs, schema="a bigint, b bigint, cos double"
+        _pairs, schema=f"a {pair_id_type}, b {pair_id_type}, cos double"
     )
 
 

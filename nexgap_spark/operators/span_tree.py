@@ -151,15 +151,38 @@ def _ensure_cheap(df: DataFrame) -> DataFrame:
     return df if _cheap_lineage(df) else df.localCheckpoint()
 
 
+def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> None:
+    """Trace-co-located mode precondition, enforced loudly: every span must
+    carry a non-null trace id — a NULL trace cannot co-locate, so its
+    parent_span_name/agent_name/root_id would quietly come back NULL
+    instead of resolving (silent data degradation, not an error). Over a
+    parquet scan the IS NULL probe is pushed down to row-group null-count
+    stats, so the check is nearly free; ``validate_trace=False`` skips it
+    for callers who have already guaranteed the invariant (or explicitly
+    accept null-trace rows resolving to NULL)."""
+    if not validate or spans.isStreaming:
+        return
+    if not spans.filter(F.col(trace_col).isNull()).isEmpty():
+        raise ValueError(
+            f"trace-co-located mode requires non-null {trace_col!r}: found "
+            "spans with a NULL trace id, whose parent edges would silently "
+            "resolve to NULL instead of failing. Filter or repair them "
+            "first, or pass validate_trace=False to accept NULL resolution "
+            "for those rows."
+        )
+
+
 def _parent_side(
     parents: DataFrame,
     broadcast_parents: bool | None,
     max_rows: int = PARENT_BROADCAST_CAP,
     *,
     ref_ids: DataFrame | None = None,
-) -> tuple[DataFrame, int | None]:
+) -> tuple[DataFrame, int | None, bool]:
     """Single definition of the parent-join build-side policy; returns
-    (side, row_count or None).
+    (side, row_count or None, hinted) — ``hinted`` is True when the side
+    carries a broadcast hint, which callers use to pick the chain loop
+    shape (consecutive BHJs fuse) over the exit-branch shuffle fallback.
 
     ``True``/``False`` force broadcast / shuffle; ``None`` (the default
     everywhere) broadcasts only under the explicit row cap — same policy,
@@ -216,6 +239,7 @@ def join_parent(
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
     trace_col: str | None = None,
+    validate_trace: bool = True,
 ) -> DataFrame:
     """J1+J2 (reference :454-458, :511-526): attach the parent span's name as
     ``parent_span_name`` via a broadcast hash join — the Spark equivalent of
@@ -233,9 +257,11 @@ def join_parent(
     layout for span stores — no broadcast build, no cap policy, and no
     shuffle whose cost grows with table size; skew is bounded by the
     largest single trace. Requires non-null trace ids (a null trace
-    cannot co-locate and would lose its parent edge)."""
+    cannot co-locate and would lose its parent edge — enforced by
+    :func:`_require_colocatable` unless ``validate_trace=False``)."""
     spans = _ensure_cheap(spans)
     if trace_col is not None:
+        _require_colocatable(spans, trace_col, validate_trace)
         # hint("shuffle_hash"): sorted trace/span ids delta-compress so
         # well that the whole parent side can look broadcastable from file
         # stats — and broadcasting the FULL table is exactly what this
@@ -283,6 +309,7 @@ def resolve_agent_name(
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
     trace_col: str | None = None,
+    validate_trace: bool = True,
 ) -> DataFrame:
     """J3 (reference :460-509): walk each span's parent chain; the agent name
     is the first ancestor whose span_name (case-insensitively, after
@@ -329,6 +356,9 @@ def resolve_agent_name(
     # at hop 0, of the parent rows after — so the union of parent pointers
     # over both frames bounds what any hop can look up (sound prune set)
     if trace_col is not None:
+        _require_colocatable(spans, trace_col, validate_trace)
+        if distinct_source:
+            _require_colocatable(source, trace_col, validate_trace)
         # shuffle_hash hint: see join_parent — pins the exchange-free,
         # sort-free bucket-local hash join over a broadcast of the full
         # parent table
@@ -485,6 +515,7 @@ def resolve_root(
     broadcast_parents: bool | None = None,
     max_broadcast_parent_rows: int = PARENT_BROADCAST_CAP,
     trace_col: str | None = None,
+    validate_trace: bool = True,
 ) -> DataFrame:
     """J3 companion: resolve each span's root ancestor by iterative broadcast
     self-join (bounded depth). Rows whose parent is null are their own root.
@@ -502,6 +533,7 @@ def resolve_root(
     spans = _ensure_cheap(spans)
     probe_materialized = spans is not probe_in  # see resolve_agent_name
     if trace_col is not None:
+        _require_colocatable(spans, trace_col, validate_trace)
         # shuffle_hash hint: see join_parent — pins the exchange-free,
         # sort-free bucket-local hash join over a broadcast of the full
         # parent table

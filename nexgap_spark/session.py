@@ -128,6 +128,25 @@ def invalidate_scan_cache(sf_dir: str | None = None) -> None:
         del _SCAN_CACHE[k]
 
 
+def invalidate_scan_path(path: str) -> None:
+    """Drop any cached scan whose table directory overlaps ``path`` — called
+    from every parquet WRITE entry point in this package (parquet_sink
+    writers, the bucketed-layout writer, the ledger append), so an in-place
+    rewrite or append can never serve a stale cached file listing. A cache
+    entry for ``dir/name.parquet`` is invalidated when the written path is
+    inside it OR contains it (a write to the table dir itself, to one of
+    its partition subdirectories, or to a parent tree)."""
+    written = os.path.abspath(path)
+    for k in list(_SCAN_CACHE):
+        table_path = os.path.join(k[1], f"{k[2]}.parquet")
+        if (
+            written == table_path
+            or written.startswith(table_path + os.sep)
+            or table_path.startswith(written + os.sep)
+        ):
+            del _SCAN_CACHE[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (column pruning / predicate pushdown apply
     downstream because this stays a plain parquet scan — no persist()

@@ -50,6 +50,10 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+    # a cached plain-parquet scan of the same directory is now stale
+    from nexgap_spark.session import invalidate_scan_path
+
+    invalidate_scan_path(path)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -25,6 +25,10 @@ def mark_processed(done: DataFrame, ledger_path: str, key: str) -> None:
     """Append newly-processed keys to the ledger table (idempotent:
     duplicates are harmless because readers always ``distinct()``)."""
     done.select(key).distinct().write.mode("append").parquet(ledger_path)
+    # an append changes the file listing — drop any cached scan of it
+    from nexgap_spark.session import invalidate_scan_path
+
+    invalidate_scan_path(ledger_path)
 
 
 def read_ledger(spark: SparkSession, ledger_path: str, key: str) -> DataFrame:

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nexgap_spark.session import invalidate_scan_path
+
 
 def write_partitioned_parquet(
     df: DataFrame,
@@ -29,6 +31,7 @@ def write_partitioned_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_cols).parquet(path)
+    invalidate_scan_path(path)  # a cached scan of this dir is now stale
 
 
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -61,6 +64,7 @@ def write_clustered_parquet(
         else df.repartitionByRange(*cluster_cols)
     )
     out.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+    invalidate_scan_path(path)  # a cached scan of this dir is now stale
 
 
 def read_with_schema_evolution(spark: SparkSession, *paths: str) -> DataFrame:
@@ -123,6 +127,7 @@ def _compaction_rewrite(df, dst: str, n_files: int, sort_cols: list[str] | None)
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)
+    invalidate_scan_path(dst)  # a cached scan of this dir is now stale
 
 
 def compact_parquet_dir(

@@ -300,14 +300,15 @@ def bench_span_bucketed(spark, con, scaled_dir: str, trials: int = TRIALS) -> di
         )
 
     def q23b(t, trace):
-        # max_hops=2 in co-located mode: the oracle walks exactly two
-        # parent levels (p, gp), so two hops IS the matched plan; the
-        # broadcast column keeps the catalog's 3-hop call for continuity
-        # with the r9/r10 rows (its tail hop is nearly free there — the
-        # built broadcast is reused).
+        # max_hops=2 on BOTH variants: the oracle walks exactly two parent
+        # levels (p, gp), so two hops IS the matched plan, and the
+        # side-by-side contrast (spark_sec vs spark_broadcast_path_sec)
+        # must not hide an extra hop of work on the baseline side
+        # (ADVICE r11). The catalog's own q23 keeps its 3-hop call — this
+        # row measures the LAYOUT, not catalog continuity.
         return span_tree.resolve_root(
             t, id_col="span_id", parent_col="parentObservationId",
-            max_hops=2 if trace else 3, trace_col="trace_id" if trace else None,
+            max_hops=2, trace_col="trace_id" if trace else None,
         ).groupBy("root_id").agg(F.count("*").alias("tree_size"))
 
     oracles = {

@@ -720,3 +720,122 @@ def test_stsz_fixed_count_bounded_by_file_not_constant():
     st.pack_into(">I", ok, i + 12, len(b) // 4)  # n*fixed = len/2: plausible
     parsed = mp4.parse_mp4(bytes(ok))
     assert parsed["tracks"][0]["n_samples"] == len(b) // 4
+
+
+# ---------------------------------------------------------------------------
+# round-12 review fixes (ADVICE r11 + VERDICT r11 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _string_id_embeddings(spark, n=40):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+        .select(
+            F.concat(F.lit("doc_"), F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+    )
+
+
+def test_brute_force_topk_non_bigint_ids(spark):
+    # VERDICT r11 item 7: the partial-topk schema must carry the NATIVE id
+    # type — a hard-coded `long` coerced/failed string ids
+    from nexgap_spark.operators.similarity import brute_force_topk
+
+    emb = _string_id_embeddings(spark)
+    out = brute_force_topk(emb.limit(3), emb, k=2)
+    assert dict(out.dtypes)["q_id"] == "string"
+    assert dict(out.dtypes)["n_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r.n_id.startswith("doc_") for r in rows)
+
+
+def test_ivf_topk_non_bigint_ids(spark):
+    from nexgap_spark.operators.similarity import ivf_topk
+
+    emb = _string_id_embeddings(spark)
+    cents = emb.limit(4).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = ivf_topk(emb.limit(3), emb, cents, k=2, nprobe=4)
+    assert dict(out.dtypes)["n_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r.n_id.startswith("doc_") for r in rows)
+
+
+def test_hyperplane_lsh_pairs_non_bigint_ids(spark):
+    from nexgap_spark.operators.similarity import hyperplane_lsh_pairs
+
+    emb = _string_id_embeddings(spark)
+    out = hyperplane_lsh_pairs(emb, n_planes=2)
+    assert dict(out.dtypes)["a"] == "string"
+    assert dict(out.dtypes)["b"] == "string"
+    rows = out.collect()
+    assert rows and all(r.a < r.b for r in rows)
+
+
+def _null_trace_spans(spark):
+    return spark.createDataFrame(
+        [
+            ("t1", "s1", None, "root"),
+            ("t1", "s2", "s1", "child"),
+            (None, "s3", "s1", "orphan-trace"),
+        ],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    )
+
+
+def test_trace_colocated_null_trace_raises(spark):
+    # ADVICE r11: a NULL trace id can't co-locate, so its parent edges would
+    # silently resolve to NULL — misuse must fail loudly by default
+    from nexgap_spark.operators import span_tree
+
+    spans = _null_trace_spans(spark)
+    with pytest.raises(ValueError, match="non-null 'trace_id'"):
+        span_tree.join_parent(spans, trace_col="trace_id")
+    with pytest.raises(ValueError, match="non-null 'trace_id'"):
+        span_tree.resolve_root(
+            spans, parent_col="parentObservationId", trace_col="trace_id"
+        )
+    with pytest.raises(ValueError, match="non-null 'trace_id'"):
+        span_tree.resolve_agent_name(spans, ["root"], trace_col="trace_id")
+
+
+def test_trace_colocated_null_trace_optout(spark):
+    # the documented opt-out keeps the old degrade-to-NULL behavior
+    from nexgap_spark.operators import span_tree
+
+    spans = _null_trace_spans(spark)
+    out = span_tree.join_parent(
+        spans, trace_col="trace_id", validate_trace=False
+    ).collect()
+    by_id = {r.span_id: r for r in out}
+    assert by_id["s2"].parent_span_name == "root"
+    assert by_id["s3"].parent_span_name is None  # the accepted degradation
+
+
+def test_scan_cache_invalidated_by_write_paths(spark, tmp_path):
+    # ADVICE r11: the package's own write entry points must invalidate the
+    # analyzed-scan cache, or an in-place rewrite serves a stale listing
+    from nexgap_spark import session as S
+    from nexgap_spark.sources.parquet_sink import compact_parquet
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    spark.range(10).toDF("x").write.parquet(str(d / "mytab.parquet"))
+    assert S.load_table(spark, str(d), "mytab").count() == 10
+    src = str(tmp_path / "src")
+    spark.range(25).toDF("x").write.parquet(src)
+    compact_parquet(spark, src, str(d / "mytab.parquet"))
+    assert S.load_table(spark, str(d), "mytab").count() == 25
+
+
+def test_jpeg_bitreader_bitbuf_bounded():
+    # ADVICE r11: bitbuf must stay masked to the valid window — an unmasked
+    # bignum grows a byte per fill for the whole entropy segment, making
+    # every read O(segment) and whole-scan decode quadratic
+    from nexgap_spark.operators.jpeg import _BitReader
+
+    data = bytes([0x55] * 5000)
+    br = _BitReader(data, 0)
+    for _ in range(5000 * 8):
+        br.read_bit()
+    assert br.bitbuf.bit_length() <= br.nbits + 8
