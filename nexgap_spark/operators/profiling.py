@@ -91,3 +91,55 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
         min_value.alias("min_value"),
         max_value.alias("max_value"),
     )
+
+
+def profile_columns_approx(
+    df: DataFrame, *, cols: list[str], rsd: float = 0.02, exact_check: bool = False
+) -> DataFrame:
+    """100 TB twin of :func:`profile_columns`: ONE scan, ONE wide agg, and
+    approx_count_distinct (HLL++ — mergeable KB-sized sketch state) in
+    place of the per-value shuffle + exact distinct.
+
+    Plan shape: scan → partial agg (map-side sketches) → single-row final
+    agg → stack() that row to per-column rows. No Expand, no per-value
+    shuffle; shuffle volume is one sketch + four scalars per column per
+    partition, INDEPENDENT of input rows and of column cardinality — this
+    is what runs on a 100 TB fact table, where profile_columns' per-value
+    stage 1 would shuffle the full distinct-value set.
+
+    ``exact_check=True`` additionally computes each column's exact distinct
+    count and emits the sketch CONTRACT — estimate within ±10 % of exact
+    (5× the default rsd, >5σ) — as a deterministic ``distinct_within_tol``
+    boolean, same validation pattern as q47. That path pays the
+    count_distinct Expand and exists for audit queries, not production
+    (``exact_check=False`` emits the raw ``n_distinct_approx`` instead).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"_nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd=rsd).cast("long").alias(f"_ad_{c}")
+        )
+        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        if exact_check:
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_ed_{c}"))
+    one = df.agg(*aggs)
+    if exact_check:
+        tail = (
+            lambda c: f"ABS(_ad_{c} - _ed_{c}) <= 0.10 * _ed_{c}"
+        )
+        tail_name = "distinct_within_tol"
+    else:
+        tail = lambda c: f"_ad_{c}"
+        tail_name = "n_distinct_approx"
+    stacked = ", ".join(
+        f"'{c}', _n - _nn_{c}, _min_{c}, _max_{c}, {tail(c)}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            f"(column_name, n_null, min_value, max_value, {tail_name})"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_null", "min_value", "max_value", tail_name)

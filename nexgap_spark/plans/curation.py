@@ -421,6 +421,44 @@ def q75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q75b — the 100 TB twin of q75: one wide agg with approx_count_distinct
+# sketches instead of the per-value shuffle. Deterministic value oracle via
+# the q47 contract pattern: the sketch estimate must land within ±10 % of
+# exact (5× the configured rsd) — emitted as a boolean both engines' HLL
+# implementations satisfy; n_rows/n_null/min/max stay exact. The in-query
+# exact twin (count_distinct Expand) is the price of a VALIDATION query;
+# the production path is profile_columns_approx(exact_check=False) — one
+# sketch per column per partition, shuffle volume independent of input
+# rows AND column cardinality.
+# ---------------------------------------------------------------------------
+
+
+def _profile_approx_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               MIN({c})::VARCHAR AS min_value,
+               MAX({c})::VARCHAR AS max_value,
+               ABS(APPROX_COUNT_DISTINCT({c}) - COUNT(DISTINCT {c}))
+                 <= 0.10 * COUNT(DISTINCT {c}) AS distinct_within_tol
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q75b_column_profile_approx", oracle=_profile_approx_oracle())
+def q75b_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return profiling.profile_columns_approx(
+        orders, cols=list(_PROFILE_COLS), exact_check=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # q76 — int8 quantization digest + L2 norms for the embedding corpus
 # (storage prep for ANN indexes; digest scalars keep the result hashable).
 # ---------------------------------------------------------------------------
