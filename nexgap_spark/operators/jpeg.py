@@ -231,6 +231,19 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _req(tables: dict, key, kind: str):
+    """Dict lookup that turns a dangling reference (a scan naming a table
+    or component that was never defined — routine in corrupted crawl
+    payloads; found by the r12 fuzz harness as bare KeyErrors) into the
+    documented ValueError the Arrow-stage wrappers catch."""
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(
+            f"invalid JPEG: reference to undefined {kind} {key}"
+        ) from None
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline-sequential (SOF0/1) or progressive (SOF2) JPEG → uint8
     array, (h, w) grayscale or (h, w, 3) RGB. See module docstring."""
@@ -391,8 +404,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                 reader.restart()
                 pred = {cid: 0 for cid, *_ in comps}
             for cid, hi, vi, _tq in comps:
-                dc_t = huff_dc[scan[cid][0]]
-                ac_t = huff_ac[scan[cid][1]]
+                sc = _req(scan, cid, "scan component")
+                dc_t = _req(huff_dc, sc[0], "DC Huffman table")
+                ac_t = _req(huff_ac, sc[1], "AC Huffman table")
                 bxs = grid[cid][1]
                 ci, cv = idxs[cid], vals[cid]
                 for by in range(vi):
@@ -424,7 +438,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
         zz = np.zeros(by * bx * 64, dtype=np.float64)
         if idxs[cid]:
             zz[idxs[cid]] = vals[cid]
-        raw.append(_render_zz_blocks(zz.reshape(by, bx, 64), qt[tq]))
+        raw.append(
+            _render_zz_blocks(zz.reshape(by, bx, 64), _req(qt, tq, "quantization table"))
+        )
     return _finish_planes(raw, comps, h, w, hmax, vmax)
 
 
@@ -498,9 +514,19 @@ class _ProgressiveState:
             if ss != 0:
                 raise ValueError("invalid JPEG: interleaved progressive AC scan")
             dc_tables = {
-                cid: huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                cid: _req(
+                    huff_dc,
+                    _req(scan_tables, cid, "scan component")[0],
+                    "DC Huffman table",
+                )
+                if ah == 0
+                else None
                 for cid in scan_order
             }
+            for cid in scan_order:
+                # a scan naming a component the frame never declared must
+                # fail as a ValueError, not a KeyError mid-MCU-loop
+                _req(self.sampling, cid, "frame component")
             for my in range(self.mcus_y):
                 for mx in range(self.mcus_x):
                     if restart_interval and n_unit and n_unit % restart_interval == 0:
@@ -516,13 +542,25 @@ class _ProgressiveState:
                     n_unit += 1
         else:
             cid = scan_order[0]
-            by_n, bx_n = self.nblocks[cid]
+            by_n, bx_n = _req(self.nblocks, cid, "frame component")
             if ss == 0:
-                dc_t = huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                dc_t = (
+                    _req(
+                        huff_dc,
+                        _req(scan_tables, cid, "scan component")[0],
+                        "DC Huffman table",
+                    )
+                    if ah == 0
+                    else None
+                )
                 ac_t = None
             else:
                 dc_t = None
-                ac_t = huff_ac[scan_tables[cid][1]]
+                ac_t = _req(
+                    huff_ac,
+                    _req(scan_tables, cid, "scan component")[1],
+                    "AC Huffman table",
+                )
             for by in range(by_n):
                 for bx in range(bx_n):
                     if restart_interval and n_unit and n_unit % restart_interval == 0:
@@ -629,7 +667,7 @@ class _ProgressiveState:
 
     def render(self, qt: dict[int, np.ndarray]) -> np.ndarray:
         raw = [
-            _render_zz_blocks(self.coefs[cid], qt[tq])
+            _render_zz_blocks(self.coefs[cid], _req(qt, tq, "quantization table"))
             for cid, _hi, _vi, tq in self.comps
         ]
         return _finish_planes(raw, self.comps, self.h, self.w, self.hmax, self.vmax)

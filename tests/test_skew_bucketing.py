@@ -332,3 +332,155 @@ def test_trace_colocated_survives_mega_trace_skew(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS spans_mega_trace")
+
+
+def test_trace_local_root_walk_zero_join(spark, tmp_path):
+    """r12: the zero-JOIN walk — one Arrow stage over the bucketed layout,
+    no joins/exchanges/broadcasts in the executed plan, results identical
+    to both the broadcast path and the bucket-local join path."""
+    from nexgap_spark.operators import span_tree
+
+    spans = _derived_span_frame(spark)
+    write_bucketed(
+        spans, "spans_local_rr", str(tmp_path / "spans_lrr"),
+        bucket_cols=["trace_id"], buckets=8, sort_cols=["trace_id", "span_id"],
+    )
+    try:
+        t = read_bucketed(spark, "spans_local_rr")
+        resolved = span_tree.resolve_root_trace_local(
+            t, id_col="span_id", parent_col="parentObservationId",
+            max_hops=3, trace_col="trace_id",
+        )
+        plan = resolved._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Broadcast" not in plan, plan
+        got = sorted((r.span_id, r.root_id) for r in resolved.collect())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spans_local_rr")
+    want = sorted(
+        (r.span_id, r.root_id)
+        for r in span_tree.resolve_root(
+            spans, id_col="span_id", parent_col="parentObservationId", max_hops=3
+        ).collect()
+    )
+    assert got == want
+    assert all(root % 100 == 0 for _, root in got)
+
+
+def test_trace_local_root_walk_dangling_parent(spark):
+    """A dangling parent pointer must stop the walk at the last REAL
+    ancestor — the one-join shortcut is provably incorrect here, and the
+    local walk must match the join-based semantics exactly."""
+    from nexgap_spark.operators import span_tree
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", 1, None),      # root
+            ("t1", 2, 1),         # child of root
+            ("t1", 3, 99),        # dangling parent -> own root
+            ("t1", 4, 3),         # child of dangling -> stops at 3
+        ],
+        "trace_id string, span_id long, parentObservationId long",
+    ).repartition(2, "trace_id")
+    got = {
+        r.span_id: r.root_id
+        for r in span_tree.resolve_root_trace_local(
+            spans, max_hops=4, trace_col="trace_id"
+        ).collect()
+    }
+    want = {
+        r.span_id: r.root_id
+        for r in span_tree.resolve_root(spans, max_hops=4).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_trace_local_cross_trace_parent_is_miss(spark):
+    """An ancestor recorded under a DIFFERENT trace is a miss (same as the
+    (trace, span) join keys), even though the id exists in the partition."""
+    from nexgap_spark.operators import span_tree
+
+    spans = spark.createDataFrame(
+        [
+            ("ta", "s1", None, "root-a"),
+            ("tb", "s2", "s1", "child-wrong-trace"),
+        ],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    ).coalesce(1)
+    got = {
+        r.span_id: r.root_id
+        for r in span_tree.resolve_root_trace_local(
+            spans, trace_col="trace_id"
+        ).collect()
+    }
+    assert got == {"s1": "s1", "s2": "s2"}
+    agents = {
+        r.span_id: r.agent_name
+        for r in span_tree.resolve_agent_name_trace_local(
+            spans, ["root-a"], trace_col="trace_id"
+        ).collect()
+    }
+    assert agents["s2"] is None  # cross-trace parent never resolves
+
+
+def test_trace_local_agent_name_equals_broadcast(spark):
+    """Langfuse-shaped fixture (string ids, Sub-agent prefixes, config
+    match + fallback): the local walk must equal the broadcast resolver."""
+    from nexgap_spark.operators import span_tree
+    from nexgap_spark.schemas import SPAN_SCHEMA
+    from tests.fixtures_spans import CONFIG_AGENTS, build_spans
+
+    rows = []
+    for s in build_spans():
+        s = dict(s)
+        if isinstance(s["output"], dict):
+            s["output"] = [s["output"]]
+        rows.append(s)
+    spans = spark.createDataFrame(rows, schema=SPAN_SCHEMA).repartition(
+        4, "trace_id"
+    )
+    want = sorted(
+        (r.span_id, r.agent_name)
+        for r in span_tree.resolve_agent_name(spans, CONFIG_AGENTS).collect()
+    )
+    got = sorted(
+        (r.span_id, r.agent_name)
+        for r in span_tree.resolve_agent_name_trace_local(
+            spans, CONFIG_AGENTS, trace_col="trace_id"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_trace_local_mega_trace_skew(spark, tmp_path):
+    """Degenerate skew: one deep 50k-span chain in a single trace. The
+    local walk is bounded by max_hops exactly like the join paths, and the
+    hot bucket resolves correctly."""
+    from nexgap_spark.operators import span_tree
+
+    n_hot = 20_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("span_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") - 1).alias("parentObservationId"),
+        F.lit("hot").alias("span_name"),
+        F.lit(0).cast("long").alias("trace_id"),
+    )
+    write_bucketed(
+        hot, "spans_local_mega", str(tmp_path / "lmega"),
+        bucket_cols=["trace_id"], buckets=4, sort_cols=["trace_id", "span_id"],
+    )
+    try:
+        t = read_bucketed(spark, "spans_local_mega")
+        got = {
+            r.span_id: r.root_id
+            for r in span_tree.resolve_root_trace_local(
+                t, max_hops=3, trace_col="trace_id"
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spans_local_mega")
+    # span k walks exactly min(k, 3) hops up the chain
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[10] == 7 and got[n_hot - 1] == n_hot - 4
