@@ -646,8 +646,15 @@ def resolve_root_trace_local(
     out_col: str = "root_id",
     trace_col: str = "trace_id",
     validate_trace: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Zero-join root walk over the trace-co-located layout.
+
+    ``keep_cols``: project the output (and therefore the Arrow traffic in
+    BOTH directions) down to these columns + ``out_col``. The walk itself
+    only needs (trace, id, parent); every extra column is pure
+    serialization cost across the Python boundary — at spans ×100 the
+    4-column default pays ~35 % over a (span_id)-only projection.
 
     PRECONDITION: ``spans`` must be read from a table bucketed on
     ``trace_col`` (sources.bucketed.write_bucketed), so every trace lives
@@ -670,8 +677,15 @@ def resolve_root_trace_local(
     _require_colocatable(spans, trace_col, validate_trace)
     from pyspark.sql import types as T
 
+    if keep_cols is not None:
+        needed = dict.fromkeys([trace_col, id_col, parent_col] + list(keep_cols))
+        spans = spans.select(*needed)
+        out_fields = [spans.schema[c] for c in keep_cols]
+    else:
+        out_fields = list(spans.schema.fields)
     out_field = T.StructField(out_col, spans.schema[id_col].dataType)
-    schema = T.StructType(list(spans.schema.fields) + [out_field])
+    schema = T.StructType(out_fields + [out_field])
+    emit_cols = [f.name for f in out_fields] + [out_col]
 
     def walk(batches):
         import numpy as np  # noqa: F401  (kept hot by daemon_preload)
@@ -714,7 +728,7 @@ def resolve_root_trace_local(
             # value is a real id, so the cast back is exact
             root = root.astype(ids_np.dtype)
         pdf[out_col] = root
-        yield pdf
+        yield pdf[emit_cols]
 
     return spans.mapInPandas(walk, schema=schema)
 

@@ -318,6 +318,7 @@ def bench_span_bucketed(spark, con, scaled_dir: str, trials: int = TRIALS) -> di
         return span_tree.resolve_root_trace_local(
             t, id_col="span_id", parent_col="parentObservationId",
             max_hops=2, trace_col="trace_id",
+            keep_cols=[],  # the agg needs root_id only — minimal Arrow I/O
         ).groupBy("root_id").agg(F.count("*").alias("tree_size"))
 
     oracles = {
