@@ -988,10 +988,18 @@ def _wf_staged_sql(where: str = "") -> str:
 def _wf_mock_docs(spark: SparkSession, sf_dir: str, *, max_doc_id: int | None = None):
     """The deterministic per-stage mock responses for the workflow queries
     (one source of truth for q105 and q109)."""
-    d = F.col("doc_id")
     docs = t(spark, sf_dir, "documents")
     if max_doc_id is not None:
-        docs = docs.filter(d < max_doc_id)
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    return _wf_mock_cols(docs)
+
+
+def _wf_mock_cols(docs):
+    """Mock-response columns as pure functions of doc_id — applicable to
+    any frame carrying a doc_id column (the documents table for the
+    catalog queries; spark.range(N) for throughput benches that need a
+    task count independent of corpus size)."""
+    d = F.col("doc_id")
     return docs.select(
         "doc_id",
         F.concat(F.lit("P-"), d).alias("persona"),
