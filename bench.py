@@ -89,6 +89,16 @@ HEADLINE = [
 ]
 
 
+def _query_set() -> list[str]:
+    """HEADLINE by default; BENCH_QUERY_SET=all sweeps the whole catalog
+    (the sf1.0 full-catalog artifact, VERDICT r11 item 5)."""
+    if os.environ.get("BENCH_QUERY_SET", "").lower() == "all":
+        from nexgap_spark.plans import QUERIES
+
+        return list(QUERIES)
+    return HEADLINE
+
+
 def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
     from nexgap_spark.plans import QUERIES
     from nexgap_spark.session import get_spark
@@ -113,7 +123,7 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
-    for name in HEADLINE:
+    for name in _query_set():
         samples: list[float] = []
         n, err = 0, None
         # per-TRIAL fault isolation: one failing query must cost ONE "err"
@@ -175,20 +185,64 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
         )
     times: dict[str, float] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
-    for name in HEADLINE:
+    # per-query oracle timeout (seconds; 0 = off). The full-catalog sf1.0
+    # sweep needs it: DuckDB's recursive-CTE oracles (dup groups) DNF at
+    # scale, and one of them must cost a missing row, not the artifact.
+    timeout_s = float(os.environ.get("BENCH_DUCKDB_TIMEOUT", "0") or 0)
+    for name in _query_set():
         if name not in ORACLES:
             continue
         try:
             best = None
+            dnf = False
             for _ in range(trials):
-                t0 = time.perf_counter()
-                con.sql(ORACLES[name]).fetchall()
-                dt = time.perf_counter() - t0
+                dt = _timed_oracle(con, ORACLES[name], timeout_s)
+                if dt is None:
+                    dnf = True
+                    break
                 best = dt if best is None else min(best, dt)
+            if dnf:
+                print(f"[bench] duckdb {name}: DNF>{timeout_s:.0f}s", file=sys.stderr)
+                continue
             times[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — oracle-side fault isolation
             print(f"[bench] duckdb {name}: ERROR {e}", file=sys.stderr)
     return times
+
+
+def _timed_oracle(con, sql: str, timeout_s: float) -> float | None:
+    """One timed DuckDB run on a FRESH cursor; None = interrupted at
+    timeout_s (same fresh-cursor + only-the-interrupt-maps-to-DNF
+    discipline as scale_bench._duckdb_timed)."""
+    import threading
+
+    import duckdb
+
+    cur = con.cursor()
+    fired = threading.Event()
+
+    def _interrupt() -> None:
+        fired.set()
+        cur.interrupt()
+
+    timer = None
+    if timeout_s > 0:
+        timer = threading.Timer(timeout_s, _interrupt)
+        timer.start()
+    t0 = time.perf_counter()
+    try:
+        cur.sql(sql).fetchall()
+        return time.perf_counter() - t0
+    except duckdb.InterruptException:
+        return None
+    except Exception:
+        if fired.is_set():
+            return None
+        raise
+    finally:
+        if timer is not None:
+            timer.cancel()
+        cur.close()
 
 
 def main() -> None:

@@ -139,6 +139,84 @@ def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
     docs.repartition(8).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
+def build_sf_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    """Full 10-table replication for the sf1.0 full-catalog sweep (VERDICT
+    r11 item 5): every FACT table ×m with referential integrity preserved
+    (TPC-H semantics: region/nation are constant across SF; customer/
+    supplier/part/orders/lineitem scale, and each foreign key shifts by
+    the SAME per-replica constant as the table it references, so replica
+    r of lineitem joins replica r of orders/part/supplier). events keeps
+    the %100-preserving event_id shift (isomorphic derived span forests)
+    and shifts user_id; documents salt their tokens per replica (no
+    cross-replica shingle hits); embeddings rotate per replica (no
+    degenerate cos=1 floods). Same tricks as the family builders."""
+    import os as _os
+
+    if _os.path.isdir(f"{path}/lineitem.parquet"):
+        return  # already built
+    invalidate_scan_cache(path)
+
+    def _max1(df, col):
+        return df.agg(F.max(col)).first()[0] + 1
+
+    for tbl in ("region", "nation"):
+        load_table(spark, sf_dir, tbl).write.mode("overwrite").parquet(
+            f"{path}/{tbl}.parquet"
+        )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c_sh, s_sh, p_sh, o_sh = (
+        _max1(cust, "c_custkey"), _max1(supp, "s_suppkey"),
+        _max1(part, "p_partkey"), _max1(orders, "o_orderkey"),
+    )
+
+    def rep(df):
+        r = spark.range(m).withColumnRenamed("id", "_rep")
+        return df.crossJoin(F.broadcast(r))
+
+    def w(df, tbl, parts=8):
+        df.drop("_rep").repartition(parts).write.mode("overwrite").parquet(
+            f"{path}/{tbl}.parquet"
+        )
+
+    w(rep(cust).withColumn("c_custkey", F.col("c_custkey") + F.col("_rep") * c_sh),
+      "customer")
+    w(rep(supp).withColumn("s_suppkey", F.col("s_suppkey") + F.col("_rep") * s_sh),
+      "supplier")
+    w(rep(part).withColumn("p_partkey", F.col("p_partkey") + F.col("_rep") * p_sh),
+      "part")
+    w(
+        rep(orders)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_rep") * o_sh)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_rep") * c_sh),
+        "orders",
+    )
+    w(
+        rep(li)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * o_sh)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("_rep") * p_sh)
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("_rep") * s_sh),
+        "lineitem", parts=16,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    e_sh = -(-_max1(ev, "event_id") // 100) * 100  # %100-preserving
+    u_sh = _max1(ev, "user_id")
+    out = (
+        rep(ev)
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(e_sh))
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(u_sh))
+        .drop("_rep")
+    )
+    out.repartitionByRange(8, "ts").write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    build_docs_dir(spark, sf_dir, m, path)
+    build_emb_dir(spark, sf_dir, m, path)
+
+
 def bench_stream(spark, path: str) -> dict:
     """Streaming-twin throughput/state rows (VERDICT r8 item 7): run each
     stateful streaming operator over the scaled events dir with
