@@ -138,7 +138,11 @@ def main() -> None:
 
     def builder(q: str, f: str) -> list[str]:
         i = int(q.removeprefix("task-"))
-        return ["/bin/sh", "-c", f"echo 'LangfuseTraceID: t-{i}'; exit {i % 3 == 0}"]
+        # int(), not the bool: 'exit True' is an /bin/sh 'Illegal number'
+        return [
+            "/bin/sh", "-c",
+            f"echo 'LangfuseTraceID: t-{i}'; exit {int(i % 3 == 0)}",
+        ]
 
     def run_exec():
         return run_agent_queries(tasks, command_builder=builder, timeout_s=60).count()

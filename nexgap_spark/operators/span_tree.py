@@ -356,6 +356,12 @@ def resolve_agent_name(
     # at hop 0, of the parent rows after — so the union of parent pointers
     # over both frames bounds what any hop can look up (sound prune set)
     if trace_col is not None:
+        if distinct_source and validate_trace:
+            # the guard's isEmpty job would otherwise re-execute an
+            # expensive probe lineage that the chain then computes AGAIN —
+            # materializing once costs one checkpoint write and both reads
+            # hit it (r12 review finding)
+            spans = _ensure_cheap(spans)
         _require_colocatable(spans, trace_col, validate_trace)
         if distinct_source:
             _require_colocatable(source, trace_col, validate_trace)
@@ -619,6 +625,24 @@ def _local_walk_frames(batches):
     return pd.concat(parts, ignore_index=True) if parts else None
 
 
+def _canon_key(s):
+    """Canonical string rendering for combined trace\\x1fid keys. Arrow
+    hands a NULLABLE int64 column to pandas as float64, so the id column
+    (int64, "7") and the parent cursor (float64, "7.0") would otherwise
+    render DIFFERENT strings for the same id and every dup-keyed lookup
+    would silently miss (r12 review finding). Integral floats render as
+    ints; NaN renders as None so `.isin` misses cleanly."""
+    import pandas as pd
+
+    if s.dtype.kind == "f":
+        return s.map(
+            lambda v: None
+            if pd.isna(v)
+            else (str(int(v)) if float(v).is_integer() else repr(float(v)))
+        )
+    return s.astype(str)
+
+
 def _local_index(pdf, id_col: str, trace_col: str):
     """(index, dup_keyed) for the partition-local parent index.
 
@@ -627,14 +651,47 @@ def _local_index(pdf, id_col: str, trace_col: str):
     under a DIFFERENT trace is treated as a miss, exactly like the
     (trace, span) join keys). If ids collide across traces inside the
     partition (legal in principle, absent in Langfuse data), fall back to
-    a combined trace\\x1fid key, which is slower but exact."""
+    a combined canonical trace\\x1fid key, which is slower but exact."""
     import pandas as pd
 
     idx = pd.Index(pdf[id_col])
     if not idx.has_duplicates:
         return idx, False
-    combined = pdf[trace_col].astype(str) + "\x1f" + pdf[id_col].astype(str)
+    combined = _canon_key(pdf[trace_col]) + "\x1f" + _canon_key(pdf[id_col])
     return pd.Index(combined), True
+
+
+def _guard_id_precision(pdf, id_col: str, parent_col: str) -> None:
+    """Integer ids above 2^53 cannot survive the float64 conversion Arrow
+    applies to the NULLABLE parent column — the precision is lost before
+    this code ever sees the values, so the walk would silently resolve
+    wrong roots. Fail loudly and point at the exact-path alternative
+    (r12 review finding)."""
+    ids = pdf[id_col]
+    if (
+        ids.dtype.kind in "iu"
+        and pdf[parent_col].dtype.kind == "f"
+        and len(ids)
+        and abs(int(ids.max())) >= 2**53
+    ):
+        raise ValueError(
+            f"trace-local walk: {id_col!r} holds integers >= 2^53, which "
+            "lose precision in the Arrow float64 conversion of the nullable "
+            f"{parent_col!r} column — use resolve_root/resolve_agent_name"
+            "(trace_col=) (JVM joins, exact at any id width) instead"
+        )
+
+
+def _dedup_index(series):
+    """Keep the FIRST row per index key — the walk's analog of the
+    reference's span_id→span dict (one entry per id; deterministic under
+    the bucketed layout's sort). Without this, a genuinely duplicated
+    (trace, span) row — routine in append/retry ingest — makes Series.map
+    raise InvalidIndexError and kill the Arrow stage, where the join-based
+    resolvers tolerate duplicates (r12 review finding)."""
+    if series.index.has_duplicates:
+        return series[~series.index.duplicated(keep="first")]
+    return series
 
 
 def resolve_root_trace_local(
@@ -695,14 +752,18 @@ def resolve_root_trace_local(
         if pdf is None:
             return
         idx, dup_keyed = _local_index(pdf, id_col, trace_col)
-        par_s = pd.Series(pdf[parent_col].to_numpy(), index=idx)
+        par_s = _dedup_index(pd.Series(pdf[parent_col].to_numpy(), index=idx))
         if dup_keyed:
-            key_of = lambda trace, ref: trace.astype(str) + "\x1f" + ref.astype(str)
+            key_of = lambda trace, ref: _canon_key(trace) + "\x1f" + _canon_key(ref)
         else:
-            trace_s = pd.Series(pdf[trace_col].to_numpy(), index=idx)
+            trace_s = _dedup_index(
+                pd.Series(pdf[trace_col].to_numpy(), index=idx)
+            )
+        lookup_idx = par_s.index
         row_trace = pd.Series(pdf[trace_col].to_numpy())
         row_trace_np = row_trace.to_numpy()
         ids_np = pdf[id_col].to_numpy()
+        _guard_id_precision(pdf, id_col, parent_col)
         root = ids_np
         cur = pd.Series(pdf[parent_col].to_numpy())
         for _ in range(max_hops):
@@ -710,7 +771,7 @@ def resolve_root_trace_local(
                 break
             look = key_of(row_trace, cur) if dup_keyed else cur
             look = look.where(cur.notna())
-            ok = look.isin(idx)
+            ok = look.isin(lookup_idx)
             if not dup_keyed:
                 # ancestor must live in the SAME trace — == is NaN-safe
                 # (NaN == x is False), so misses and nulls drop out here
@@ -724,8 +785,8 @@ def resolve_root_trace_local(
             root = np.where(ok_np, cur.to_numpy(), root)
             cur = look.map(par_s).where(ok)
         if root.dtype != ids_np.dtype:
-            # numeric path: the NaN-able cursor made root float64; every
-            # value is a real id, so the cast back is exact
+            # numeric path: the NaN-able cursor made root float64; the
+            # precision guard above proved every id round-trips exactly
             root = root.astype(ids_np.dtype)
         pdf[out_col] = root
         yield pdf[emit_cols]
@@ -772,12 +833,18 @@ def resolve_agent_name_trace_local(
         if pdf is None:
             return
         idx, dup_keyed = _local_index(pdf, id_col="span_id", trace_col=trace_col)
-        par_s = pd.Series(pdf["parentObservationId"].to_numpy(), index=idx)
-        name_s = pd.Series(pdf["span_name"].to_numpy(), index=idx)
+        par_s = _dedup_index(
+            pd.Series(pdf["parentObservationId"].to_numpy(), index=idx)
+        )
+        name_s = _dedup_index(pd.Series(pdf["span_name"].to_numpy(), index=idx))
         if dup_keyed:
-            key_of = lambda trace, ref: trace.astype(str) + "\x1f" + ref.astype(str)
+            key_of = lambda trace, ref: _canon_key(trace) + "\x1f" + _canon_key(ref)
         else:
-            trace_s = pd.Series(pdf[trace_col].to_numpy(), index=idx)
+            trace_s = _dedup_index(
+                pd.Series(pdf[trace_col].to_numpy(), index=idx)
+            )
+        lookup_idx = par_s.index
+        _guard_id_precision(pdf, "span_id", "parentObservationId")
         row_trace = pd.Series(pdf[trace_col].to_numpy())
         cur = pd.Series(pdf["parentObservationId"].to_numpy())
         agent = pd.Series([None] * len(pdf), dtype=object)
@@ -788,7 +855,7 @@ def resolve_agent_name_trace_local(
                 break
             look = key_of(row_trace, cur) if dup_keyed else cur
             look = look.where(active)
-            ok = look.isin(idx)
+            ok = look.isin(lookup_idx)
             if not dup_keyed:
                 ok &= look.map(trace_s).to_numpy() == row_trace.to_numpy()
             nm = look.map(name_s).where(ok)

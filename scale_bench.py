@@ -152,8 +152,10 @@ def build_sf_dir(spark, sf_dir: str, m: int, path: str) -> None:
     degenerate cos=1 floods). Same tricks as the family builders."""
     import os as _os
 
-    if _os.path.isdir(f"{path}/lineitem.parquet"):
-        return  # already built
+    if _os.path.isdir(f"{path}/embeddings.parquet"):
+        # probe the LAST artifact written, not the first: a run that died
+        # mid-build must rebuild, not serve a partial directory
+        return
     invalidate_scan_cache(path)
 
     def _max1(df, col):
@@ -442,14 +444,18 @@ def bench_span_bucketed(spark, con, scaled_dir: str, trials: int = TRIALS) -> di
             b_best = dt if b_best is None else min(b_best, dt)
         l_best = None
         if name == "q23_bucketed_root_walk":
+            local_out = None
             for _ in range(trials):
+                # timed window = len(collect()), EXACTLY like the other two
+                # variants — driver-side Row-attribute access and sorting
+                # stay OUTSIDE the timer (r12 review finding: they inflated
+                # the local-walk column in the side-by-side)
                 t0 = time.perf_counter()
-                local_df = q23_local(read_bucketed(spark, table))
-                local_rows = sorted(
-                    (r.root_id, r.tree_size) for r in local_df.collect()
-                )
+                local_out = q23_local(read_bucketed(spark, table)).collect()
+                len(local_out)
                 dt = time.perf_counter() - t0
                 l_best = dt if l_best is None else min(l_best, dt)
+            local_rows = sorted((r.root_id, r.tree_size) for r in local_out)
             join_rows = sorted((r.root_id, r.tree_size) for r in df.collect())
             assert local_rows == join_rows, "local walk diverged from join path"
         for _ in range(trials):

@@ -484,3 +484,75 @@ def test_trace_local_mega_trace_skew(spark, tmp_path):
     # span k walks exactly min(k, 3) hops up the chain
     assert got[0] == 0 and got[1] == 0 and got[2] == 0 and got[3] == 0
     assert got[10] == 7 and got[n_hot - 1] == n_hot - 4
+
+
+def test_trace_local_dup_keyed_numeric_ids(spark):
+    """r12 review: numeric ids colliding ACROSS traces trigger the
+    combined-key fallback, where the float64 parent cursor ('7.0') and the
+    int64 id column ('7') must render IDENTICAL canonical keys — the naive
+    astype(str) silently missed every lookup."""
+    from nexgap_spark.operators import span_tree
+
+    spans = spark.createDataFrame(
+        [
+            (10, 1, None, "root-a"),
+            (10, 2, 1, "child-a"),
+            (20, 1, None, "root-b"),   # same span_id=1 under another trace
+            (20, 2, 1, "child-b"),     # and same child id too
+        ],
+        "trace_id long, span_id long, parentObservationId long, span_name string",
+    ).coalesce(1)
+    got = sorted(
+        (r.trace_id, r.span_id, r.root_id)
+        for r in span_tree.resolve_root_trace_local(
+            spans, trace_col="trace_id"
+        ).collect()
+    )
+    assert got == [(10, 1, 1), (10, 2, 1), (20, 1, 1), (20, 2, 1)]
+    agents = {
+        (r.trace_id, r.span_id): r.agent_name
+        for r in span_tree.resolve_agent_name_trace_local(
+            spans, ["root-a", "root-b"], trace_col="trace_id"
+        ).collect()
+    }
+    assert agents[(10, 2)] == "root-a" and agents[(20, 2)] == "root-b"
+
+
+def test_trace_local_duplicated_rows_survive(spark):
+    """r12 review: a genuinely duplicated (trace, span) row — routine in
+    append/retry ingest — must resolve dict-style (first occurrence wins),
+    not raise InvalidIndexError and kill the Arrow stage."""
+    from nexgap_spark.operators import span_tree
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "s1", None, "root"),
+            ("t1", "s2", "s1", "child"),
+            ("t1", "s2", "s1", "child"),  # exact duplicate row
+        ],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    ).coalesce(1)
+    out = span_tree.resolve_root_trace_local(spans, trace_col="trace_id").collect()
+    assert {(r.span_id, r.root_id) for r in out} == {("s1", "s1"), ("s2", "s1")}
+    assert len(out) == 3  # duplicates pass through, each resolved
+    agents = span_tree.resolve_agent_name_trace_local(
+        spans, ["root"], trace_col="trace_id"
+    ).collect()
+    assert all(r.agent_name == "root" for r in agents if r.span_id == "s2")
+
+
+def test_trace_local_huge_int_ids_raise(spark):
+    """r12 review: int64 ids >= 2^53 lose precision in Arrow's float64
+    conversion of the nullable parent column — must fail loudly, not
+    resolve silently-wrong roots."""
+    from nexgap_spark.operators import span_tree
+
+    big = 2**53 + 10
+    spans = spark.createDataFrame(
+        [("t1", big, None), ("t1", big + 1, big)],
+        "trace_id string, span_id long, parentObservationId long",
+    ).coalesce(1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^53"):
+        span_tree.resolve_root_trace_local(spans, trace_col="trace_id").collect()
