@@ -194,14 +194,15 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
             continue
         try:
             best = None
-            dnf = False
             for _ in range(trials):
                 dt = _timed_oracle(con, ORACLES[name], timeout_s)
                 if dt is None:
-                    dnf = True
-                    break
+                    # a timed-out trial must not discard another trial's
+                    # successful measurement (r12 review finding): DNF only
+                    # when EVERY trial was interrupted
+                    continue
                 best = dt if best is None else min(best, dt)
-            if dnf:
+            if best is None:
                 print(f"[bench] duckdb {name}: DNF>{timeout_s:.0f}s", file=sys.stderr)
                 continue
             times[name] = round(best, 3)

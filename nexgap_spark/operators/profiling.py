@@ -34,15 +34,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for generated SQL, so names needing
+    quoting (space, dash, dot) parse and bind correctly instead of failing
+    or resolving as nested-field paths (r12 review finding). Embedded
+    backticks double, per the SQL identifier-escape rule."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _slit(s: str) -> str:
+    """Single-quoted SQL string literal (embedded quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
     """Per-column profile: (column_name, n_rows, n_null, n_distinct,
     min_value, max_value) with min/max rendered as strings so heterogeneous
     column types share one schema. Exact distinct counts (swap stage 1 for
     approx_count_distinct sketches at extreme cardinality; the plan shape
-    is identical, exactness kept for oracle comparability)."""
+    is identical, exactness kept for oracle comparability).
+
+    Generated expressions backtick-quote every column name and use
+    POSITIONAL intermediate aliases (_min_0, …), so arbitrary column names
+    — spaces, dashes, dots, quotes — profile exactly like plain ones."""
     dtypes = dict(df.dtypes)
-    df = df.select(*cols)
-    val_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    df = df.select(*[F.col(_bt(c)) for c in cols])
+    val_args = ", ".join(f"{_slit(c)}, CAST({_bt(c)} AS STRING)" for c in cols)
     pairs = df.select(
         F.expr(f"stack({len(cols)}, {val_args}) AS (column_name, _v)")
     )
@@ -55,11 +72,11 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
         F.sum(F.when(nonnull, F.col("_cnt")).otherwise(0)).cast("long").alias("_nn"),
         F.count(F.when(nonnull, F.lit(1))).cast("long").alias("n_distinct"),
     ]
-    for c in cols:
+    for i, c in enumerate(cols):
         mine = F.col("_v").cast(dtypes[c])
         here = F.col("column_name") == c
-        aggs.append(F.min(F.when(here, mine)).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(F.when(here, mine)).cast("string").alias(f"_max_{c}"))
+        aggs.append(F.min(F.when(here, mine)).cast("string").alias(f"_min_{i}"))
+        aggs.append(F.max(F.when(here, mine)).cast("string").alias(f"_max_{i}"))
     folded = per_value.groupBy("column_name").agg(*aggs)
     # contract: one output row PER REQUESTED COLUMN even on empty input
     # (the unpivot of zero rows would otherwise fold to zero groups and a
@@ -72,16 +89,22 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
         F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
         F.coalesce("_nn", F.lit(0)).alias("_nn"),
         F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-        *[F.col(f"_min_{c}") for c in cols],
-        *[F.col(f"_max_{c}") for c in cols],
+        *[F.col(f"_min_{i}") for i in range(len(cols))],
+        *[F.col(f"_max_{i}") for i in range(len(cols))],
     )
     # each row matches exactly one _min_*/_max_* pair; the rest are NULL,
     # so coalesce picks the right one (and stays NULL for all-null columns)
     min_value = F.coalesce(
-        *[F.when(F.col("column_name") == c, F.col(f"_min_{c}")) for c in cols]
+        *[
+            F.when(F.col("column_name") == c, F.col(f"_min_{i}"))
+            for i, c in enumerate(cols)
+        ]
     )
     max_value = F.coalesce(
-        *[F.when(F.col("column_name") == c, F.col(f"_max_{c}")) for c in cols]
+        *[
+            F.when(F.col("column_name") == c, F.col(f"_max_{i}"))
+            for i, c in enumerate(cols)
+        ]
     )
     return folded.select(
         "column_name",
@@ -115,26 +138,31 @@ def profile_columns_approx(
     (``exact_check=False`` emits the raw ``n_distinct_approx`` instead).
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).cast("long").alias(f"_nn_{c}"))
+    for i, c in enumerate(cols):
+        # backtick-quoted names + positional aliases: arbitrary column
+        # names (space, dash, dot, quote) bind correctly in the generated
+        # stack() below, same contract as profile_columns (r12 review)
+        col = F.col(_bt(c))
+        aggs.append(F.count(col).cast("long").alias(f"_nn_{i}"))
         aggs.append(
-            F.approx_count_distinct(c, rsd=rsd).cast("long").alias(f"_ad_{c}")
+            F.approx_count_distinct(col, rsd=rsd).cast("long").alias(f"_ad_{i}")
         )
-        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max_{i}"))
         if exact_check:
-            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_ed_{c}"))
+            aggs.append(F.count_distinct(col).cast("long").alias(f"_ed_{i}"))
     one = df.agg(*aggs)
     if exact_check:
         tail = (
-            lambda c: f"ABS(_ad_{c} - _ed_{c}) <= 0.10 * _ed_{c}"
+            lambda i: f"ABS(_ad_{i} - _ed_{i}) <= 0.10 * _ed_{i}"
         )
         tail_name = "distinct_within_tol"
     else:
-        tail = lambda c: f"_ad_{c}"
+        tail = lambda i: f"_ad_{i}"
         tail_name = "n_distinct_approx"
     stacked = ", ".join(
-        f"'{c}', _n - _nn_{c}, _min_{c}, _max_{c}, {tail(c)}" for c in cols
+        f"{_slit(c)}, _n - _nn_{i}, _min_{i}, _max_{i}, {tail(i)}"
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

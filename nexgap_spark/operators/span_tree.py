@@ -151,6 +151,10 @@ def _ensure_cheap(df: DataFrame) -> DataFrame:
     return df if _cheap_lineage(df) else df.localCheckpoint()
 
 
+_COLOCATABLE_OK: "dict[tuple[int, str], None]" = {}
+_COLOCATABLE_OK_CAP = 256
+
+
 def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> None:
     """Trace-co-located mode precondition, enforced loudly: every span must
     carry a non-null trace id — a NULL trace cannot co-locate, so its
@@ -159,8 +163,20 @@ def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> No
     parquet scan the IS NULL probe is pushed down to row-group null-count
     stats, so the check is nearly free; ``validate_trace=False`` skips it
     for callers who have already guaranteed the invariant (or explicitly
-    accept null-trace rows resolving to NULL)."""
+    accept null-trace rows resolving to NULL).
+
+    Passed validations are cached per (semantic plan hash, trace_col) so
+    re-building the same plan — a timed bench loop, an iterative resolver
+    re-entering per hop — runs the probe job once, keeping subsequent plan
+    construction effectively lazy (r12 advice). The cache only ever skips
+    a re-check of a plan that already PASSED, and every parquet write entry
+    point in this package clears it via session._drop_derived_caches — an
+    out-of-band rewrite (external process) can still stale it, which is
+    the same contract as ``validate_trace=False``."""
     if not validate or spans.isStreaming:
+        return
+    key = (spans.semanticHash(), trace_col)
+    if key in _COLOCATABLE_OK:
         return
     if not spans.filter(F.col(trace_col).isNull()).isEmpty():
         raise ValueError(
@@ -170,6 +186,9 @@ def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> No
             "first, or pass validate_trace=False to accept NULL resolution "
             "for those rows."
         )
+    if len(_COLOCATABLE_OK) >= _COLOCATABLE_OK_CAP:
+        _COLOCATABLE_OK.clear()
+    _COLOCATABLE_OK[key] = None
 
 
 def _parent_side(
@@ -672,7 +691,9 @@ def _guard_id_precision(pdf, id_col: str, parent_col: str) -> None:
         ids.dtype.kind in "iu"
         and pdf[parent_col].dtype.kind == "f"
         and len(ids)
-        and abs(int(ids.max())) >= 2**53
+        # both tails: negative ids at/below -2^53 lose precision exactly
+        # like positive ones (r12 review finding)
+        and max(abs(int(ids.min())), abs(int(ids.max()))) >= 2**53
     ):
         raise ValueError(
             f"trace-local walk: {id_col!r} holds integers >= 2^53, which "
@@ -683,14 +704,18 @@ def _guard_id_precision(pdf, id_col: str, parent_col: str) -> None:
 
 
 def _dedup_index(series):
-    """Keep the FIRST row per index key — the walk's analog of the
-    reference's span_id→span dict (one entry per id; deterministic under
-    the bucketed layout's sort). Without this, a genuinely duplicated
-    (trace, span) row — routine in append/retry ingest — makes Series.map
-    raise InvalidIndexError and kill the Arrow stage, where the join-based
-    resolvers tolerate duplicates (r12 review finding)."""
+    """Keep the LAST row per index key — matching the reference's
+    span_id→span dict build (convert_spans_to_chatcompletion.py:454-458:
+    a plain ``dict[span_id] = span`` loop, where a later duplicate
+    OVERWRITES an earlier one), deterministic under the bucketed layout's
+    sort. Without this, a genuinely duplicated (trace, span) row — routine
+    in append/retry ingest — makes Series.map raise InvalidIndexError and
+    kill the Arrow stage. Note the join-based resolvers instead FAN OUT
+    duplicates (one output row per duplicate pair); when duplicated rows
+    carry differing parent/name payloads the walk resolves through the
+    last occurrence, the joins through each (r12 review finding)."""
     if series.index.has_duplicates:
-        return series[~series.index.duplicated(keep="first")]
+        return series[~series.index.duplicated(keep="last")]
     return series
 
 

@@ -116,10 +116,23 @@ def get_spark(
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _drop_derived_caches() -> None:
+    """Caches keyed on plan semantics (not file listings) also go stale on
+    an in-place rewrite — currently span_tree's passed-validation cache.
+    Lazy lookup via sys.modules avoids an import cycle and a hard
+    dependency from the session layer on an operator module."""
+    import sys as _sys
+
+    st = _sys.modules.get("nexgap_spark.operators.span_tree")
+    if st is not None:
+        st._COLOCATABLE_OK.clear()
+
+
 def invalidate_scan_cache(sf_dir: str | None = None) -> None:
     """Drop cached scans (all, or one directory's): a rewritten path's
     cached DataFrame holds the OLD file listing and would fail mid-query
     with deleted-file errors."""
+    _drop_derived_caches()
     if sf_dir is None:
         _SCAN_CACHE.clear()
         return
@@ -136,6 +149,7 @@ def invalidate_scan_path(path: str) -> None:
     entry for ``dir/name.parquet`` is invalidated when the written path is
     inside it OR contains it (a write to the table dir itself, to one of
     its partition subdirectories, or to a parent tree)."""
+    _drop_derived_caches()
     written = os.path.abspath(path)
     for k in list(_SCAN_CACHE):
         table_path = os.path.join(k[1], f"{k[2]}.parquet")

@@ -225,3 +225,43 @@ def test_repeated_ngram_spans(spark):
     # 1-based positions of the gram in each doc
     pos = {r.doc_id: r.position for r in spans}
     assert pos == {1: 1, 2: 2, 3: 2}
+
+
+def test_profile_columns_quoted_names(spark):
+    """r12 advice: column names needing backticks (space, dash, dot) must
+    profile exactly like plain ones in BOTH the exact and approx paths —
+    the generated stack()/agg SQL quotes every name and uses positional
+    intermediate aliases."""
+    from nexgap_spark.operators import profiling
+
+    weird = ["user id", "total-value", "a.b", "it's"]
+    df = spark.createDataFrame(
+        [(1, 10.0, "x", None), (2, None, "y", "q"), (2, 30.0, None, "q")],
+        f"`{weird[0]}` long, `{weird[1]}` double, `{weird[2]}` string, `{weird[3]}` string",
+    )
+    exact = {
+        r.column_name: r
+        for r in profiling.profile_columns(df, cols=weird).collect()
+    }
+    assert set(exact) == set(weird)
+    assert exact["user id"].n_distinct == 2
+    assert exact["total-value"].n_null == 1
+    assert exact["total-value"].max_value == "30.0"
+    assert exact["a.b"].n_null == 1
+    assert exact["it's"].n_distinct == 1
+
+    approx = {
+        r.column_name: r
+        for r in profiling.profile_columns_approx(df, cols=weird).collect()
+    }
+    assert set(approx) == set(weird)
+    assert approx["user id"].n_distinct_approx == 2
+    assert approx["total-value"].n_null == 1
+
+    audit = {
+        r.column_name: r
+        for r in profiling.profile_columns_approx(
+            df, cols=weird, exact_check=True
+        ).collect()
+    }
+    assert all(audit[c].distinct_within_tol for c in weird)

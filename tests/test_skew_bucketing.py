@@ -520,8 +520,9 @@ def test_trace_local_dup_keyed_numeric_ids(spark):
 
 def test_trace_local_duplicated_rows_survive(spark):
     """r12 review: a genuinely duplicated (trace, span) row — routine in
-    append/retry ingest — must resolve dict-style (first occurrence wins),
-    not raise InvalidIndexError and kill the Arrow stage."""
+    append/retry ingest — must resolve dict-style (LAST occurrence wins,
+    matching the reference's dict[span_id]=span build), not raise
+    InvalidIndexError and kill the Arrow stage."""
     from nexgap_spark.operators import span_tree
 
     spans = spark.createDataFrame(
@@ -539,6 +540,47 @@ def test_trace_local_duplicated_rows_survive(spark):
         spans, ["root"], trace_col="trace_id"
     ).collect()
     assert all(r.agent_name == "root" for r in agents if r.span_id == "s2")
+
+
+def test_trace_local_duplicate_payloads_last_wins(spark):
+    """r12 advice: when duplicated (trace, span) rows carry DIFFERING
+    parent payloads, the walk must pick the LAST occurrence — the same row
+    the reference's dict build (convert_spans_to_chatcompletion.py:454-458)
+    ends up holding after its overwrite loop."""
+    from nexgap_spark.operators import span_tree
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "a", None, "root-a"),
+            ("t1", "b", None, "root-b"),
+            ("t1", "c", "a", "child"),  # earlier duplicate: parent a
+            ("t1", "c", "b", "child"),  # later duplicate: parent b — wins
+        ],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    ).coalesce(1)
+    roots = {
+        r.span_id: r.root_id
+        for r in span_tree.resolve_root_trace_local(
+            spans, trace_col="trace_id"
+        ).collect()
+    }
+    assert roots["c"] == "b"
+
+
+def test_trace_local_huge_negative_int_ids_raise(spark):
+    """r12 advice: negative ids at or below -2^53 lose float64 precision
+    exactly like positive ones — the guard must check both tails."""
+    from nexgap_spark.operators import span_tree
+
+    big = -(2**53) - 10
+    spans = spark.createDataFrame(
+        [("t1", big, None), ("t1", big - 1, big)],
+        "trace_id string, span_id long, parentObservationId long",
+    ).coalesce(1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^53"):
+        span_tree.resolve_root_trace_local(spans, trace_col="trace_id").collect()
 
 
 def test_trace_local_huge_int_ids_raise(spark):
