@@ -42,7 +42,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (JVM-side transform over a
     sequence of start indices; element_at is 1-based). Empty array for
-    documents shorter than n tokens (sequence() would descend otherwise)."""
+    documents shorter than n tokens (sequence() would descend otherwise).
+
+    PASS A MATERIALIZED ATTRIBUTE, not an inline split(...) expression:
+    higher-order-function lambdas get no common-subexpression elimination,
+    so an inline token expression is re-evaluated per element × per n —
+    O(tokens²) per document (the q28 sf1.0 blowup, 228 s → 4 s once the
+    tokens were staged in their own projection)."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     parts = lambda i: [F.element_at(tokens, i + j) for j in range(n)]  # noqa: E731
     return F.when(
@@ -239,14 +245,37 @@ def fingerprint(
 ) -> DataFrame:
     """Document fingerprint: the minimum md5 over word n-gram shingles of the
     normalized text (winnowing-style min-hash selection). Near-identical
-    documents collide; robust to local edits away from the minimal shingle."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    toks = F.split(norm, " ")
-    sh = word_shingles(toks, shingle_n)
-    fp = F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))).otherwise(
-        F.md5(norm)
+    documents collide; robust to local edits away from the minimal shingle.
+
+    The normalized text and token array are materialized in their OWN
+    projection before the shingle transform. Higher-order-function lambdas
+    get no common-subexpression elimination, so inlining ``split(...)``
+    makes every ``element_at`` re-split the whole document PER SHINGLE
+    ELEMENT — O(tokens²) per doc. That was q28's sf1.0 blowup: ~5 ms/doc,
+    228 s for 50k docs; with tokens as a plain attribute the walk is
+    O(tokens) and the same input fingerprints in ~1 s. (CollapseProject
+    keeps the split un-inlined because the alias is referenced more than
+    once and split is non-cheap.) The md5 is fused into the shingle
+    transform — one array traversal, no intermediate shingle-string
+    array."""
+    norm_c, toks_c = f"_{out_col}_norm", f"_{out_col}_toks"
+    staged = df.withColumn(
+        norm_c, F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    ).withColumn(toks_c, F.split(F.col(norm_c), " "))
+    toks = F.col(toks_c)
+    idx = F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1))
+    sh_md5 = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(shingle_n)]
+            )
+        ),
     )
-    return df.withColumn(out_col, fp)
+    fp = F.when(F.size(toks) >= shingle_n, F.array_min(sh_md5)).otherwise(
+        F.md5(F.col(norm_c))
+    )
+    return staged.withColumn(out_col, fp).drop(norm_c, toks_c)
 
 
 def ngram_logprob(
