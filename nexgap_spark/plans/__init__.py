@@ -20,72 +20,77 @@ from nexgap_spark.plans import advanced  # noqa: F401, E402
 from nexgap_spark.plans import agents  # noqa: F401, E402
 
 # The driver's per-round correctness gate records only the FIRST 50 entries
-# of the registry (observed: CORRECTNESS_r01..r11 each hold exactly the
+# of the registry (observed: CORRECTNESS_r01..r12 each hold exactly the
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 12
-# rotates oldest-external-green first (VERDICT r11 item 3): (a) the 15
-# frozen analytics whose last external row is r9 (q01, q08, q10-q15,
-# q17-q19, q46, q64-q66); (b) q75b — NEW this round (the q75 100 TB twin,
-# VERDICT r11 item 6), needs its first external row; (c) 34 of the 48
-# queries whose last external row is r10. Deferred to r13 (all r10-green,
-# frozen single-expression plans pinned by selfcheck every round): q04,
-# q06, q20, q48-q53, q55, q58, q82-q84.
+# purely about which results get an externally-recorded row. Round 13
+# rotates oldest-external-green first (VERDICT r12 item 6): (a) the 14
+# r10-green frozen plans deferred from the r12 rotation (q04, q06, q20,
+# q48-q53, q55, q58, q82-q84); (b) 36 of the 50 queries whose last
+# external row is r11 — prioritizing every query whose code changed this
+# round (q28 fingerprint rewrite, q75 profiling quoting, the span_tree
+# resolvers q21-q23/q37/q108) and the bench-regression suspects
+# (q43/q44/q100/q31). Deferred to r14 (all r11-green, re-pinned locally
+# every round by selfcheck + parity tests): q33, q61, q62, q63, q67, q77,
+# q96, q101, q105, q107, q109, q111, q112, plus q108 -> kept IN (span_tree
+# touched) and q36 already r12-green, so the 14th deferral is q102
+# (SemDeDup, r11-green, plan untouched).
 _DRIVER_WINDOW = [
-    # (a) last external green r9: the frozen analytics block
-    "q01_pricing_summary",
-    "q08_last_event_per_user",
-    "q10_event_type_stats",
-    "q11_rollup_sales",
-    "q12_distinct_counts",
-    "q13_string_functions",
-    "q14_monthly_orders",
-    "q15_nation_set_ops",
-    "q17_tumbling_window_agg",
-    "q18_json_extraction",
-    "q19_sampling_weights",
-    "q46_cube_sales",
-    "q64_funnel_conversions",
-    "q65_moving_average",
-    "q66_unpivot_matrix",
-    # (b) new this round: approx column profile (q75's 100 TB twin)
-    "q75b_column_profile_approx",
-    # (c) last external green r10
-    "q02_regional_revenue",
-    "q03_top_orders",
-    "q05_customers_no_orders",
-    "q07_topk_parts_per_brand",
-    "q09_cumulative_revenue",
-    "q16_sessionize_events",
-    "q27_exact_dedup_stats",
-    "q36_embedding_near_dup",
-    "q39_emit_qwen",
-    "q40_media_features",
-    "q54_stratified_sample",
-    "q56_monthly_gap_fill",
-    "q57_hopping_windows",
-    "q59_top_terms",
-    "q60_length_zscore",
-    "q80_kmeans_step",
-    "q81_cdc_apply",
-    "q85_ivf_nprobe",
-    "q86_chunk_text",
-    "q87_fuzzifier_contract",
-    "q88_persona_suitability",
-    "q89_url_extraction",
-    "q90_url_validate",
-    "q91_url_repair_loop",
-    "q92_file_requirement",
-    "q93_file_plan",
-    "q94_url_rewrite",
-    "q95_new_tag_parse",
-    "q97_wav_features",
-    "q98_keep_best_per_group",
-    "q99_incremental_dedup",
-    "q104_url_dedup",
-    "q110_jpeg_features",
-    "q113_mjpeg_video_pixels",
+    # (a) last external green r10: the frozen plans deferred from r12
+    "q04_priority_semi_join",
+    "q06_revenue_filter",
+    "q20_inverse_cdf_pick",
+    "q48_pivot_event_matrix",
+    "q49_price_quantiles",
+    "q50_grouping_sets",
+    "q51_interarrival_stats",
+    "q52_ntile_quartiles",
+    "q53_hash_sample",
+    "q55_exists_subquery",
+    "q58_value_histogram",
+    "q82_run_summary",
+    "q83_query_guard",
+    "q84_url_parse",
+    # (b) last external green r11 — code-touched this round first
+    "q28_doc_fingerprints",
+    "q75_column_profile",
+    "q47_approx_distinct",
+    "q21_span_last_per_group",
+    "q22_span_parent_join",
+    "q23_span_root_walk",
+    "q37_convert_pipeline",
+    "q108_repeated_spans",
+    "q29_ngram_jaccard_topk",
+    # bench-regression suspects (fresh external rows alongside the bisect)
+    "q43_dup_groups",
+    "q44_dedup_corpus",
+    "q100_incremental_minhash",
+    "q31_minhash_lsh_pairs",
+    # remaining r11-green rotation fill
+    "q24_text_stats",
+    "q25_quality_features",
+    "q26_language_id",
+    "q30_minhash_signatures",
+    "q32_simhash",
+    "q34_cosine_topk",
+    "q35_ivf_topk",
+    "q38_validate_xml",
+    "q41_asof_join",
+    "q42_range_join",
+    "q45_hyperplane_lsh",
+    "q68_decontaminate",
+    "q69_pii_scan",
+    "q70_repetition_profile",
+    "q71_quality_gate",
+    "q72_split_assign",
+    "q73_pack_chunks",
+    "q74_cohort_retention",
+    "q76_quantize_digest",
+    "q78_ordered_funnel",
+    "q79_rebalance_domains",
+    "q103_ngram_logprob",
+    "q106_ivf_indexed",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -234,6 +234,12 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q36 — blocked embedding near-dup scan: per label (the blocking key),
 # pair count above threshold + the maximum cosine observed.
+#
+# SCALE BOUNDARY: this is the declared quadratic-in-block all-pairs
+# BASELINE — cost Σ_block |b|², 144 s at sf1.0 — correct at any scale but
+# only economical while the largest block stays small; past that, use the
+# sign-LSH bucketed scan (q45) or SemDeDup's centroid-bounded pass (q102),
+# which replace the block quadratic with bucket-bounded work.
 # ---------------------------------------------------------------------------
 
 

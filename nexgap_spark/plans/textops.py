@@ -204,6 +204,12 @@ def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q29 — n-gram Jaccard near-dup: top-20 most-similar pairs (all-pairs
 # baseline; the LSH path is q30/q31).
+#
+# SCALE BOUNDARY: the shingle self-join is the declared quadratic-in-
+# shared-shingle all-pairs BASELINE — exact, but its pair stage grows with
+# the square of co-shingled documents; at corpus scale run the MinHash+LSH
+# twins (q30 signatures, q31 banded pairs), whose banded equi-join bounds
+# the candidate set per bucket.
 # ---------------------------------------------------------------------------
 
 
