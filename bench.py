@@ -179,10 +179,19 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
     # hardware allocations
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count()
     con.sql(f"SET threads TO {cpus}")
+    # fail fast if the table set is incomplete (a partially-built scaled
+    # dir must cost the run up front, not after the Spark phase — the r12
+    # sf1.0 sweep lost its artifact to exactly this)
+    missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
+    if missing:
+        raise FileNotFoundError(f"{sf_dir} is missing tables: {missing}")
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver-generated testdata tables are single parquet FILES;
+        # scale_bench.build_sf_dir writes Spark DIRECTORIES of part files —
+        # DuckDB needs the explicit glob for the directory layout
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     times: dict[str, float] = {}
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     # per-query oracle timeout (seconds; 0 = off). The full-catalog sf1.0
@@ -250,6 +259,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else None
+
+    # assert ALL tables exist before EITHER phase starts: the r12 sf1.0
+    # sweep burned its whole Spark phase, then lost the artifact when the
+    # oracle phase hit an incomplete dir (VERDICT r12 item 1)
+    from nexgap_spark.session import TABLES
+
+    missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
+    if missing:
+        raise FileNotFoundError(f"{sf_dir} is missing tables: {missing}")
 
     spark_times, rows, errs = _run_spark(sf_dir)
     result = {

@@ -783,13 +783,40 @@ def q46_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exact sides run as their own two-stage aggregations joined back
+    # on the (3-row) group key, NOT as count_distinct next to the HLL
+    # sketches: mixed distinct+sketch aggregates rewrite through an Expand
+    # (every row replicated per distinct column) that measured 4.0 s at
+    # sf0.1 / 86 s at sf1.0, vs ~1 s for this split shape. Each exact agg
+    # scans only its two columns (column pruning reaches the scan), and
+    # the map-side combine bounds its shuffle by per-partition key
+    # cardinality — the same argument as profile_columns' stage 1.
     li = t(spark, sf_dir, "lineitem")
     ap = F.approx_count_distinct("l_partkey", rsd=0.02)
     asu = F.approx_count_distinct("l_suppkey", rsd=0.02)
-    ep = F.count_distinct(F.col("l_partkey"))
-    es = F.count_distinct(F.col("l_suppkey"))
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        (F.abs(ap - ep) <= 0.10 * ep).alias("parts_within_tol"),
-        (F.abs(asu - es) <= 0.10 * es).alias("supps_within_tol"),
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), ap.alias("_ap"), asu.alias("_as")
+    )
+
+    def exact(col: str, alias: str) -> DataFrame:
+        return (
+            li.groupBy("l_returnflag", col)
+            .agg(F.lit(1).alias("_one"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = (
+        base.join(F.broadcast(exact("l_partkey", "_ep")), "l_returnflag")
+        .join(F.broadcast(exact("l_suppkey", "_es")), "l_returnflag")
+    )
+    return joined.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("_ap") - F.col("_ep")) <= 0.10 * F.col("_ep")).alias(
+            "parts_within_tol"
+        ),
+        (F.abs(F.col("_as") - F.col("_es")) <= 0.10 * F.col("_es")).alias(
+            "supps_within_tol"
+        ),
     )
