@@ -77,11 +77,29 @@ def _fresh_copy() -> None:
     shutil.copytree(REF_SRC, os.path.join(RUN_DIR, "Gyrfalcon"))
 
 
+def _fake_module(name: str, **attrs):
+    """Satisfy the reference's module-level imports for SDKs this container
+    doesn't ship (openai, …). The stub client replaces every use, so the
+    fake only needs the attribute surface touched at import time."""
+    import types
+
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules.setdefault(name, m)
+
+
 def main() -> None:
     _fresh_copy()
     base = os.path.join(RUN_DIR, "Gyrfalcon")
     sys.path.insert(0, base)
     os.chdir(base)
+
+    class _NeverConstructed:
+        def __init__(self, *a, **k):
+            raise RuntimeError("stub harness must not construct a real client")
+
+    _fake_module("openai", OpenAI=_NeverConstructed)
 
     import core.pipeline as pl  # noqa: E402  (reference package, from the /tmp copy)
     import llm_interface.query_generator as qg  # noqa: E402
