@@ -168,6 +168,29 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
     return times, rows, errs
 
 
+def _require_tables(sf_dir: str) -> None:
+    """Fail fast if the table set is incomplete: a partially-built scaled
+    dir must cost the run up front, not after the Spark phase (the r12
+    sf1.0 sweep lost its artifact to exactly this). A table written as a
+    Spark DIRECTORY counts only if it holds at least one part file — a
+    build that died after mkdir but before any write is incomplete too
+    (r13 review)."""
+    import glob as _glob
+
+    from nexgap_spark.session import TABLES
+
+    missing = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            if not _glob.glob(f"{p}/*.parquet"):
+                missing.append(f"{t} (empty directory)")
+        elif not os.path.exists(p):
+            missing.append(t)
+    if missing:
+        raise FileNotFoundError(f"{sf_dir} is missing tables: {missing}")
+
+
 def _run_duckdb(sf_dir: str) -> dict[str, float]:
     import duckdb
 
@@ -179,12 +202,7 @@ def _run_duckdb(sf_dir: str) -> dict[str, float]:
     # hardware allocations
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count()
     con.sql(f"SET threads TO {cpus}")
-    # fail fast if the table set is incomplete (a partially-built scaled
-    # dir must cost the run up front, not after the Spark phase — the r12
-    # sf1.0 sweep lost its artifact to exactly this)
-    missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
-    if missing:
-        raise FileNotFoundError(f"{sf_dir} is missing tables: {missing}")
+    _require_tables(sf_dir)
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver-generated testdata tables are single parquet FILES;
@@ -260,14 +278,9 @@ def main() -> None:
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else None
 
-    # assert ALL tables exist before EITHER phase starts: the r12 sf1.0
-    # sweep burned its whole Spark phase, then lost the artifact when the
-    # oracle phase hit an incomplete dir (VERDICT r12 item 1)
-    from nexgap_spark.session import TABLES
-
-    missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
-    if missing:
-        raise FileNotFoundError(f"{sf_dir} is missing tables: {missing}")
+    # assert ALL tables exist before EITHER phase starts (VERDICT r12
+    # item 1 — see _require_tables)
+    _require_tables(sf_dir)
 
     spark_times, rows, errs = _run_spark(sf_dir)
     result = {

@@ -43,8 +43,12 @@ def _bt(name: str) -> str:
 
 
 def _slit(s: str) -> str:
-    """Single-quoted SQL string literal (embedded quotes doubled)."""
-    return "'" + s.replace("'", "''") + "'"
+    """Single-quoted SQL string literal: embedded quotes doubled AND
+    backslashes doubled — Spark SQL literals process backslash escapes by
+    default (spark.sql.parser.escapedStringLiterals is unset), so an
+    unescaped backslash in a column name would corrupt the emitted
+    column_name (r13 review)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:

@@ -151,7 +151,7 @@ def _ensure_cheap(df: DataFrame) -> DataFrame:
     return df if _cheap_lineage(df) else df.localCheckpoint()
 
 
-_COLOCATABLE_OK: "dict[tuple[int, str], None]" = {}
+_COLOCATABLE_OK: "dict[tuple[int, str], DataFrame]" = {}
 _COLOCATABLE_OK_CAP = 256
 
 
@@ -176,7 +176,11 @@ def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> No
     if not validate or spans.isStreaming:
         return
     key = (spans.semanticHash(), trace_col)
-    if key in _COLOCATABLE_OK:
+    hit = _COLOCATABLE_OK.get(key)
+    # the 32-bit semanticHash is only the bucket: confirm with
+    # sameSemantics so a hash COLLISION can never skip validating a plan
+    # that was never checked (r13 review)
+    if hit is not None and spans.sameSemantics(hit):
         return
     if not spans.filter(F.col(trace_col).isNull()).isEmpty():
         raise ValueError(
@@ -188,7 +192,9 @@ def _require_colocatable(spans: DataFrame, trace_col: str, validate: bool) -> No
         )
     if len(_COLOCATABLE_OK) >= _COLOCATABLE_OK_CAP:
         _COLOCATABLE_OK.clear()
-    _COLOCATABLE_OK[key] = None
+    # store the validated frame itself (a plan handle, not data) so cache
+    # hits are confirmed exactly via sameSemantics
+    _COLOCATABLE_OK[key] = spans
 
 
 def _parent_side(

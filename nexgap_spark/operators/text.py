@@ -39,10 +39,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(pieces)
 
 
-def word_shingles(tokens: Column, n: int = 3) -> Column:
+def word_shingles(tokens: Column, n: int = 3, *, mapper=None) -> Column:
     """Word n-gram shingles from a token array (JVM-side transform over a
     sequence of start indices; element_at is 1-based). Empty array for
     documents shorter than n tokens (sequence() would descend otherwise).
+    ``mapper`` (Column -> Column) is fused over each shingle inside the
+    SAME transform — one array traversal, no intermediate shingle-string
+    array (fingerprint passes F.md5).
 
     PASS A MATERIALIZED ATTRIBUTE, not an inline split(...) expression:
     higher-order-function lambdas get no common-subexpression elimination,
@@ -51,8 +54,11 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     tokens were staged in their own projection)."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     parts = lambda i: [F.element_at(tokens, i + j) for j in range(n)]  # noqa: E731
+    one = (lambda i: F.concat_ws(" ", *parts(i))) if mapper is None else (
+        lambda i: mapper(F.concat_ws(" ", *parts(i)))
+    )
     return F.when(
-        F.size(tokens) >= n, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+        F.size(tokens) >= n, F.transform(idx, one)
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -259,19 +265,14 @@ def fingerprint(
     transform — one array traversal, no intermediate shingle-string
     array."""
     norm_c, toks_c = f"_{out_col}_norm", f"_{out_col}_toks"
+    while norm_c in df.columns or toks_c in df.columns:
+        # never shadow (and then silently drop) a user column (r13 review)
+        norm_c, toks_c = norm_c + "_", toks_c + "_"
     staged = df.withColumn(
         norm_c, F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     ).withColumn(toks_c, F.split(F.col(norm_c), " "))
     toks = F.col(toks_c)
-    idx = F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1))
-    sh_md5 = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(shingle_n)]
-            )
-        ),
-    )
+    sh_md5 = word_shingles(toks, shingle_n, mapper=F.md5)
     fp = F.when(F.size(toks) >= shingle_n, F.array_min(sh_md5)).otherwise(
         F.md5(F.col(norm_c))
     )

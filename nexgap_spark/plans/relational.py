@@ -762,11 +762,12 @@ def q46_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tighter 5 % bound on the raw estimates is pinned in
 # tests/test_oracle_queries.py::test_q47_approx_distinct_within_rsd.
 #
-# Scale note: carrying the contract in-query costs an Expand (two exact
-# count_distinct columns → 3× row multiplier before the partial agg) —
-# the price of a VALIDATION query, paid once per audit. The production
-# sketch path is approx_count_distinct alone: mergeable KB-sized state,
-# no Expand, no exact twin — that is what runs at 100 TB.
+# Scale note (r13): the exact sides run as their own two-stage
+# aggregations joined back on the group key — the earlier in-agg
+# count_distinct formulation rewrote through an Expand (3× row multiplier)
+# that measured 4 s at sf0.1 / 38 s at sf1.0 vs ~1 s / ~4.4 s for this
+# split shape. The production sketch path is approx_count_distinct alone:
+# mergeable KB-sized state, no exact twin — that is what runs at 100 TB.
 # ---------------------------------------------------------------------------
 
 
@@ -798,25 +799,30 @@ def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"), ap.alias("_ap"), asu.alias("_as")
     )
 
-    def exact(col: str, alias: str) -> DataFrame:
+    def exact(col: str, alias: str, key: str) -> DataFrame:
+        # COUNT(DISTINCT col) semantics: NULL values are not distinct
+        # values (hence the isNotNull filter), but a NULL GROUP KEY still
+        # forms a group — callers join back with eqNullSafe (r13 review)
         return (
-            li.groupBy("l_returnflag", col)
+            li.where(F.col(col).isNotNull())
+            .groupBy(F.col("l_returnflag").alias(key), col)
             .agg(F.lit(1).alias("_one"))
-            .groupBy("l_returnflag")
+            .groupBy(key)
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    joined = (
-        base.join(F.broadcast(exact("l_partkey", "_ep")), "l_returnflag")
-        .join(F.broadcast(exact("l_suppkey", "_es")), "l_returnflag")
-    )
+    ep = exact("l_partkey", "_ep", "_rf1")
+    es = exact("l_suppkey", "_es", "_rf2")
+    joined = base.join(
+        F.broadcast(ep), F.col("l_returnflag").eqNullSafe(F.col("_rf1")), "left"
+    ).join(F.broadcast(es), F.col("l_returnflag").eqNullSafe(F.col("_rf2")), "left")
+    # a group whose values are ALL null has no exact row: 0 distinct, and
+    # the sketch also reports 0 -> contract holds as 0 <= 0
+    ep0 = F.coalesce(F.col("_ep"), F.lit(0))
+    es0 = F.coalesce(F.col("_es"), F.lit(0))
     return joined.select(
         "l_returnflag",
         "n_rows",
-        (F.abs(F.col("_ap") - F.col("_ep")) <= 0.10 * F.col("_ep")).alias(
-            "parts_within_tol"
-        ),
-        (F.abs(F.col("_as") - F.col("_es")) <= 0.10 * F.col("_es")).alias(
-            "supps_within_tol"
-        ),
+        (F.abs(F.col("_ap") - ep0) <= 0.10 * ep0).alias("parts_within_tol"),
+        (F.abs(F.col("_as") - es0) <= 0.10 * es0).alias("supps_within_tol"),
     )

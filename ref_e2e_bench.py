@@ -77,6 +77,20 @@ def _fresh_copy() -> None:
     shutil.copytree(REF_SRC, os.path.join(RUN_DIR, "Gyrfalcon"))
 
 
+def _reset_state(base: str) -> None:
+    """Reset the MUTABLE state (frameworks/ sampling stats + trees, output
+    dirs) between worker settings so each cell starts from identical state
+    — without this, the w=8 run reloads sampling stats accumulated by the
+    w=1/w=4 runs and the scaling comparison is not apples-to-apples (r13
+    review). Code modules stay loaded; only data files are re-copied."""
+    fw = os.path.join(base, "frameworks")
+    shutil.rmtree(fw)
+    shutil.copytree(os.path.join(REF_SRC, "frameworks"), fw)
+    for d in os.listdir(base):
+        if d.startswith("output"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
 def _fake_module(name: str, **attrs):
     """Satisfy the reference's module-level imports for SDKs this container
     doesn't ship (openai, …). The stub client replaces every use, so the
@@ -111,8 +125,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for w in WORKERS:
-        # fresh output dir per setting; sampling stats accumulate in the
-        # copied frameworks dir exactly as the reference intends
+        _reset_state(base)
         cfg = pl.PipelineRunConfig(
             framework_name=FRAMEWORK,
             num_queries=N,

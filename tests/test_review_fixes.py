@@ -839,3 +839,122 @@ def test_jpeg_bitreader_bitbuf_bounded():
     for _ in range(5000 * 8):
         br.read_bit()
     assert br.bitbuf.bit_length() <= br.nbits + 8
+
+
+# ---------------------------------------------------------------------------
+# r13 review findings
+# ---------------------------------------------------------------------------
+
+
+def test_q47_null_semantics_match_oracle(spark, tmp_path):
+    """r13 review: the split exact-distinct shape must keep COUNT(DISTINCT)
+    semantics — NULL values are not distinct values, but a NULL group key
+    still forms a group (the old inner equi-join dropped it)."""
+    import duckdb
+
+    from nexgap_spark.plans import ORACLES, QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        ("A", 1, 10), ("A", None, 11), ("A", 2, None),
+        (None, 3, 12), (None, None, 13),
+        ("R", 4, 14),
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_partkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    key = lambda t: tuple((x is None, x) for x in t)  # NULL-safe sort
+    got = sorted(
+        (tuple(r) for r in QUERIES["q47_approx_distinct"](spark, str(d)).collect()),
+        key=key,
+    )
+    con = duckdb.connect()
+    import glob as g
+    f = g.glob(str(d / "lineitem.parquet" / "*.parquet"))[0]
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{f}')")
+    want = sorted(con.sql(ORACLES["q47_approx_distinct"]).fetchall(), key=key)
+    assert got == want
+    assert len(got) == 3  # A, R, and the NULL-flag group
+
+
+def test_fingerprint_temp_columns_never_shadow(spark):
+    """r13 review: a user column named like fingerprint's temp columns must
+    survive unchanged."""
+    from nexgap_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "keep me")],
+        "doc_id long, text string, _fingerprint_toks string",
+    )
+    out = fingerprint(df).collect()[0]
+    assert out["_fingerprint_toks"] == "keep me"
+    assert out["fingerprint"] is not None
+
+
+def test_word_shingles_mapper_fusion_equivalence(spark):
+    """r13 review: word_shingles(mapper=md5) must equal md5 applied to the
+    plain shingles (the fused path fingerprint uses)."""
+    from nexgap_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d"],), (["x"],)], "toks array<string>"
+    )
+    got = df.select(
+        word_shingles(F.col("toks"), 3).alias("plain"),
+        word_shingles(F.col("toks"), 3, mapper=F.md5).alias("fused"),
+    ).collect()
+    for r in got:
+        assert r.fused == [__import__("hashlib").md5(s.encode()).hexdigest() for s in r.plain]
+
+
+def test_profile_columns_backslash_name(spark):
+    """r13 review: a backslash in a column name must round-trip through the
+    generated SQL literals (Spark literals process backslash escapes)."""
+    from nexgap_spark.operators import profiling
+
+    name = r"weird\name"
+    df = spark.createDataFrame([(1,), (2,), (2,)], f"`{name}` long")
+    prof = {r.column_name: r for r in profiling.profile_columns(df, cols=[name]).collect()}
+    assert prof[name].n_rows == 3 and prof[name].n_distinct == 2
+    ap = {r.column_name: r for r in profiling.profile_columns_approx(df, cols=[name]).collect()}
+    assert ap[name].n_distinct_approx == 2
+
+
+def test_bench_require_tables_rejects_empty_dir(tmp_path):
+    """r13 review: a table directory with zero part files is incomplete —
+    the fail-fast guard must catch it before either bench phase."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from nexgap_spark.session import TABLES
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    for t in TABLES:
+        (d / f"{t}.parquet").mkdir()  # empty Spark-style dirs
+    with pytest.raises(FileNotFoundError, match="empty directory"):
+        bench._require_tables(str(d))
+
+
+def test_colocatable_cache_confirms_semantics(spark):
+    """r13 review: a cache hit must be confirmed with sameSemantics, and a
+    failing plan must stay loud even after an unrelated plan was cached."""
+    from nexgap_spark.operators import span_tree
+
+    ok = spark.createDataFrame(
+        [("t1", "s1", None, "root")],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    ).coalesce(1)
+    span_tree._COLOCATABLE_OK.clear()
+    span_tree._require_colocatable(ok, "trace_id", True)
+    assert len(span_tree._COLOCATABLE_OK) == 1
+    # second pass: cache hit (no exception, still one entry)
+    span_tree._require_colocatable(ok, "trace_id", True)
+    assert len(span_tree._COLOCATABLE_OK) == 1
+    bad = spark.createDataFrame(
+        [(None, "s1", None, "root")],
+        "trace_id string, span_id string, parentObservationId string, span_name string",
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="non-null"):
+        span_tree._require_colocatable(bad, "trace_id", True)
