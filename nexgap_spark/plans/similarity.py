@@ -236,10 +236,14 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair count above threshold + the maximum cosine observed.
 #
 # SCALE BOUNDARY: this is the declared quadratic-in-block all-pairs
-# BASELINE — cost Σ_block |b|², 144 s at sf1.0 — correct at any scale but
-# only economical while the largest block stays small; past that, use the
-# sign-LSH bucketed scan (q45) or SemDeDup's centroid-bounded pass (q102),
-# which replace the block quadratic with bucket-bounded work.
+# BASELINE — cost Σ_block |b|² — correct at any scale but only economical
+# while the largest block stays small; past that, use the sign-LSH
+# bucketed scan (q45) or SemDeDup's centroid-bounded pass (q102), which
+# replace the block quadratic with bucket-bounded work.
+#
+# r13: the query runs the Arrow Gram-kernel twin (bit-identical cosines
+# via the shared sequential fold) — 100.7 s → ~4 s at sf1.0. The
+# asymptotics are unchanged (still Σ|b|²); only the per-pair constant is.
 # ---------------------------------------------------------------------------
 
 
@@ -262,7 +266,7 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    pairs = sim.blocked_near_dup(emb, threshold=-1.0)  # keep all; aggregate below
+    pairs = sim.blocked_near_dup_arrow(emb, threshold=-1.0)  # keep all; aggregate below
     return pairs.groupBy(F.col("blk").alias("label")).agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("cos") >= 0.25).cast("long")).alias("n_near"),

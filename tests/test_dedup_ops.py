@@ -312,3 +312,59 @@ def test_incremental_exact_typed_min_id(spark):
     seen = spark.createDataFrame([], "digest string")
     fresh, _ = incremental_exact(batch, seen)
     assert {r.doc_id for r in fresh.collect()} == {2, 9}
+
+
+def test_blocked_near_dup_arrow_equals_relational(spark):
+    """r13: the Arrow Gram-kernel twin must produce the SAME pair set with
+    BIT-IDENTICAL cosines as the relational join path (shared sequential
+    fold), including a<b-by-id ordering, NULL-block drop, and
+    duplicate-id suppression."""
+    import random
+
+    from nexgap_spark.operators import similarity as sim
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)], f"blk{i % 3}"))
+    rows.append((100, [rng.uniform(-1, 1) for _ in range(16)], None))  # NULL block
+    rows.append((5, [rng.uniform(-1, 1) for _ in range(16)], "blk2"))  # duplicate id
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    # duplicate ids fan out in BOTH paths (join semantics): compare the
+    # full MULTISET of (a, b, blk, cos), bit-identical cosines included
+    rel = sorted(
+        (r.a, r.b, r.blk, r.cos)
+        for r in sim.blocked_near_dup(df, threshold=-1.0, dim=16).collect()
+    )
+    arw = sorted(
+        (r.a, r.b, r.blk, r.cos)
+        for r in sim.blocked_near_dup_arrow(df, threshold=-1.0).collect()
+    )
+    assert arw == rel
+
+    # thresholded variants agree too (kernel-side pre-filter path)
+    rel_t = {(r.a, r.b) for r in sim.blocked_near_dup(df, threshold=0.2, dim=16).collect()
+             if r.a != 5 or r.b != 5}
+    arw_t = {(r.a, r.b) for r in sim.blocked_near_dup_arrow(df, threshold=0.2).collect()}
+    assert arw_t == rel_t
+
+
+def test_blocked_near_dup_arrow_anchor_chunking(spark):
+    """The anchor_chunk memory bound must not change the pair set."""
+    from nexgap_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)], "b") for i in range(25)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    full = sorted(
+        (r.a, r.b, r.cos)
+        for r in sim.blocked_near_dup_arrow(df, threshold=-1.0).collect()
+    )
+    chunked = sorted(
+        (r.a, r.b, r.cos)
+        for r in sim.blocked_near_dup_arrow(df, threshold=-1.0, anchor_chunk=4).collect()
+    )
+    assert full == chunked and len(full) == 25 * 24 // 2
