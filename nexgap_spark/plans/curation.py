@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from nexgap_spark.operators import curation, profiling, similarity, text, timeseries
 from nexgap_spark.plans.registry import query
-from nexgap_spark.session import load_table as t
+from nexgap_spark.session import load_table as t, wide_table as tw
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
@@ -64,7 +64,7 @@ _SHINGLES8 = (
     """,
 )
 def q68_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     scores = curation.contamination_scores(corpus, bench, n=8)
@@ -126,7 +126,7 @@ _INJECT_SQL = """
     """,
 )
 def q69_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     did = F.col("doc_id")
     seeded = docs.withColumn(
         "txt",
@@ -198,7 +198,7 @@ _G3 = (
     """,
 )
 def q70_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     feats = curation.repetition_features(docs, ns=(2, 3))
     return feats.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -255,7 +255,7 @@ _PUNCT_RE = r"[^!-/:-@\[-`{-~]"
     """,
 )
 def q71_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     feats = curation.repetition_features(
         text.quality_features(docs), ns=(2,)
     )
@@ -416,7 +416,7 @@ def _profile_oracle() -> str:
 
 @query("q75_column_profile", oracle=_profile_oracle())
 def q75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
+    orders = tw(spark, sf_dir, "orders")
     return profiling.profile_columns(orders, cols=list(_PROFILE_COLS))
 
 
@@ -458,7 +458,7 @@ def _profile_approx_oracle() -> str:
 
 @query("q75b_column_profile_approx", oracle=_profile_approx_oracle())
 def q75b_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
+    orders = tw(spark, sf_dir, "orders")
     return profiling.profile_columns_approx(
         orders, cols=list(_PROFILE_COLS), exact_check=True
     )
@@ -539,7 +539,7 @@ def q76_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q86_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     out = curation.chunk_text(docs, max_tokens=32, overlap=8)
     return out.select(
         "doc_id",
@@ -675,17 +675,30 @@ _G5_SPANS = (
     """,
 )
 def q108_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     spans = curation.repeated_ngram_spans(docs, n=5, min_count=3)
     lang = docs.select("doc_id", "lang")
-    return (
-        spans.join(lang, "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count_distinct("gram").alias("n_grams"),
-            F.max("n_occurrences").cast("long").alias("max_occ"),
+    base = spans.join(lang, "doc_id")
+    # two COUNT(DISTINCT x) over different columns in one agg rewrite
+    # through Catalyst's Expand (row set ×3 before the shuffle — the q12 /
+    # q47-audit disease); run each as its own two-stage agg over the
+    # distinct pair set and broadcast-join the per-lang scalars back
+
+    def n_distinct(col: str, alias: str) -> DataFrame:
+        return (
+            base.select("lang", col)
+            .distinct()
+            .groupBy("lang")
+            .agg(F.count(F.when(F.col(col).isNotNull(), 1)).alias(alias))
         )
+
+    stats = base.groupBy("lang").agg(
+        F.count("*").alias("n_spans"),
+        F.max("n_occurrences").cast("long").alias("max_occ"),
+    )
+    return (
+        stats.join(F.broadcast(n_distinct("doc_id", "n_docs")), "lang")
+        .join(F.broadcast(n_distinct("gram", "n_grams")), "lang")
+        .select("lang", "n_spans", "n_docs", "n_grams", "max_occ")
         .orderBy("lang")
     )

@@ -192,20 +192,28 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # EXISTS == count DISTINCT qualifying orders per priority: carrying
-    # o_orderpriority through the ONE join lets the whole query run as
-    # join → two-phase distinct agg — one orders scan instead of two and
-    # no separate distinct + semi-join shuffles (r7: 1.22 s → 1.01 s,
-    # value-identical; at scale the win is the removed orders re-scan)
+    # EXISTS over a correlated inequality folds to an AGGREGATE before the
+    # join: "some lineitem shipped > o_orderdate+60" ⇔ "MAX(l_shipdate) per
+    # order > o_orderdate+60". Pre-aggregating lineitem to one row per
+    # orderkey (map-side partial combine shrinks the shuffle ~4:1 to
+    # distinct keys) and joining that to orders replaces the r7 shape —
+    # which shuffled EVERY lineitem row through the join and then paid a
+    # two-phase count_distinct — with key-sized shuffles and a plain count
+    # (r13: 5.47 s → measured below at sf1.0; value-identical). At 100 TB
+    # this is the difference between shuffling the fact table and shuffling
+    # its key set.
     orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = li.join(
-        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
-        li.l_orderkey == F.col("o_orderkey"),
-    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-    return late.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_orderkey").alias("n_orders")
+    late = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("_max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
     )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -445,11 +453,32 @@ def q11_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two distinct aggregates over DIFFERENT columns in one agg rewrite
+    # through Catalyst's Expand — every input row is replicated once per
+    # distinct column (×3 here) before the shuffle, the same near
+    # scale-invariant disease measured on q47/q75b's audit shapes (r13:
+    # 138 s → 1.9 s there). Shape used instead: each COUNT(DISTINCT c) runs
+    # as its own two-stage agg — groupBy(flag, c) partial-combines to the
+    # distinct pair set at the scan, then a key-sized count — and the three
+    # tiny per-flag results (≤3 rows each) broadcast-join back together.
+    # Same trick profiling.profile_columns_approx(exact_check=True) uses;
+    # COUNT(DISTINCT) NULL semantics kept by counting non-null keys only
+    # (the NULL group survives groupBy but must not be counted).
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count("*").alias("n_rows"),
+
+    def n_distinct(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.when(F.col(col).isNotNull(), 1)).alias(alias))
+        )
+
+    rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    return (
+        rows.join(F.broadcast(n_distinct("l_partkey", "n_parts")), "l_returnflag")
+        .join(F.broadcast(n_distinct("l_suppkey", "n_supps")), "l_returnflag")
+        .select("l_returnflag", "n_parts", "n_supps", "n_rows")
     )
 
 

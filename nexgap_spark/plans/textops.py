@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from nexgap_spark.operators import dedup, text
 from nexgap_spark.plans.registry import query
-from nexgap_spark.session import load_table as t
+from nexgap_spark.session import load_table as t, wide_table as tw
 
 # Shared SQL fragments (tokenization must match operators.text.tokenize).
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -47,7 +47,7 @@ _SHINGLES3 = (
     """,
 )
 def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     n_tokens = F.size(text.tokenize("text"))
     return (
         docs.select("lang", "n_chars", n_tokens.alias("nt"))
@@ -85,7 +85,7 @@ _SW_LIST = "', '".join(text.DEFAULT_STOPWORDS)
     """,
 )
 def q25_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     feat = text.quality_features(docs)
     return feat.select(
         "doc_id",
@@ -142,7 +142,7 @@ def _langid_oracle() -> str:
 
 @query("q26_language_id", oracle=_langid_oracle())
 def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     pred = text.language_id(docs)
     return pred.select(
         "doc_id",
@@ -197,7 +197,7 @@ def q27_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     return text.fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -527,7 +527,7 @@ def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q59_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     counts = text.term_counts(docs, text_col="text")
     return counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(20)
 
@@ -601,7 +601,7 @@ def q60_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     scored = text.tfidf(docs)
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -837,7 +837,7 @@ def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q103_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     out = text.ngram_logprob(docs, train)
     return out.select(

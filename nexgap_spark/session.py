@@ -62,6 +62,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # File-split planning: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/minPartitionNum)). The 4 MB
+        # openCost default models HDFS-era seek cost and BIN-PACKS a
+        # small-file corpus into a handful of scan tasks — the ×10 scaled
+        # documents table (8 files, ~6 MB total) scanned as 2 tasks, and a
+        # 6 s regex projection ran on 2 of 32 cores. On NVMe/object-store
+        # reads a file open is ~ms, not 4 MB worth of scan; 512 KB keeps
+        # one task per small file (splits still can't cross row-group
+        # boundaries, so this never fragments big files — those are capped
+        # by maxPartitionBytes exactly as before).
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # the driver's events table carries TIMESTAMP(NANOS) — Spark reads it
         # as a long; load_table converts to a µs timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -205,10 +216,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def fan_out_python_stage(df: DataFrame) -> DataFrame:
-    """Fan a DataFrame out to cluster parallelism before a CPU-bound Python
-    (mapInPandas / applyInPandas) stage.
+    """Fan a DataFrame out to cluster parallelism before a CPU-bound
+    per-row stage — a Python (mapInPandas / applyInPandas) stage, or a
+    JVM-side projection whose per-row cost dwarfs the scan (multi-pass
+    regex, shingle explode, stack() unpivot: the r13 sf1.0 sweep measured
+    q69's six regex passes at 6.3 s on 2 of 32 cores).
 
-    Python-stage cost is per ROW, so the right partition count is core
+    Such stage cost is per ROW, so the right partition count is core
     count — but two mechanisms silently hand such stages fewer partitions:
     small inputs scan as few file splits (a ×100 scaled corpus written as 8
     files ran a 500 k-record Arrow stage 8-wide on 32 cores), and AQE's
@@ -233,3 +247,18 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`load_table` + :func:`fan_out_python_stage`, for plans whose
+    per-row cost (multi-pass regex, shingling, unpivot) dominates the scan.
+
+    The single-file, single-row-group local testdata scans as ONE task no
+    matter the split config (splits cannot cross row-group boundaries), so
+    without this a 6 s regex projection runs on 1-2 of 32 cores. The fan-out
+    shuffle moves only the pruned columns (text tables here are ≤ tens of
+    MB compressed) and the partition-count guard makes it a no-op on any
+    real cluster layout, where a large table's scan is already wider than
+    the cluster — the repartition exists to widen NARROW inputs, never to
+    add a shuffle at scale."""
+    return fan_out_python_stage(load_table(spark, sf_dir, name))

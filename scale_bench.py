@@ -87,7 +87,10 @@ def build_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
             F.col("text"), F.lit(r"(\S+)"), F.concat(F.lit(r"$1_"), F.col("_rep"))
         ),
     ).drop("_rep")
-    out.coalesce(8).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    # one file per core: the scan side bin-packs small files into splits
+    # (session openCostInBytes note), so file count is the parallelism
+    # ceiling for every downstream per-row-heavy stage
+    out.repartition(32).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
 def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
@@ -107,7 +110,7 @@ def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
     )
     out = out.withColumn("embedding", rot).drop("_rep")
     # repartition, not coalesce: the base scan is one split (see events note)
-    out.repartition(8).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    out.repartition(32).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
 def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
@@ -132,7 +135,7 @@ def build_span_dir(spark, sf_dir: str, m: int, path: str) -> None:
     # partitioning makes each part file a disjoint time slice, so the
     # file-source replay is time-ordered across micro-batches (the
     # watermark advances and evicts state exactly as a live stream would).
-    out.repartitionByRange(8, "ts").write.mode("overwrite").parquet(
+    out.repartitionByRange(32, "ts").write.mode("overwrite").parquet(
         f"{path}/events.parquet"
     )
     docs = _shifted(load_table(spark, sf_dir, "documents"), m, ["doc_id"]).drop("_rep")
@@ -179,7 +182,7 @@ def build_sf_dir(spark, sf_dir: str, m: int, path: str) -> None:
         r = spark.range(m).withColumnRenamed("id", "_rep")
         return df.crossJoin(F.broadcast(r))
 
-    def w(df, tbl, parts=8):
+    def w(df, tbl, parts=16):
         df.drop("_rep").repartition(parts).write.mode("overwrite").parquet(
             f"{path}/{tbl}.parquet"
         )
@@ -201,7 +204,7 @@ def build_sf_dir(spark, sf_dir: str, m: int, path: str) -> None:
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * o_sh)
         .withColumn("l_partkey", F.col("l_partkey") + F.col("_rep") * p_sh)
         .withColumn("l_suppkey", F.col("l_suppkey") + F.col("_rep") * s_sh),
-        "lineitem", parts=16,
+        "lineitem", parts=32,
     )
     ev = load_table(spark, sf_dir, "events")
     e_sh = -(-_max1(ev, "event_id") // 100) * 100  # %100-preserving
@@ -212,7 +215,7 @@ def build_sf_dir(spark, sf_dir: str, m: int, path: str) -> None:
         .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(u_sh))
         .drop("_rep")
     )
-    out.repartitionByRange(8, "ts").write.mode("overwrite").parquet(
+    out.repartitionByRange(32, "ts").write.mode("overwrite").parquet(
         f"{path}/events.parquet"
     )
     build_docs_dir(spark, sf_dir, m, path)
