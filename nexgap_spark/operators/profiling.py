@@ -1,31 +1,31 @@
-"""Dataset profiling: per-column quality stats in ONE scan, ONE main shuffle.
+"""Dataset profiling: per-column quality stats, exact and sketched.
 
-Single pass: stack()-unpivot every profiled column to (column_name, value)
-rows — nulls kept — then aggregate twice on the SAME stream:
+Exact shape (r13): TWO kinds of branches over the pruned projection —
 
-  1. groupBy(column_name, value) → per-value counts. Map-side combine means
-     the shuffle carries each partition's DISTINCT (column, value) pairs,
-     i.e. volume ∝ cardinality, not input rows.
-  2. groupBy(column_name) folds those into n_rows / n_null / n_distinct,
-     and recovers min/max by re-casting the string value back to each
-     column's native type inside conditional aggregates — so numeric
-     ordering is correct without a separate native-typed pass.
+  1. one narrow whole-relation aggregate for n_rows and per-column
+     n_null / min / max (native types, full codegen, no row expansion);
+  2. one NATIVE-typed distinct per column — scan column c, partial-dedup
+     map-side, shuffle only c's distinct value set, count — unioned into
+     (column_name, n_distinct) rows and combined with branch 1's single
+     broadcast row.
 
-Shapes this replaced, with sf0.1 measurements (orders, 5 cols):
-  * two branches re-scanning the source: 0.9 s locally but TWO full input
-    scans — the worst possible regression on a 100 TB fact table;
-  * one wide agg with count_distinct per column: single scan but Catalyst
-    plans an Expand that replicates every row (k+1)× — 2.0 s;
-  * two branches over a persisted pruned projection: single I/O scan but
-    the cache build costs more than it saves (3.9 s cold, 1.6 s warm) and
-    pins executor memory.
-This shape is the only one that wins at both scales: one scan, no cache,
-no Expand, shuffle ∝ cardinality (the 100 TB knob is
-spark.sql.shuffle.partitions for stage 1).
+Per-column branches are NOT k full scans on a columnar source: parquet
+column pruning means branch c reads only column c's bytes, so total I/O
+across all branches ≈ one scan of the profiled columns, and each branch
+shuffles its values in native width. Measured on orders, 5 cols: 1.7 s at
+sf1.0 vs 5.8 s for the previous single-pass stack() unpivot — the stack
+paid CAST(value AS STRING) on every row × every column plus a string-typed
+per-value shuffle carrying counts it didn't need. Earlier shapes and their
+measurements (sf0.1): wide agg with k count_distinct → Catalyst Expand,
+(k+1)× row replication, 2.0 s; persisted pruned projection → cache build
+costs more than it saves (3.9 s cold) and pins executor memory. On a
+row-oriented source (CSV/JSON) the single-pass stack amortizes the one
+unavoidable full scan — that trade flips, and the stack shape survives in
+profile_columns_approx's sketch pass, which IS one scan.
 
-Type contract: values round-trip through CAST(x AS STRING) and back, which
-is exact for the supported profile types (integers, doubles, strings,
-dates) — so distinct counts and min/max equal their native-type results.
+Type contract: min/max are rendered as strings (heterogeneous columns
+share one schema) from native-typed aggregates, so numeric ordering is
+always correct; distinct counts are computed on native values.
 """
 
 from __future__ import annotations
@@ -54,69 +54,48 @@ def _slit(s: str) -> str:
 def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
     """Per-column profile: (column_name, n_rows, n_null, n_distinct,
     min_value, max_value) with min/max rendered as strings so heterogeneous
-    column types share one schema. Exact distinct counts (swap stage 1 for
-    approx_count_distinct sketches at extreme cardinality; the plan shape
-    is identical, exactness kept for oracle comparability).
+    column types share one schema. Exact distinct counts on NATIVE values
+    (plan shape in the module docstring; the sketch twin is
+    :func:`profile_columns_approx`).
 
-    Generated expressions backtick-quote every column name and use
-    POSITIONAL intermediate aliases (_min_0, …), so arbitrary column names
-    — spaces, dashes, dots, quotes — profile exactly like plain ones."""
-    dtypes = dict(df.dtypes)
+    Column references go through backtick quoting (F.col parses dots as
+    nested-field paths), so arbitrary column names — spaces, dashes, dots,
+    quotes — profile exactly like plain ones.
+
+    Contract: one output row PER REQUESTED COLUMN even on empty input —
+    every branch is a whole-relation aggregate, which yields exactly one
+    row (zero counts, NULL min/max) on zero input rows."""
     df = df.select(*[F.col(_bt(c)) for c in cols])
-    val_args = ", ".join(f"{_slit(c)}, CAST({_bt(c)} AS STRING)" for c in cols)
-    pairs = df.select(
-        F.expr(f"stack({len(cols)}, {val_args}) AS (column_name, _v)")
-    )
-    per_value = pairs.groupBy("column_name", "_v").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
-    nonnull = F.col("_v").isNotNull()
-    aggs = [
-        F.sum("_cnt").cast("long").alias("n_rows"),
-        F.sum(F.when(nonnull, F.col("_cnt")).otherwise(0)).cast("long").alias("_nn"),
-        F.count(F.when(nonnull, F.lit(1))).cast("long").alias("n_distinct"),
-    ]
+    scalars = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, c in enumerate(cols):
-        mine = F.col("_v").cast(dtypes[c])
-        here = F.col("column_name") == c
-        aggs.append(F.min(F.when(here, mine)).cast("string").alias(f"_min_{i}"))
-        aggs.append(F.max(F.when(here, mine)).cast("string").alias(f"_max_{i}"))
-    folded = per_value.groupBy("column_name").agg(*aggs)
-    # contract: one output row PER REQUESTED COLUMN even on empty input
-    # (the unpivot of zero rows would otherwise fold to zero groups and a
-    # consumer keyed by column_name would silently see no columns)
-    names = df.sparkSession.createDataFrame(
-        [(c,) for c in cols], "column_name string"
+        col = F.col(_bt(c))
+        scalars.append(F.count(col).cast("long").alias(f"_nn_{i}"))
+        scalars.append(F.min(col).cast("string").alias(f"_min_{i}"))
+        scalars.append(F.max(col).cast("string").alias(f"_max_{i}"))
+    one = df.agg(*scalars)
+    branches = [
+        df.select(F.col(_bt(c)).alias("_v"))
+        .distinct()
+        .agg(F.count(F.when(F.col("_v").isNotNull(), 1)).cast("long").alias("_nd"))
+        .select(F.lit(c).alias("column_name"), "_nd")
+        for c in cols
+    ]
+    nd = branches[0]
+    for b in branches[1:]:
+        nd = nd.unionByName(b)
+    out = nd.crossJoin(F.broadcast(one))
+    # each output row picks its own column's scalar slots; coalesce over
+    # the positional WHENs keeps NULL min/max for all-null columns
+    pick = lambda fmt: F.coalesce(  # noqa: E731
+        *[F.when(F.col("column_name") == c, F.col(fmt % i)) for i, c in enumerate(cols)]
     )
-    folded = names.join(F.broadcast(folded), "column_name", "left").select(
+    return out.select(
         "column_name",
-        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
-        F.coalesce("_nn", F.lit(0)).alias("_nn"),
-        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-        *[F.col(f"_min_{i}") for i in range(len(cols))],
-        *[F.col(f"_max_{i}") for i in range(len(cols))],
-    )
-    # each row matches exactly one _min_*/_max_* pair; the rest are NULL,
-    # so coalesce picks the right one (and stays NULL for all-null columns)
-    min_value = F.coalesce(
-        *[
-            F.when(F.col("column_name") == c, F.col(f"_min_{i}"))
-            for i, c in enumerate(cols)
-        ]
-    )
-    max_value = F.coalesce(
-        *[
-            F.when(F.col("column_name") == c, F.col(f"_max_{i}"))
-            for i, c in enumerate(cols)
-        ]
-    )
-    return folded.select(
-        "column_name",
-        "n_rows",
-        (F.col("n_rows") - F.col("_nn")).cast("long").alias("n_null"),
-        "n_distinct",
-        min_value.alias("min_value"),
-        max_value.alias("max_value"),
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - pick("_nn_%d")).cast("long").alias("n_null"),
+        F.col("_nd").alias("n_distinct"),
+        pick("_min_%d").alias("min_value"),
+        pick("_max_%d").alias("max_value"),
     )
 
 
@@ -138,7 +117,7 @@ def profile_columns_approx(
     count and emits the sketch CONTRACT — estimate within ±10 % of exact
     (5× the default rsd, >5σ) — as a deterministic ``distinct_within_tol``
     boolean, same validation pattern as q47. The exact side runs as its
-    OWN per-value two-stage aggregation (profile_columns' stage-1 shape)
+    OWN per-column native-typed distinct branches (profile_columns' shape)
     broadcast-joined back on column_name — NOT as count_distinct inside
     the sketch agg: mixing k count_distinct columns with the HLL
     aggregates makes Catalyst rewrite through an Expand whose cost was
@@ -174,25 +153,29 @@ def profile_columns_approx(
         F.col("_n").alias("n_rows"),
     )
     if exact_check:
-        val_args = ", ".join(f"{_slit(c)}, CAST({_bt(c)} AS STRING)" for c in cols)
-        pairs = df.select(
-            F.expr(f"stack({len(cols)}, {val_args}) AS (column_name, _v)")
-        ).where(F.col("_v").isNotNull())
-        # two-stage exact distinct: map-side combine means the shuffle
-        # carries each partition's distinct (column, value) pairs — the
-        # same cardinality-bounded stage profile_columns runs
-        exact = (
-            pairs.groupBy("column_name", "_v")
-            .agg(F.lit(1).alias("_one"))
-            .groupBy("column_name")
-            .agg(F.count(F.lit(1)).cast("long").alias("_ed"))
-        )
-        # all-null columns have no (column, value) pairs: coalesce the
-        # missing exact count to 0 so the contract reads 0 <= 0 -> true,
-        # matching COUNT(DISTINCT col) = 0 semantics on both engines
-        ed = F.coalesce(F.col("_ed"), F.lit(0))
+        # exact side: one NATIVE-typed distinct per column (the
+        # profile_columns shape — parquet pruning makes the branches read
+        # disjoint bytes), unioned and broadcast-joined back — NOT
+        # count_distinct inside the sketch agg (the Expand disease above)
+        branches = [
+            df.select(F.col(_bt(c)).alias("_v"))
+            .distinct()
+            .agg(
+                F.count(F.when(F.col("_v").isNotNull(), 1))
+                .cast("long")
+                .alias("_ed")
+            )
+            .select(F.lit(c).alias("column_name"), "_ed")
+            for c in cols
+        ]
+        exact = branches[0]
+        for b in branches[1:]:
+            exact = exact.unionByName(b)
+        # whole-relation agg branches always emit one row per column, so
+        # all-null columns carry an explicit _ed = 0 (COUNT(DISTINCT) = 0
+        # on both engines) and the contract reads |ad - 0| <= 0 -> ad = 0
         out = out.join(F.broadcast(exact), "column_name", "left").withColumn(
-            tail_name, F.abs(F.col("_ad") - ed) <= 0.10 * ed
+            tail_name, F.abs(F.col("_ad") - F.col("_ed")) <= 0.10 * F.col("_ed")
         )
     else:
         out = out.withColumn(tail_name, F.col("_ad"))

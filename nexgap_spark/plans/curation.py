@@ -416,7 +416,10 @@ def _profile_oracle() -> str:
 
 @query("q75_column_profile", oracle=_profile_oracle())
 def q75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = tw(spark, sf_dir, "orders")
+    # plain scan, no fan-out: every branch is an aggregate whose partial
+    # side runs AT the scan; the native per-column distincts measured
+    # fastest without the extra exchange (profiling module docstring)
+    orders = t(spark, sf_dir, "orders")
     return profiling.profile_columns(orders, cols=list(_PROFILE_COLS))
 
 
@@ -458,7 +461,7 @@ def _profile_approx_oracle() -> str:
 
 @query("q75b_column_profile_approx", oracle=_profile_approx_oracle())
 def q75b_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = tw(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders")
     return profiling.profile_columns_approx(
         orders, cols=list(_PROFILE_COLS), exact_check=True
     )
@@ -678,27 +681,19 @@ def q108_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tw(spark, sf_dir, "documents")
     spans = curation.repeated_ngram_spans(docs, n=5, min_count=3)
     lang = docs.select("doc_id", "lang")
-    base = spans.join(lang, "doc_id")
-    # two COUNT(DISTINCT x) over different columns in one agg rewrite
-    # through Catalyst's Expand (row set ×3 before the shuffle — the q12 /
-    # q47-audit disease); run each as its own two-stage agg over the
-    # distinct pair set and broadcast-join the per-lang scalars back
-
-    def n_distinct(col: str, alias: str) -> DataFrame:
-        return (
-            base.select("lang", col)
-            .distinct()
-            .groupBy("lang")
-            .agg(F.count(F.when(F.col(col).isNotNull(), 1)).alias(alias))
-        )
-
-    stats = base.groupBy("lang").agg(
-        F.count("*").alias("n_spans"),
-        F.max("n_occurrences").cast("long").alias("max_occ"),
-    )
+    # multi-distinct Expand kept deliberately: A/B at sf1.0 measured the
+    # Expand agg and the two-stage-join split within noise of each other
+    # (1.18 vs 1.23 s warm) — exchange reuse already shares the explode
+    # across branches, and Expand reads the joined spans once (the q12
+    # comment records the same result on the relational side)
     return (
-        stats.join(F.broadcast(n_distinct("doc_id", "n_docs")), "lang")
-        .join(F.broadcast(n_distinct("gram", "n_grams")), "lang")
-        .select("lang", "n_spans", "n_docs", "n_grams", "max_occ")
+        spans.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("gram").alias("n_grams"),
+            F.max("n_occurrences").cast("long").alias("max_occ"),
+        )
         .orderBy("lang")
     )

@@ -453,32 +453,20 @@ def q11_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two distinct aggregates over DIFFERENT columns in one agg rewrite
-    # through Catalyst's Expand — every input row is replicated once per
-    # distinct column (×3 here) before the shuffle, the same near
-    # scale-invariant disease measured on q47/q75b's audit shapes (r13:
-    # 138 s → 1.9 s there). Shape used instead: each COUNT(DISTINCT c) runs
-    # as its own two-stage agg — groupBy(flag, c) partial-combines to the
-    # distinct pair set at the scan, then a key-sized count — and the three
-    # tiny per-flag results (≤3 rows each) broadcast-join back together.
-    # Same trick profiling.profile_columns_approx(exact_check=True) uses;
-    # COUNT(DISTINCT) NULL semantics kept by counting non-null keys only
-    # (the NULL group survives groupBy but must not be counted).
+    # Multi-column COUNT(DISTINCT) rewrites through Catalyst's Expand (row
+    # set ×3 before the shuffle). Measured at sf1.0 (r13 A/B): the Expand
+    # shape is FASTER here — 3.07 s vs 4.34 s for per-column two-stage aggs
+    # joined back — because Expand reads the fact table ONCE while the
+    # split shape scans it once per distinct column, and each expanded
+    # replica still partial-dedups map-side. The q47/q75b "never Expand"
+    # lesson is scoped to distinct MIXED WITH HLL sketches in one agg,
+    # which disables partial aggregation entirely; pure multi-distinct
+    # keeps it and scales with the key sets.
     li = t(spark, sf_dir, "lineitem")
-
-    def n_distinct(col: str, alias: str) -> DataFrame:
-        return (
-            li.select("l_returnflag", col)
-            .distinct()
-            .groupBy("l_returnflag")
-            .agg(F.count(F.when(F.col(col).isNotNull(), 1)).alias(alias))
-        )
-
-    rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
-    return (
-        rows.join(F.broadcast(n_distinct("l_partkey", "n_parts")), "l_returnflag")
-        .join(F.broadcast(n_distinct("l_suppkey", "n_supps")), "l_returnflag")
-        .select("l_returnflag", "n_parts", "n_supps", "n_rows")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
     )
 
 

@@ -114,15 +114,16 @@ def test_profile_columns_nulls_and_types(spark):
     assert prof["v"].n_null == 1 and prof["v"].min_value == "1.5"
 
 
-def test_profile_is_single_scan(spark):
-    # single-pass contract: one live scan of the source feeds every stat —
-    # no second branch, no cached relation, no Expand
+def test_profile_plan_shape(spark):
+    # r13 shape contract: one narrow scalar-agg branch plus one NATIVE
+    # distinct branch per column (k+1 relation reads — disjoint bytes under
+    # parquet column pruning), and still no Expand, no cached relation
     df = spark.range(100).select(
         F.col("id").alias("a"), (F.col("id") % 3).alias("b")
     )
     out = profiling.profile_columns(df, cols=["a", "b"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Range (0, 100") == 1
+    assert plan.count("Range (0, 100") == 3  # scalars + 2 distinct branches
     assert "Expand" not in plan and "InMemoryRelation" not in plan
     out.collect()  # and the plan actually executes
 
