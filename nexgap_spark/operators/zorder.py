@@ -1,0 +1,152 @@
+"""Z-order (Morton-curve) clustering for multi-dimensional data skipping.
+
+Parquet scans prune row groups / files by the footer min-max of the
+predicate columns, but a layout can only be tight on ONE sort key: sorting
+by `ts` makes `user_id` spans in every file as wide as the table. Z-order
+interleaves the bits of several columns' bucket ranks into one integer and
+range-partitions + sorts on THAT, so every output file covers a small
+hyper-rectangle of the key space and predicates on ANY of the clustered
+columns skip most files. This is the standard lakehouse layout optimization
+(Delta/Iceberg `OPTIMIZE ... ZORDER BY`), re-expressed with plain DataFrame
+ops: an agg for the value ranges, a codegen'd bit-interleave projection, a
+`repartitionByRange` + `sortWithinPartitions` write. No UDF anywhere.
+
+At 100 TB the knobs are `bits` (curve resolution — 8 bits/column = 256
+buckets is plenty for file-level skipping) and `n_files` (file granularity;
+skipping works per row group as well, so oversizing files still prunes).
+The range computation is one cheap min/max agg; buckets are LINEAR between
+the observed min/max — rank-based bucketing (quantiles) would equalize
+bucket mass under heavy skew at the cost of a sampled quantile pass, and
+can be layered on by pre-mapping the column. See SCALE.md (round 13) for
+the measured file-span and selective-scan effect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["linear_bucket", "zvalue", "zorder_frame", "zorder_write", "file_spans"]
+
+
+def linear_bucket(col: Column, vmin: Column, vmax: Column, bits: int) -> Column:
+    """Map ``col`` to an integer bucket in [0, 2**bits) linearly between
+    ``vmin`` and ``vmax`` (inclusive). NULLs and degenerate ranges
+    (vmax == vmin) go to bucket 0; values are clamped, so rows outside a
+    stale range still bucket validly (incremental writers reuse ranges).
+
+    Pure integer/double arithmetic — identical semantics are expressible
+    in ANSI SQL, which keeps the whole curve oracle-checkable."""
+    n = F.lit(1 << bits)
+    span = vmax.cast("double") - vmin.cast("double")
+    raw = F.floor((col.cast("double") - vmin.cast("double")) / span * n.cast("double"))
+    clamped = F.least(F.greatest(raw, F.lit(0)), n - F.lit(1))
+    return (
+        F.when(col.isNull() | (span <= F.lit(0.0)), F.lit(0))
+        .otherwise(clamped)
+        .cast("long")
+    )
+
+
+def zvalue(buckets: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` bits of each bucket column into one Morton code
+    (column 0 owns the least-significant interleaved bit). k columns ×
+    b bits emit k·b output bits — keep k·b ≤ 62 for a long. The expression
+    is a flat sum of shift/mask terms, fully inside whole-stage codegen."""
+    k = len(buckets)
+    if k * bits > 62:
+        raise ValueError(f"z-value would need {k * bits} bits; max 62")
+    terms = []
+    for j, b in enumerate(buckets):
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    ranges: dict[str, tuple] | None = None,
+    z_col: str = "_z",
+) -> DataFrame:
+    """Attach the Morton code of ``cols`` as ``z_col``. ``ranges`` maps
+    column → (min, max); when omitted they come from one min/max agg over
+    ``df`` (a single cheap scan — at 100 TB, pass catalog-kept ranges in).
+    Timestamp/date columns participate via their numeric cast."""
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+        row = df.agg(*aggs).first()
+        ranges = {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
+    buckets = [
+        linear_bucket(
+            F.col(c).cast("double"),
+            F.lit(ranges[c][0]),
+            F.lit(ranges[c][1]),
+            bits,
+        )
+        for c in cols
+    ]
+    return df.withColumn(z_col, zvalue(buckets, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 32,
+    ranges: dict[str, tuple] | None = None,
+) -> None:
+    """Write ``df`` to ``path`` clustered on the Z-curve of ``cols``:
+    range-partition by z (each file owns a contiguous curve segment — a
+    small hyper-rectangle of the key space) and sort within partitions so
+    row-group stats are tight too. The z column itself is dropped; the
+    layout IS the index."""
+    zdf = zorder_frame(df, cols, bits=bits, ranges=ranges)
+    (
+        zdf.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max spans of ``cols`` read from the parquet footers —
+    the exact statistics a scan prunes with. Returns one row per data file
+    with ``<c>_min`` / ``<c>_max`` for each requested column; the
+    normalized mean span (vs the global range) is the clustering-quality
+    metric asserted in tests and SCALE.md. Footer-only: no row data read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict = {"file": name, "n_rows": md.num_rows}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+        rows.append(rec)
+    return spark.createDataFrame(rows)

@@ -67,12 +67,15 @@ _DRIVER_WINDOW = [
     "q44_dedup_corpus",
     "q100_incremental_minhash",
     "q31_minhash_lsh_pairs",
+    # code-touched late in r13: the profiling rewrite's audit twin and the
+    # NEW z-order curve — swapped in for q30/q32 (both r11-green, source
+    # untouched, and their signature path keeps an external row via q31)
+    "q75b_column_profile_approx",
+    "q114_zorder_curve",
     # remaining r11-green rotation fill
     "q24_text_stats",
     "q25_quality_features",
     "q26_language_id",
-    "q30_minhash_signatures",
-    "q32_simhash",
     "q34_cosine_topk",
     "q35_ivf_topk",
     "q38_validate_xml",

@@ -381,3 +381,83 @@ def q84_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — Z-order (Morton) clustering curve: the layout-optimization primitive
+# for multi-column data skipping (operators/zorder.py; the write path is
+# zorder_write, exercised in tests + SCALE.md). The query pins the whole
+# curve computation — linear bucketing of (user_id, ts) to 8 bits each and
+# the bit interleave — by aggregating per curve CELL (top 6 of 16 z bits):
+# a scan pruned by z-range touches exactly the cells the predicate's
+# hyper-rectangle intersects, so cell extents ARE the skipping contract.
+# Both engines compute ranges, buckets, and interleave in plain arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    # interleave 8 bits of ub (bit j -> 2j) and tb (bit j -> 2j+1)
+    terms = " + ".join(
+        f"(((ub >> {i}) & 1) << {2 * i}) + (((tb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    bucket = (
+        "CAST(LEAST(GREATEST(FLOOR(({x} - {mn}) / ({mx} - {mn}) * 256.0), 0), 255) AS BIGINT)"
+    )
+    ub = bucket.format(x="CAST(user_id AS DOUBLE)", mn="r.mnu", mx="r.mxu")
+    tb = bucket.format(x="epoch(ts)", mn="r.mnt", mx="r.mxt")
+    return f"""
+    WITH r AS (
+      SELECT CAST(MIN(user_id) AS DOUBLE) AS mnu, CAST(MAX(user_id) AS DOUBLE) AS mxu,
+             MIN(epoch(ts)) AS mnt, MAX(epoch(ts)) AS mxt
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, {ub} AS ub, {tb} AS tb FROM events, r
+    ),
+    z AS (SELECT user_id, ub, tb, {terms} AS zv FROM b)
+    SELECT zv >> 10 AS cell,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           CAST(MIN(zv) AS BIGINT)   AS min_z,
+           CAST(MAX(zv) AS BIGINT)   AS max_z,
+           CAST(MIN(ub) AS BIGINT)   AS min_ub,
+           CAST(MAX(ub) AS BIGINT)   AS max_ub,
+           CAST(MIN(tb) AS BIGINT)   AS min_tb,
+           CAST(MAX(tb) AS BIGINT)   AS max_tb,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM z GROUP BY 1
+    """
+
+
+@query("q114_zorder_curve", oracle=_zorder_oracle())
+def q114_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators import zorder
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("_ts")
+    )
+    row = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("mnu"),
+        F.max(F.col("user_id").cast("double")).alias("mxu"),
+        F.min("_ts").alias("mnt"),
+        F.max("_ts").alias("mxt"),
+    ).first()
+    ub = zorder.linear_bucket(
+        F.col("user_id").cast("double"), F.lit(row.mnu), F.lit(row.mxu), 8
+    )
+    tb = zorder.linear_bucket(F.col("_ts"), F.lit(row.mnt), F.lit(row.mxt), 8)
+    z = zorder.zvalue([ub, tb], 8)
+    return (
+        ev.select("user_id", ub.alias("ub"), tb.alias("tb"), z.alias("zv"))
+        .groupBy(F.shiftright("zv", 10).alias("cell"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("zv").alias("min_z"),
+            F.max("zv").alias("max_z"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("tb").alias("min_tb"),
+            F.max("tb").alias("max_tb"),
+            F.min("user_id").alias("min_user"),
+        )
+    )

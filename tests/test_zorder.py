@@ -1,0 +1,136 @@
+"""Z-order clustering: interleave correctness vs a Python reference, the
+write path's file-span tightness (the data-skipping contract), and edge
+cases (NULLs, degenerate ranges, clamping)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import zorder
+
+
+def _py_z(vals: list[int], bits: int) -> int:
+    z = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 7, 128, 255) for b in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder.zvalue([F.col("a"), F.col("b")], 8).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_z([a, b], 8), (a, b)
+
+
+def test_zvalue_three_columns_and_width_guard(spark):
+    df = spark.createDataFrame([(5, 2, 7)], "a long, b long, c long")
+    (z,) = df.select(
+        zorder.zvalue([F.col("a"), F.col("b"), F.col("c")], 4).alias("z")
+    ).first()
+    assert z == _py_z([5, 2, 7], 4)
+    with pytest.raises(ValueError):
+        zorder.zvalue([F.col("a"), F.col("b")], 32)  # 64 bits > 62
+
+
+def test_linear_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (-5.0,), (200.0,), (None,)], "x double"
+    )
+    out = df.select(
+        zorder.linear_bucket(F.col("x"), F.lit(0.0), F.lit(100.0), 8).alias("b")
+    ).collect()
+    got = [r.b for r in out]
+    # min -> 0, mid -> 128, max clamps to 255, out-of-range clamps, NULL -> 0
+    assert got == [0, 128, 255, 0, 255, 0]
+    # degenerate range: everything buckets to 0
+    same = df.select(
+        zorder.linear_bucket(F.col("x"), F.lit(7.0), F.lit(7.0), 8).alias("b")
+    ).collect()
+    assert all(r.b == 0 for r in same)
+
+
+def test_zorder_frame_computes_ranges(spark):
+    df = spark.range(256).select(
+        F.col("id").alias("x"), (255 - F.col("id")).alias("y")
+    )
+    zdf = zorder.zorder_frame(df, ["x", "y"], bits=8)
+    rows = zdf.collect()
+    for r in rows:
+        assert r._z == _py_z([r.x, r.y], 8)
+
+
+def test_zorder_write_balances_file_spans(spark, tmp_path):
+    # the z layout's contract is BALANCED per-dimension spans: a 1-D ts
+    # sort leaves every file's user span at full width (no predicate on
+    # user can skip anything), while the Morton layout bounds BOTH dims'
+    # mean normalized span well below 1 (per-file area is ~1/n_files for
+    # either layout — the curve trades a little ts tightness for user
+    # tightness, which is the point)
+    n, files = 20_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 997).alias("user_id"),
+        (F.xxhash64("id") % 100_000).alias("tsk"),
+    )
+    base, zpath = str(tmp_path / "by_ts"), str(tmp_path / "zord")
+    df.repartitionByRange(files, "tsk").sortWithinPartitions("tsk").write.parquet(base)
+    zorder.zorder_write(df, zpath, ["user_id", "tsk"], bits=8, n_files=files)
+
+    def mean_spans(path):
+        spans = zorder.file_spans(spark, path, ["user_id", "tsk"]).collect()
+        u = sum((r.user_id_max - r.user_id_min) / 996.0 for r in spans) / len(spans)
+        t = sum((r.tsk_max - r.tsk_min) / 200_000.0 for r in spans) / len(spans)
+        return u, t
+
+    u_base, _ = mean_spans(base)
+    u_z, t_z = mean_spans(zpath)
+    assert u_base > 0.9, u_base  # 1-D sort: user spans the full range
+    assert u_z < 0.5 and t_z < 0.5, (u_z, t_z)  # curve: both dims bounded
+    # and the rewrite is lossless
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.agg(F.sum("user_id")).first()[0] == df.agg(F.sum("user_id")).first()[0]
+
+
+def test_zorder_write_prunes_selective_scan(spark, tmp_path):
+    # the actual skipping effect: a conjunctive box predicate on BOTH dims
+    # must read fewer files from the z layout than a single-dim sort gives
+    # it on the non-sorted dim (file-level pruning via footer min/max)
+    n, files = 20_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 997).alias("user_id"),
+        (F.xxhash64("id") % 100_000).alias("tsk"),
+    )
+    zpath = str(tmp_path / "zb")
+    zorder.zorder_write(df, zpath, ["user_id", "tsk"], bits=8, n_files=files)
+    spans = zorder.file_spans(spark, zpath, ["user_id", "tsk"]).collect()
+    # count files whose footer range intersects the box — what a reader prunes with
+    lo_u, hi_u, lo_t, hi_t = 100, 200, -50_000, -30_000
+    touched = [
+        r
+        for r in spans
+        if not (r.user_id_max < lo_u or r.user_id_min > hi_u)
+        and not (r.tsk_max < lo_t or r.tsk_min > hi_t)
+    ]
+    assert len(touched) <= len(spans) // 2, (len(touched), len(spans))
+    # correctness of the pruned answer vs the full scan
+    got = (
+        spark.read.parquet(zpath)
+        .where(
+            (F.col("user_id").between(lo_u, hi_u))
+            & (F.col("tsk").between(lo_t, hi_t))
+        )
+        .count()
+    )
+    want = df.where(
+        (F.col("user_id").between(lo_u, hi_u)) & (F.col("tsk").between(lo_t, hi_t))
+    ).count()
+    assert got == want
