@@ -282,6 +282,39 @@ def split_cut_sql(weights: dict[str, float], key_expr: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "group_id",
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """:func:`split_assign`, but the hash key is the near-dup GROUP id —
+    so every member of a duplicate cluster lands in the SAME split.
+
+    Per-document split assignment leaks through near-duplicates: a test
+    document's near-copy has ~train_fraction probability of landing in
+    train, which is exactly the contamination channel dedup exists to
+    close (and the reason benchmark decontamination pipelines cluster
+    before they split). ``groups`` is a (key, group) membership — e.g.
+    ``dedup.dup_groups`` output — covering only clustered documents;
+    absent keys are singletons and hash their own key, which keeps the
+    assignment IDENTICAL to plain split_assign for them (adding documents
+    or discovering new dup pairs never reshuffles untouched singletons).
+
+    One broadcast-sized left join + the same no-shuffle md5 bucketing as
+    split_assign; at 100 TB the membership side is the dedup stack's
+    (already key-sized) group table."""
+    keyed = df.join(groups.select(key_col, group_col), key_col, "left")
+    keyed = keyed.withColumn(
+        "_split_key", F.coalesce(F.col(group_col), F.col(key_col))
+    )
+    out = split_assign(keyed, key_col="_split_key", weights=weights, out_col=out_col)
+    return out.drop("_split_key")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concatenate-and-chunk)
 # ---------------------------------------------------------------------------

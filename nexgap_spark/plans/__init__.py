@@ -72,11 +72,13 @@ _DRIVER_WINDOW = [
     # untouched, and their signature path keeps an external row via q31)
     "q75b_column_profile_approx",
     "q114_zorder_curve",
+    # NEW composite: dedup-group-keyed splits (swapped for q34 — r11-green,
+    # untouched; q35/q85/q106 keep the ANN family's external rows)
+    "q116_leakage_safe_split",
     # remaining r11-green rotation fill
     "q24_text_stats",
     "q25_quality_features",
     "q26_language_id",
-    "q34_cosine_topk",
     "q35_ivf_topk",
     "q38_validate_xml",
     "q41_asof_join",

@@ -845,3 +845,64 @@ def q103_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round("avg_logprob", 6).alias("avg_logprob"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q116 — leakage-safe train/val/test split: the dedup stack's END USE in a
+# training pipeline. Splits hash the near-dup GROUP id (q43's connected
+# components), so no near-duplicate of a held-out document can land in
+# train; singletons hash their own id and split exactly as q72 does. The
+# oracle replays the full chain (shingle → minhash → LSH → Jaccard →
+# recursive components → group-keyed md5 bucketing) in SQL.
+# ---------------------------------------------------------------------------
+
+_Q116_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _leakage_split_oracle() -> str:
+    from nexgap_spark.operators import curation as _cur
+
+    cut = _cur.split_cut_sql(_Q116_WEIGHTS, "k")
+    return f"""
+    WITH RECURSIVE {_lsh_jac_ctes()},
+    near AS (SELECT a, b FROM jac WHERE j >= 0.2),
+    und AS (SELECT a AS n, b AS m FROM near UNION ALL SELECT b AS n, a AS m FROM near),
+    nodes AS (SELECT DISTINCT n FROM und),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.n, r.m FROM und u JOIN reach r ON u.m = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n),
+    eff AS (
+      SELECT d.doc_id, d.n_chars, c.group_id,
+             COALESCE(c.group_id, d.doc_id) AS k
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT {cut} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(group_id) AS BIGINT) AS n_clustered_docs,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM eff GROUP BY 1
+    """
+
+
+@query("q116_leakage_safe_split", oracle=_leakage_split_oracle())
+def q116_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
+    groups = dedup.dup_groups(near).select(F.col("n").alias("doc_id"), "group_id")
+    assigned = curation.leakage_safe_split(docs, groups, weights=_Q116_WEIGHTS)
+    eff = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count("group_id").cast("long").alias("n_clustered_docs"),
+        F.count_distinct(eff).alias("n_keys"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -266,3 +266,48 @@ def test_profile_columns_quoted_names(spark):
         ).collect()
     }
     assert all(audit[c].distinct_within_tol for c in weird)
+
+
+def test_leakage_safe_split_no_group_straddles(spark):
+    # 100 docs, groups of 4 consecutive ids -> every member must land in
+    # the SAME split, so max splits per group == 1
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    groups = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("group_id")
+    )
+    out = curation.leakage_safe_split(docs, groups)  # keeps group_id
+    straddle = (
+        out.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert straddle == 1
+    # while the naive per-doc assignment DOES split groups apart (the
+    # leakage channel this operator closes)
+    naive = curation.split_assign(docs, key_col="doc_id")
+    naive_straddle = (
+        naive.join(groups, "doc_id")
+        .groupBy(F.col("group_id").alias("g"))
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert naive_straddle > 1
+
+
+def test_leakage_safe_split_singletons_match_plain_assign(spark):
+    # docs not in any group hash their own id: identical to split_assign,
+    # so growing the group table never reshuffles untouched documents
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    groups = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, group_id long")
+    safe = {
+        r.doc_id: r.split
+        for r in curation.leakage_safe_split(docs, groups).collect()
+    }
+    plain = {
+        r.doc_id: r.split for r in curation.split_assign(docs, key_col="doc_id").collect()
+    }
+    for d in range(2, 200):
+        assert safe[d] == plain[d], d
+    assert safe[0] == safe[1] == plain[0]  # group key = min member id
