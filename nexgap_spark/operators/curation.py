@@ -306,13 +306,24 @@ def leakage_safe_split(
 
     One broadcast-sized left join + the same no-shuffle md5 bucketing as
     split_assign; at 100 TB the membership side is the dedup stack's
-    (already key-sized) group table."""
+    (already key-sized) group table.
+
+    ``df`` must not already carry ``group_col`` — the join would make the
+    coalesce ambiguous and which membership wins would be silent; rejected
+    explicitly (drop or rename the column, or pass that mapping AS
+    ``groups``). The temp key avoids shadowing by construction."""
+    if group_col in df.columns:
+        raise ValueError(
+            f"input already has a {group_col!r} column; drop/rename it, or "
+            f"pass df.select({key_col!r}, {group_col!r}) as `groups` instead"
+        )
+    tmp = "_split_key"
+    while tmp in df.columns:
+        tmp += "_"
     keyed = df.join(groups.select(key_col, group_col), key_col, "left")
-    keyed = keyed.withColumn(
-        "_split_key", F.coalesce(F.col(group_col), F.col(key_col))
-    )
-    out = split_assign(keyed, key_col="_split_key", weights=weights, out_col=out_col)
-    return out.drop("_split_key")
+    keyed = keyed.withColumn(tmp, F.coalesce(F.col(group_col), F.col(key_col)))
+    out = split_assign(keyed, key_col=tmp, weights=weights, out_col=out_col)
+    return out.drop(tmp)
 
 
 # ---------------------------------------------------------------------------

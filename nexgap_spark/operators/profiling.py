@@ -51,6 +51,26 @@ def _slit(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+def _distinct_branches(df: DataFrame, cols: list[str], alias: str) -> DataFrame:
+    """One NATIVE-typed distinct per column — scan column c (disjoint bytes
+    under parquet pruning), partial-dedup map-side, shuffle only c's
+    distinct value set, count non-null — unioned to (column_name, alias)
+    rows. Whole-relation aggs: exactly one row per column even on empty
+    input. Shared by the exact profile and the approx audit's exact side
+    so NULL/type handling cannot drift between them."""
+    branches = [
+        df.select(F.col(_bt(c)).alias("_v"))
+        .distinct()
+        .agg(F.count(F.when(F.col("_v").isNotNull(), 1)).cast("long").alias(alias))
+        .select(F.lit(c).alias("column_name"), alias)
+        for c in cols
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
     """Per-column profile: (column_name, n_rows, n_null, n_distinct,
     min_value, max_value) with min/max rendered as strings so heterogeneous
@@ -73,16 +93,7 @@ def profile_columns(df: DataFrame, *, cols: list[str]) -> DataFrame:
         scalars.append(F.min(col).cast("string").alias(f"_min_{i}"))
         scalars.append(F.max(col).cast("string").alias(f"_max_{i}"))
     one = df.agg(*scalars)
-    branches = [
-        df.select(F.col(_bt(c)).alias("_v"))
-        .distinct()
-        .agg(F.count(F.when(F.col("_v").isNotNull(), 1)).cast("long").alias("_nd"))
-        .select(F.lit(c).alias("column_name"), "_nd")
-        for c in cols
-    ]
-    nd = branches[0]
-    for b in branches[1:]:
-        nd = nd.unionByName(b)
+    nd = _distinct_branches(df, cols, "_nd")
     out = nd.crossJoin(F.broadcast(one))
     # each output row picks its own column's scalar slots; coalesce over
     # the positional WHENs keeps NULL min/max for all-null columns
@@ -153,24 +164,10 @@ def profile_columns_approx(
         F.col("_n").alias("n_rows"),
     )
     if exact_check:
-        # exact side: one NATIVE-typed distinct per column (the
-        # profile_columns shape — parquet pruning makes the branches read
-        # disjoint bytes), unioned and broadcast-joined back — NOT
-        # count_distinct inside the sketch agg (the Expand disease above)
-        branches = [
-            df.select(F.col(_bt(c)).alias("_v"))
-            .distinct()
-            .agg(
-                F.count(F.when(F.col("_v").isNotNull(), 1))
-                .cast("long")
-                .alias("_ed")
-            )
-            .select(F.lit(c).alias("column_name"), "_ed")
-            for c in cols
-        ]
-        exact = branches[0]
-        for b in branches[1:]:
-            exact = exact.unionByName(b)
+        # exact side: the shared per-column native distinct branches,
+        # broadcast-joined back — NOT count_distinct inside the sketch agg
+        # (the Expand disease above)
+        exact = _distinct_branches(df, cols, "_ed")
         # whole-relation agg branches always emit one row per column, so
         # all-null columns carry an explicit _ed = 0 (COUNT(DISTINCT) = 0
         # on both engines) and the contract reads |ad - 0| <= 0 -> ad = 0

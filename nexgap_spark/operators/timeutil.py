@@ -63,6 +63,14 @@ def pin_utc_session(spark) -> None:
             stacklevel=3,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Scan-width pin (r13 review): openCostInBytes is a runtime SQL conf,
+    # and the small-file corpora this engine reads bin-pack into 1-2 scan
+    # tasks under the 4 MB HDFS-era default (see the get_spark builder
+    # comment for the derivation) — a caller-supplied session (the driver
+    # contract) must get the same split planning as the builder's, or the
+    # per-row-heavy projections lose their scan width exactly where the
+    # results are externally recorded.
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
 
 
 def normalize_ts_encoding(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

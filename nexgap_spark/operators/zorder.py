@@ -67,6 +67,18 @@ def zvalue(buckets: list[Column], bits: int) -> Column:
     return z.cast("long")
 
 
+def column_ranges(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
+    """(min, max) of each column as doubles, from ONE agg — the range
+    convention every curve consumer shares (zorder_frame and the q114
+    oracle-pinned catalog query both call this, so they cannot drift)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+    row = df.agg(*aggs).first()
+    return {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
+
+
 def zorder_frame(
     df: DataFrame,
     cols: list[str],
@@ -78,14 +90,16 @@ def zorder_frame(
     """Attach the Morton code of ``cols`` as ``z_col``. ``ranges`` maps
     column → (min, max); when omitted they come from one min/max agg over
     ``df`` (a single cheap scan — at 100 TB, pass catalog-kept ranges in).
-    Timestamp/date columns participate via their numeric cast."""
+    Timestamp/date columns participate via their numeric cast. A ``z_col``
+    name already present in ``df`` is rejected rather than silently
+    overwritten (r13 review — same class as the fingerprint temp-column
+    shadowing fix)."""
+    if z_col in df.columns:
+        raise ValueError(
+            f"z_col {z_col!r} already exists in the input; pass a different z_col"
+        )
     if ranges is None:
-        aggs = []
-        for c in cols:
-            aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
-        row = df.agg(*aggs).first()
-        ranges = {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
+        ranges = column_ranges(df, cols)
     buckets = [
         linear_bucket(
             F.col(c).cast("double"),
@@ -106,17 +120,19 @@ def zorder_write(
     bits: int = 8,
     n_files: int = 32,
     ranges: dict[str, tuple] | None = None,
+    z_col: str = "_z",
 ) -> None:
     """Write ``df`` to ``path`` clustered on the Z-curve of ``cols``:
     range-partition by z (each file owns a contiguous curve segment — a
     small hyper-rectangle of the key space) and sort within partitions so
     row-group stats are tight too. The z column itself is dropped; the
-    layout IS the index."""
-    zdf = zorder_frame(df, cols, bits=bits, ranges=ranges)
+    layout IS the index. ``z_col`` only needs changing when the default
+    temp name collides with a data column (zorder_frame raises then)."""
+    zdf = zorder_frame(df, cols, bits=bits, ranges=ranges, z_col=z_col)
     (
-        zdf.repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        zdf.repartitionByRange(n_files, F.col(z_col))
+        .sortWithinPartitions(z_col)
+        .drop(z_col)
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -127,10 +143,26 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
     the exact statistics a scan prunes with. Returns one row per data file
     with ``<c>_min`` / ``<c>_max`` for each requested column; the
     normalized mean span (vs the global range) is the clustering-quality
-    metric asserted in tests and SCALE.md. Footer-only: no row data read."""
+    metric asserted in tests and SCALE.md. Footer-only: no row data read.
+
+    The result schema is built from the table's own parquet schema (not
+    inferred from the collected rows), so an empty directory or a column
+    with statistics disabled in every file returns typed NULL spans
+    instead of crashing schema inference (r13 review)."""
     import os
 
     import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    table_schema = spark.read.parquet(path).schema
+    dtypes = {f.name: f.dataType for f in table_schema.fields}
+    fields = [StructField("file", StringType()), StructField("n_rows", LongType())]
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"column {c!r} not in parquet schema at {path}")
+        fields.append(StructField(f"{c}_min", dtypes[c]))
+        fields.append(StructField(f"{c}_max", dtypes[c]))
+    schema = StructType(fields)
 
     rows = []
     for name in sorted(os.listdir(path)):
@@ -138,7 +170,7 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
             continue
         md = pq.ParquetFile(os.path.join(path, name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        rec: dict = {"file": name, "n_rows": md.num_rows}
+        rec = [name, md.num_rows]
         for c in cols:
             lo, hi = None, None
             for rg in range(md.num_row_groups):
@@ -147,6 +179,6 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
                     continue
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
-        rows.append(rec)
-    return spark.createDataFrame(rows)
+            rec.extend([lo, hi])
+        rows.append(tuple(rec))
+    return spark.createDataFrame(rows, schema)

@@ -436,16 +436,18 @@ def q114_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("double").alias("_ts")
     )
-    row = ev.agg(
-        F.min(F.col("user_id").cast("double")).alias("mnu"),
-        F.max(F.col("user_id").cast("double")).alias("mxu"),
-        F.min("_ts").alias("mnt"),
-        F.max("_ts").alias("mxt"),
-    ).first()
+    # the operator's own range helper, so the query pins exactly the
+    # convention zorder_frame/zorder_write use (r13 review)
+    ranges = zorder.column_ranges(ev, ["user_id", "_ts"])
     ub = zorder.linear_bucket(
-        F.col("user_id").cast("double"), F.lit(row.mnu), F.lit(row.mxu), 8
+        F.col("user_id").cast("double"),
+        F.lit(ranges["user_id"][0]),
+        F.lit(ranges["user_id"][1]),
+        8,
     )
-    tb = zorder.linear_bucket(F.col("_ts"), F.lit(row.mnt), F.lit(row.mxt), 8)
+    tb = zorder.linear_bucket(
+        F.col("_ts"), F.lit(ranges["_ts"][0]), F.lit(ranges["_ts"][1]), 8
+    )
     z = zorder.zvalue([ub, tb], 8)
     return (
         ev.select("user_id", ub.alias("ub"), tb.alias("tb"), z.alias("zv"))
