@@ -238,6 +238,8 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q77_rolling_active_users",  # 1-row (min,max) date-bounds broadcast
         "q79_rebalance_domains",     # 1-row min-group-size broadcast
         "q99_incremental_dedup",     # two 1-row aggregates cross-joined
+        "q75_column_profile",        # 1-row scalar-agg broadcast × k distinct rows
+        "q75b_column_profile_approx",  # same scalar-row shape (audit side)
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     offenders = {}
