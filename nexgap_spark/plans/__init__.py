@@ -75,6 +75,9 @@ _DRIVER_WINDOW = [
     # NEW composite: dedup-group-keyed splits (swapped for q34 — r11-green,
     # untouched; q35/q85/q106 keep the ANN family's external rows)
     "q116_leakage_safe_split",
+    # NEW: named expectations gate (swapped for q76 — r11-green, untouched,
+    # quantization family pinned by test_quantize_digest_*)
+    "q117_expectations",
     # remaining r11-green rotation fill
     "q24_text_stats",
     "q25_quality_features",
@@ -91,7 +94,6 @@ _DRIVER_WINDOW = [
     "q72_split_assign",
     "q73_pack_chunks",
     "q74_cohort_retention",
-    "q76_quantize_digest",
     "q78_ordered_funnel",
     "q79_rebalance_domains",
     "q103_ngram_logprob",

@@ -697,3 +697,54 @@ def q108_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — named data-quality expectations (the ingestion gate a production
+# corpus pipeline runs before anything else): each rule is a codegen'd
+# predicate evaluated ONCE into a shared flags array; rows split into
+# passed / quarantined-with-failed-rule-names, and metrics is a single
+# 1-row aggregate unpivoted per rule. NULL predicate = failed (CHECK
+# semantics). Output: one row per rule + the shared quarantine totals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_expectations",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS p1,
+             CASE WHEN regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END AS p2,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 25
+                  THEN 1 ELSE 0 END AS p3
+      FROM documents
+    ),
+    one AS (
+      SELECT COUNT(*) AS n, SUM(p1) AS s1, SUM(p2) AS s2, SUM(p3) AS s3,
+             SUM(CASE WHEN p1 = 1 AND p2 = 1 AND p3 = 1 THEN 0 ELSE 1 END) AS q
+      FROM ev
+    )
+    SELECT r.rule,
+           CAST(CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS n_pass,
+           CAST(n - CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS n_fail,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(q AS BIGINT) AS n_quarantined
+    FROM one, (VALUES ('min_chars', 1), ('known_lang', 2), ('has_tokens', 3)) AS r(rule, i)
+    """,
+)
+def q117_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    rules = {
+        "min_chars": F.col("n_chars") >= 120,
+        "known_lang": F.col("lang").rlike("^[a-z]{2}$"),
+        "has_tokens": F.size(tokenize("text")) >= 25,
+    }
+    passed, quarantined, metrics = curation.apply_expectations(docs, rules)
+    totals = docs.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
+        quarantined.agg(F.count("*").cast("long").alias("n_quarantined"))
+    )
+    return metrics.crossJoin(F.broadcast(totals)).select(
+        "rule", "n_pass", "n_fail", "n_rows", "n_quarantined"
+    )

@@ -311,3 +311,31 @@ def test_leakage_safe_split_singletons_match_plain_assign(spark):
     for d in range(2, 200):
         assert safe[d] == plain[d], d
     assert safe[0] == safe[1] == plain[0]  # group key = min member id
+
+
+def test_apply_expectations_split_and_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 200, "en"), (3, 300, None), (4, 5, "zz")],
+        "id long, n long, lang string",
+    )
+    rules = {
+        "big": F.col("n") >= 100,
+        "lang_ok": F.col("lang").isin("en", "fr"),  # NULL -> failed
+    }
+    passed, quarantined, metrics = curation.apply_expectations(df, rules)
+    assert {r.id for r in passed.collect()} == {2}
+    q = {r.id: sorted(r._failed_expectations) for r in quarantined.collect()}
+    assert q == {1: ["big"], 3: ["lang_ok"], 4: ["big", "lang_ok"]}
+    m = {r.rule: (r.n_pass, r.n_fail) for r in metrics.collect()}
+    assert m == {"big": (2, 2), "lang_ok": (2, 2)}
+    # passed rows keep the original schema exactly
+    assert passed.columns == df.columns
+
+
+def test_apply_expectations_rejects_bad_inputs(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        curation.apply_expectations(df, {})
+    df2 = df.withColumn("_failed_expectations", F.lit(0))
+    with pytest.raises(ValueError):
+        curation.apply_expectations(df2, {"r": F.col("x") > 0})

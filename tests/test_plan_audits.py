@@ -240,6 +240,7 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q99_incremental_dedup",     # two 1-row aggregates cross-joined
         "q75_column_profile",        # 1-row scalar-agg broadcast × k distinct rows
         "q75b_column_profile_approx",  # same scalar-row shape (audit side)
+        "q117_expectations",         # 1-row metrics agg × k rule rows + 1-row totals
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     offenders = {}
