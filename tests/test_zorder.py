@@ -134,3 +134,14 @@ def test_zorder_write_prunes_selective_scan(spark, tmp_path):
         (F.col("user_id").between(lo_u, hi_u)) & (F.col("tsk").between(lo_t, hi_t))
     ).count()
     assert got == want
+
+
+def test_zvalue_is_bijective_on_bucket_space(spark):
+    # every (a, b) pair in the 4-bit bucket space maps to a UNIQUE z value
+    # covering exactly [0, 2^8): the interleave loses nothing, so z-range
+    # pruning can always be translated back to bucket rectangles
+    df = spark.range(16).select(F.col("id").alias("a")).crossJoin(
+        spark.range(16).select(F.col("id").alias("b"))
+    )
+    zs = [r.z for r in df.select(zorder.zvalue([F.col("a"), F.col("b")], 4).alias("z")).collect()]
+    assert sorted(zs) == list(range(256))
