@@ -640,8 +640,11 @@ def apply_expectations(
     satisfying every rule, unchanged; ``quarantined`` carries the rest
     plus ``flags_col``, the array of failed rule names (the routing key a
     repair/review pipeline needs). ``metrics`` is one row per rule —
-    (rule, n_pass, n_fail) — plus a ``_rows_`` row with total/quarantined
-    counts.
+    (rule, n_pass, n_fail) — plus a final ``_rows_`` row whose n_pass is
+    the count of rows passing EVERY rule and n_fail the quarantined count
+    (so a metrics consumer never re-scans the input for totals; n_rows =
+    n_pass + n_fail on that row). All counts are 0 — never NULL — on
+    empty input.
 
     Plan shape: the rule predicates are plain codegen'd projections
     evaluated ONCE into a flags array shared by both row outputs (lazy
@@ -655,28 +658,32 @@ def apply_expectations(
     if flags_col in df.columns:
         raise ValueError(f"{flags_col!r} already exists in the input")
     names = list(rules)
-    flags = F.array(
-        *[
-            F.when(~F.coalesce(rules[n].cast("boolean"), F.lit(False)), F.lit(n))
-            for n in names
-        ]
-    )
+    ok = {n: F.coalesce(rules[n].cast("boolean"), F.lit(False)) for n in names}
+    flags = F.array(*[F.when(~ok[n], F.lit(n)) for n in names])
     flagged = df.withColumn(flags_col, F.filter(flags, lambda x: x.isNotNull()))
     passed = flagged.where(F.size(flags_col) == 0).drop(flags_col)
     quarantined = flagged.where(F.size(flags_col) > 0)
-    per_rule = [
-        F.sum(
-            F.when(F.coalesce(rules[n].cast("boolean"), F.lit(False)), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias(f"_p_{i}")
-        for i, n in enumerate(names)
-    ]
-    one = df.agg(F.count(F.lit(1)).cast("long").alias("_n"), *per_rule)
+    # SUM over zero rows is NULL: coalesce every conditional count so an
+    # empty partition/day yields 0s, not NULLs (r13 review)
+    zsum = lambda c, a: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long").alias(a)
+    all_ok = ok[names[0]]
+    for n in names[1:]:
+        all_ok = all_ok & ok[n]
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        zsum(all_ok, "_all"),
+        *[zsum(ok[n], f"_p_{i}") for i, n in enumerate(names)],
+    )
     spark = df.sparkSession
-    rows = spark.createDataFrame([(n, i) for i, n in enumerate(names)], "rule string, _i int")
+    rows = spark.createDataFrame(
+        [(n, i) for i, n in enumerate(names)] + [("_rows_", len(names))],
+        "rule string, _i int",
+    )
     pick = F.coalesce(
-        *[F.when(F.col("_i") == i, F.col(f"_p_{i}")) for i in range(len(names))]
+        *[F.when(F.col("_i") == i, F.col(f"_p_{i}")) for i in range(len(names))],
+        F.col("_all"),  # the _rows_ row: rows passing every rule
     )
     metrics = (
         rows.crossJoin(F.broadcast(one))

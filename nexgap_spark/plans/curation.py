@@ -721,15 +721,13 @@ def q108_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     one AS (
       SELECT COUNT(*) AS n, SUM(p1) AS s1, SUM(p2) AS s2, SUM(p3) AS s3,
-             SUM(CASE WHEN p1 = 1 AND p2 = 1 AND p3 = 1 THEN 0 ELSE 1 END) AS q
+             SUM(p1 * p2 * p3) AS a
       FROM ev
     )
     SELECT r.rule,
-           CAST(CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS n_pass,
-           CAST(n - CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS n_fail,
-           CAST(n AS BIGINT) AS n_rows,
-           CAST(q AS BIGINT) AS n_quarantined
-    FROM one, (VALUES ('min_chars', 1), ('known_lang', 2), ('has_tokens', 3)) AS r(rule, i)
+           CAST(CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE a END AS BIGINT) AS n_pass,
+           CAST(n - CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE a END AS BIGINT) AS n_fail
+    FROM one, (VALUES ('min_chars', 1), ('known_lang', 2), ('has_tokens', 3), ('_rows_', 4)) AS r(rule, i)
     """,
 )
 def q117_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,13 +736,15 @@ def q117_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     rules = {
         "min_chars": F.col("n_chars") >= 120,
-        "known_lang": F.col("lang").rlike("^[a-z]{2}$"),
+        # \A/\z anchors: Java's '$' (non-MULTILINE) matches BEFORE a final
+        # line terminator, so '^..$' would pass 'en\n' while the oracle's
+        # regexp_full_match fails it — full-match anchors keep the two
+        # engines' semantics identical on any future data (r13 review)
+        "known_lang": F.col("lang").rlike(r"\A[a-z]{2}\z"),
         "has_tokens": F.size(tokenize("text")) >= 25,
     }
-    passed, quarantined, metrics = curation.apply_expectations(docs, rules)
-    totals = docs.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
-        quarantined.agg(F.count("*").cast("long").alias("n_quarantined"))
-    )
-    return metrics.crossJoin(F.broadcast(totals)).select(
-        "rule", "n_pass", "n_fail", "n_rows", "n_quarantined"
-    )
+    # the metrics frame IS the full answer: per-rule rows plus the _rows_
+    # row (n_pass = rows passing every rule, n_fail = quarantined) — no
+    # re-scan of the input for totals
+    _passed, _quarantined, metrics = curation.apply_expectations(docs, rules)
+    return metrics

@@ -8,8 +8,9 @@ Lloyd steps (operators.kmeans_update), take every STRIDE-th vector as a
 query, compute exact brute-force top-k as ground truth, then measure
 recall@k = |ivf_topk ∩ truth| / k and wall time per nprobe.
 
-Usage: python recall_bench.py   (env: RECALL_MULT=100 RECALL_K=10
-RECALL_CENTROIDS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1)
+Usage: python recall_bench.py   (env: RECALL_MULT=100 RECALL_QUERIES=1000
+RECALL_K=10 RECALL_CENTROIDS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 —
+the SCALE.md round-13 table used RECALL_MULT=100 RECALL_QUERIES=1000).
 Prints one JSON line; the round's numbers are recorded in SCALE.md.
 """
 
@@ -75,7 +76,10 @@ def main() -> None:
         "mult": mult, "corpus": n, "n_queries": n_q, "k": k,
         "n_centroids": n_cent, "brute_force_sec": t_brute, "nprobe": {},
     }
-    for nprobe in (1, 2, 4, 8, n_cent):
+    # dedupe and cap at n_cent: probes beyond the centroid count are the
+    # same exact search, and a duplicate key would silently overwrite the
+    # earlier timing (r13 review)
+    for nprobe in sorted({p for p in (1, 2, 4, 8, n_cent) if p <= n_cent}):
         t0 = time.time()
         rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()
         dt = round(time.time() - t0, 2)

@@ -327,9 +327,18 @@ def test_apply_expectations_split_and_metrics(spark):
     q = {r.id: sorted(r._failed_expectations) for r in quarantined.collect()}
     assert q == {1: ["big"], 3: ["lang_ok"], 4: ["big", "lang_ok"]}
     m = {r.rule: (r.n_pass, r.n_fail) for r in metrics.collect()}
-    assert m == {"big": (2, 2), "lang_ok": (2, 2)}
+    # the _rows_ row: n_pass = rows passing EVERY rule, n_fail = quarantined
+    assert m == {"big": (2, 2), "lang_ok": (2, 2), "_rows_": (1, 3)}
     # passed rows keep the original schema exactly
     assert passed.columns == df.columns
+
+
+def test_apply_expectations_empty_input_zero_metrics(spark):
+    df = spark.createDataFrame([], "id long, n long")
+    _, _, metrics = curation.apply_expectations(df, {"pos": F.col("n") > 0})
+    m = {r.rule: (r.n_pass, r.n_fail) for r in metrics.collect()}
+    # zero — never NULL — counts on an empty partition/day
+    assert m == {"pos": (0, 0), "_rows_": (0, 0)}
 
 
 def test_apply_expectations_rejects_bad_inputs(spark):

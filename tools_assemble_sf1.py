@@ -48,7 +48,10 @@ flagged = []
 for name in sorted(q1):
     e = {
         "spark_sf1": round(q1[name], 3),
-        "spark_sf01": round(q01.get(name, float("nan")), 3),
+        # None (JSON null), never NaN — a query missing at one SF (errored
+        # or newly added between sweeps) must not corrupt the artifact for
+        # strict JSON parsers (r13 review)
+        "spark_sf01": round(q01[name], 3) if name in q01 else None,
     }
     if name in d1:
         e["duckdb_sf1"] = round(d1[name], 3)
@@ -78,6 +81,10 @@ out = {
     "one-file-per-core layout, 116-query catalog incl. q114/q116)",
     "sf1_totals": {
         "spark": s1["value"],
+        # comparable = same-query-set sums; ratio is ALWAYS computed from
+        # these two, and both are reported so the displayed division
+        # matches the recorded ratio even when some query lacks an oracle
+        "spark_comparable": s1.get("spark_comparable"),
         "duckdb_comparable": s1.get("duckdb_total"),
         "ratio": round(s1["spark_comparable"] / s1["duckdb_total"], 3)
         if s1.get("duckdb_total")
@@ -85,6 +92,7 @@ out = {
     },
     "sf01_totals": {
         "spark": s01["value"],
+        "spark_comparable": s01.get("spark_comparable"),
         "duckdb_comparable": s01.get("duckdb_total"),
     },
     "spark_errors": {**s01.get("errors", {}), **s1.get("errors", {})},
