@@ -527,3 +527,33 @@ class Engine:
         from nexgap_spark.plans import QUERIES
 
         return QUERIES[name](self.spark, sf_dir)
+
+    # -- round-13 curation/layout additions ----------------------------------
+
+    def expectations(
+        self, df: DataFrame, rules: dict[str, Any], **kw: Any
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Named data-quality gate: (passed, quarantined, metrics) in one
+        pass — see curation.apply_expectations."""
+        from nexgap_spark.operators.curation import apply_expectations
+
+        return apply_expectations(df, rules, **kw)
+
+    def leakage_safe_split(
+        self, df: DataFrame, groups: DataFrame, **kw: Any
+    ) -> DataFrame:
+        """Train/val/test assignment keyed by near-dup GROUP id so no
+        near-duplicate of a held-out row lands in train — see
+        curation.leakage_safe_split (pair with dedup.dup_groups)."""
+        from nexgap_spark.operators.curation import leakage_safe_split
+
+        return leakage_safe_split(df, groups, **kw)
+
+    def zorder_write(
+        self, df: DataFrame, path: str, cols: list[str], **kw: Any
+    ) -> None:
+        """Write ``df`` Morton-clustered on ``cols`` for multi-column data
+        skipping — see operators.zorder.zorder_write."""
+        from nexgap_spark.operators.zorder import zorder_write
+
+        zorder_write(df, path, cols, **kw)
