@@ -76,9 +76,9 @@ for name in sorted(q1):
 
 out = {
     "generated": "round 13 FINAL tree, post scan-width/profiling/zorder work "
-    "(bench.py BENCH_QUERY_SET=all; sf0.1 BENCH_TRIALS=2, sf1.0 BENCH_TRIALS=1, "
+    "(bench.py BENCH_QUERY_SET=all; BENCH_TRIALS=2 both SFs, "
     "BENCH_DUCKDB_TIMEOUT=180; quiet box; sf1.0 corpus rebuilt with the "
-    "one-file-per-core layout, 116-query catalog incl. q114/q116)",
+    "one-file-per-core layout, 117-query catalog incl. q114/q116/q117)",
     "sf1_totals": {
         "spark": s1["value"],
         # comparable = same-query-set sums; ratio is ALWAYS computed from
