@@ -348,3 +348,49 @@ def test_apply_expectations_rejects_bad_inputs(spark):
     df2 = df.withColumn("_failed_expectations", F.lit(0))
     with pytest.raises(ValueError):
         curation.apply_expectations(df2, {"r": F.col("x") > 0})
+
+
+def test_apply_expectations_randomized_against_pandas(spark):
+    # batched randomized sweep: random int frames + random thresholds (with
+    # NULL injection) through the gate, cross-checked row-for-row and
+    # metric-for-metric against a pandas reference applying the documented
+    # NULL-is-failure semantics
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (
+            i,
+            rng.choice([None, rng.randint(-50, 50)]),
+            rng.choice([None, rng.randint(0, 9)]),
+        )
+        for i in range(400)
+    ]
+    t1, t2 = rng.randint(-20, 20), rng.randint(2, 8)
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    rules = {"a_big": F.col("a") >= t1, "b_small": F.col("b") < t2}
+    passed, quarantined, metrics = curation.apply_expectations(df, rules)
+
+    def ok1(a):
+        return a is not None and a >= t1
+
+    def ok2(b):
+        return b is not None and b < t2
+
+    exp_pass = {i for i, a, b in rows if ok1(a) and ok2(b)}
+    assert {r.id for r in passed.collect()} == exp_pass
+    got_q = {r.id: set(r._failed_expectations) for r in quarantined.collect()}
+    exp_q = {
+        i: {n for n, bad in (("a_big", not ok1(a)), ("b_small", not ok2(b))) if bad}
+        for i, a, b in rows
+        if not (ok1(a) and ok2(b))
+    }
+    assert got_q == exp_q
+    m = {r.rule: (r.n_pass, r.n_fail) for r in metrics.collect()}
+    n1 = sum(1 for _, a, _ in rows if ok1(a))
+    n2 = sum(1 for _, _, b in rows if ok2(b))
+    assert m == {
+        "a_big": (n1, 400 - n1),
+        "b_small": (n2, 400 - n2),
+        "_rows_": (len(exp_pass), 400 - len(exp_pass)),
+    }

@@ -145,3 +145,69 @@ def test_zvalue_is_bijective_on_bucket_space(spark):
     )
     zs = [r.z for r in df.select(zorder.zvalue([F.col("a"), F.col("b")], 4).alias("z")).collect()]
     assert sorted(zs) == list(range(256))
+
+
+def test_zorder_randomized_against_python_reference(spark):
+    # batched randomized sweep: 300 random (value, range) cases through
+    # linear_bucket + zvalue on ONE DataFrame, cross-checked against a
+    # pure-Python mirror of the same IEEE-double arithmetic (identical
+    # ops => identical rounding on both sides)
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        mn = rng.uniform(-1e6, 1e6)
+        mx = mn + rng.choice([0.0, rng.uniform(1e-3, 1e6)])
+        x = rng.choice(
+            [mn, mx, rng.uniform(mn - 10, mx + 10), rng.uniform(-1e7, 1e7), None]
+        )
+        y = rng.uniform(-1e3, 1e3)
+        rows.append((i, x, mn, mx, y))
+    df = spark.createDataFrame(
+        rows, "i long, x double, mn double, mx double, y double"
+    )
+    bits = 6
+    bx = zorder.linear_bucket(F.col("x"), F.col("mn"), F.col("mx"), bits)
+    by = zorder.linear_bucket(F.col("y"), F.lit(-1e3), F.lit(1e3), bits)
+    got = {
+        r.i: (r.bx, r.by, r.z)
+        for r in df.select(
+            "i", bx.alias("bx"), by.alias("by"),
+            zorder.zvalue([bx, by], bits).alias("z"),
+        ).collect()
+    }
+
+    def ref_bucket(x, mn, mx):
+        n = 1 << bits
+        span = mx - mn
+        if x is None or span <= 0.0:
+            return 0
+        import math
+
+        raw = math.floor((x - mn) / span * n)
+        return int(min(max(raw, 0), n - 1))
+
+    for i, x, mn, mx, y in rows:
+        ebx, eby = ref_bucket(x, mn, mx), ref_bucket(y, -1e3, 1e3)
+        assert got[i] == (ebx, eby, _py_z([ebx, eby], bits)), (i, x, mn, mx)
+
+
+def test_zvalue_prefix_locality_pure_python():
+    # Morton property: two points share a z-prefix of 2k bits iff they
+    # agree on the top k bits of BOTH dimensions — the fact that makes a
+    # z-range scan translate back to a bucket hyper-rectangle
+    import random
+
+    rng = random.Random(7)
+    bits = 8
+    for _ in range(2000):
+        a1, b1, a2, b2 = (rng.randrange(256) for _ in range(4))
+        for k in (1, 2, 4):
+            same_prefix = (_py_z([a1, b1], bits) >> (2 * (bits - k))) == (
+                _py_z([a2, b2], bits) >> (2 * (bits - k))
+            )
+            expect = (a1 >> (bits - k)) == (a2 >> (bits - k)) and (
+                b1 >> (bits - k)
+            ) == (b2 >> (bits - k))
+            assert same_prefix == expect, (a1, b1, a2, b2, k)
