@@ -1,3 +1,6 @@
+"""Session-level helpers: the fan-out guard's no-op contract."""
+
+from __future__ import annotations
 
 
 def test_wide_table_noop_when_already_wide(spark, tmp_path):
