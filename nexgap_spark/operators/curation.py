@@ -311,7 +311,15 @@ def leakage_safe_split(
     ``df`` must not already carry ``group_col`` — the join would make the
     coalesce ambiguous and which membership wins would be silent; rejected
     explicitly (drop or rename the column, or pass that mapping AS
-    ``groups``). The temp key avoids shadowing by construction."""
+    ``groups``). The temp key avoids shadowing by construction.
+
+    ``groups`` is collapsed to ONE row per key before the join (r14
+    review): a duplicate (key) membership row would otherwise fan out
+    through the left join and silently duplicate input rows, corrupting
+    every downstream count. A key claimed by two DIFFERENT groups keeps
+    the lexicographically least group id — deterministic, and a key-sized
+    map-side-combinable aggregate, not a row-order-dependent
+    dropDuplicates."""
     if group_col in df.columns:
         raise ValueError(
             f"input already has a {group_col!r} column; drop/rename it, or "
@@ -320,7 +328,12 @@ def leakage_safe_split(
     tmp = "_split_key"
     while tmp in df.columns:
         tmp += "_"
-    keyed = df.join(groups.select(key_col, group_col), key_col, "left")
+    one_per_key = (
+        groups.select(key_col, group_col)
+        .groupBy(key_col)
+        .agg(F.min(group_col).alias(group_col))
+    )
+    keyed = df.join(one_per_key, key_col, "left")
     keyed = keyed.withColumn(tmp, F.coalesce(F.col(group_col), F.col(key_col)))
     out = split_assign(keyed, key_col=tmp, weights=weights, out_col=out_col)
     return out.drop(tmp)

@@ -63,14 +63,35 @@ def pin_utc_session(spark) -> None:
             stacklevel=3,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Scan-width pin (r13 review): openCostInBytes is a runtime SQL conf,
-    # and the small-file corpora this engine reads bin-pack into 1-2 scan
-    # tasks under the 4 MB HDFS-era default (see the get_spark builder
-    # comment for the derivation) — a caller-supplied session (the driver
-    # contract) must get the same split planning as the builder's, or the
-    # per-row-heavy projections lose their scan width exactly where the
-    # results are externally recorded.
-    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    # Scan-width pin: delegated to the named helper, which RESPECTS a
+    # caller-tuned value (r14 review: the unconditional set here was a
+    # scan-planning side effect outside this function's contract that
+    # silently clobbered caller tuning).
+    pin_scan_width(spark)
+
+
+_SCAN_OPEN_COST = str(512 * 1024)
+
+
+def pin_scan_width(spark, *, force: bool = False) -> bool:
+    """Set ``spark.sql.files.openCostInBytes`` to 512 KB — the scan-width
+    pin the engine's per-row-heavy projections need (the small-file corpora
+    this engine reads bin-pack into 1-2 scan tasks under the 4 MB HDFS-era
+    default; see the get_spark builder comment for the derivation).
+
+    A caller who EXPLICITLY configured a different value keeps it (the
+    conf being unset — ``conf.get(key, None) is None`` — or already equal
+    to the pin are the only states overwritten); pass ``force=True`` to
+    clobber anyway. Returns whether the pin was applied. Called by
+    :func:`pin_utc_session` on the engine's load paths, so a
+    caller-supplied session gets the same split planning as
+    ``session.get_spark``'s builder unless the caller tuned it."""
+    key = "spark.sql.files.openCostInBytes"
+    current = spark.conf.get(key, None)
+    if force or current in (None, _SCAN_OPEN_COST):
+        spark.conf.set(key, _SCAN_OPEN_COST)
+        return True
+    return False
 
 
 def normalize_ts_encoding(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -148,7 +148,18 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
     The result schema is built from the table's own parquet schema (not
     inferred from the collected rows), so an empty directory or a column
     with statistics disabled in every file returns typed NULL spans
-    instead of crashing schema inference (r13 review)."""
+    instead of crashing schema inference (r13 review).
+
+    r14 review hardening: (a) pyarrow surfaces string/binary column stats
+    as ``bytes`` — those are decoded to ``str`` for StringType fields
+    BEFORE any cross-row-group min/max comparison, so mixed bytes/str never
+    reach the comparison or createDataFrame; (b) the listing walks the
+    directory RECURSIVELY, so hive-partitioned layouts (``key=value/``
+    subdirectories) report their files instead of returning no rows — the
+    ``file`` column holds the path relative to ``path``. Hive PARTITION
+    columns themselves exist only in directory names, not footers; asking
+    for one raises the not-in-parquet-schema error below (by design: spans
+    of a partition column are the partition values, not footer stats)."""
     import os
 
     import pyarrow.parquet as pq
@@ -164,21 +175,39 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
         fields.append(StructField(f"{c}_max", dtypes[c]))
     schema = StructType(fields)
 
+    def _norm(v, spark_type):
+        # pyarrow stats for BYTE_ARRAY columns come back as bytes even when
+        # the logical type is UTF8; decode for string fields so min/max
+        # folds compare like types and createDataFrame gets a str
+        if isinstance(v, bytes) and isinstance(spark_type, StringType):
+            return v.decode("utf-8", "replace")
+        return v
+
+    data_files = []
+    for dirpath, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                full = os.path.join(dirpath, name)
+                data_files.append((os.path.relpath(full, path), full))
     rows = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+    for rel, full in sorted(data_files):
+        md = pq.ParquetFile(full).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        rec = [name, md.num_rows]
+        rec = [rel, md.num_rows]
         for c in cols:
+            if c not in idx:
+                # column absent from THIS file's footer (schema-evolved
+                # part): typed NULL span, same as stats-disabled
+                rec.extend([None, None])
+                continue
             lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
                 if st is None or not st.has_min_max:
                     continue
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                mn, mx = _norm(st.min, dtypes[c]), _norm(st.max, dtypes[c])
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
             rec.extend([lo, hi])
         rows.append(tuple(rec))
     return spark.createDataFrame(rows, schema)

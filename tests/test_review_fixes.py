@@ -958,3 +958,98 @@ def test_colocatable_cache_confirms_semantics(spark):
     ).coalesce(1)
     with pytest.raises(ValueError, match="non-null"):
         span_tree._require_colocatable(bad, "trace_id", True)
+
+
+# ---------------------------------------------------------------------------
+# r14 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_pin_scan_width_respects_caller_tuned_value(spark):
+    """r14 review: pin_utc_session must not clobber a caller-tuned
+    openCostInBytes; only the unset/default-pin states get pinned."""
+    from nexgap_spark.operators.timeutil import (
+        _SCAN_OPEN_COST,
+        pin_scan_width,
+        pin_utc_session,
+    )
+
+    key = "spark.sql.files.openCostInBytes"
+    try:
+        spark.conf.set(key, "1048576")  # caller-tuned, non-default
+        pin_utc_session(spark)
+        assert spark.conf.get(key) == "1048576"
+        assert pin_scan_width(spark) is False
+        # force=True is the explicit clobber path
+        assert pin_scan_width(spark, force=True) is True
+        assert spark.conf.get(key) == _SCAN_OPEN_COST
+        # already-at-pin state is re-pinnable (idempotent no-op)
+        assert pin_scan_width(spark) is True
+    finally:
+        spark.conf.set(key, _SCAN_OPEN_COST)  # restore the fixture's state
+
+
+def test_leakage_safe_split_duplicate_membership_no_fanout(spark):
+    """r14 review: duplicate (key) membership rows must not fan out through
+    the left join — output row count equals input row count, and a key
+    claimed by two groups resolves deterministically to the MIN group."""
+    from nexgap_spark.operators import curation
+
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(6)], "doc_id string")
+    groups = spark.createDataFrame(
+        [
+            ("d0", "g1"),
+            ("d0", "g1"),  # exact duplicate membership row
+            ("d1", "g9"),
+            ("d1", "g2"),  # conflicting membership: min -> g2
+        ],
+        "doc_id string, group_id string",
+    )
+    out = curation.leakage_safe_split(docs, groups)
+    assert out.count() == 6  # no fan-out
+    # determinism of the conflict resolution: d1 hashes via g2, same as a
+    # clean single-membership input would
+    clean = spark.createDataFrame(
+        [("d0", "g1"), ("d1", "g2")], "doc_id string, group_id string"
+    )
+    expect = {r["doc_id"]: r["split"] for r in curation.leakage_safe_split(docs, clean).collect()}
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got == expect
+
+
+def test_assemble_sf1_ratio_null_when_spark_comparable_missing(tmp_path):
+    """r14 review: a sweep artifact with duckdb_total but missing
+    spark_comparable must emit ratio=null, not raise."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    s01 = {"queries": {"qx": 0.5}, "duckdb": {"qx": 0.1}, "value": 0.5}
+    s1 = {
+        "queries": {"qx": 1.0},
+        "duckdb": {"qx": 0.2},
+        "value": 1.0,
+        "duckdb_total": 0.2,
+        # spark_comparable intentionally absent
+    }
+    p01, p1, pout = tmp_path / "s01.json", tmp_path / "s1.json", tmp_path / "out.json"
+    p01.write_text(_json.dumps(s01))
+    p1.write_text(_json.dumps(s1))
+    env = dict(
+        _os.environ,
+        SF01_DETAIL=str(p01),
+        SF1_DETAIL=str(p1),
+        SF1_OUT=str(pout),
+    )
+    r = subprocess.run(
+        [_sys.executable, "tools_assemble_sf1.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    out = _json.loads(pout.read_text())
+    assert out["sf1_totals"]["ratio"] is None

@@ -211,3 +211,41 @@ def test_zvalue_prefix_locality_pure_python():
                 b1 >> (bits - k)
             ) == (b2 >> (bits - k))
             assert same_prefix == expect, (a1, b1, a2, b2, k)
+
+
+def test_file_spans_string_stats_decoded(spark, tmp_path):
+    """r14 review: pyarrow surfaces string-column stats as bytes; file_spans
+    must decode them so StringType min/max are str (and comparable)."""
+    from nexgap_spark.operators.zorder import file_spans
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("alpha", 1), ("omega", 2), ("mid", 3)], "s string, v long"
+    ).repartition(2).write.parquet(path)
+    spans = file_spans(spark, path, ["s", "v"]).collect()
+    assert spans
+    for r in spans:
+        if r["s_min"] is not None:
+            assert isinstance(r["s_min"], str)
+            assert isinstance(r["s_max"], str)
+            assert r["s_min"] <= r["s_max"]
+
+
+def test_file_spans_hive_partitioned_layout(spark, tmp_path):
+    """r14 review: hive-partitioned (key=value subdirectory) layouts must
+    report their files recursively instead of returning zero rows."""
+    from nexgap_spark.operators.zorder import file_spans
+
+    path = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(i, i % 2, f"s{i}") for i in range(20)], "v long, p int, s string"
+    ).write.partitionBy("p").parquet(path)
+    spans = file_spans(spark, path, ["v"])
+    rows = spans.collect()
+    assert rows, "hive layout returned no rows"
+    assert any("p=0" in r["file"] or "p=1" in r["file"] for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 20
+    # a PARTITION column exists only in directory names, not footers: the
+    # contract is typed NULL spans (same as stats-disabled), not a crash
+    out = file_spans(spark, path, ["p"]).collect()
+    assert out and all(r["p_min"] is None and r["p_max"] is None for r in out)

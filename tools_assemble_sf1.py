@@ -4,9 +4,10 @@ committed artifact's shape; flags every query whose sf1.0/sf0.1 time
 ratio exceeds 10x (linear on 10x data) for explanation."""
 
 import json
+import os
 
-s01 = json.load(open("/tmp/bench_sf01_all.json"))
-s1 = json.load(open("/tmp/bench_sf1_all.json"))
+s01 = json.load(open(os.environ.get("SF01_DETAIL", "/tmp/bench_sf01_all.json")))
+s1 = json.load(open(os.environ.get("SF1_DETAIL", "/tmp/bench_sf1_all.json")))
 
 q01, q1 = s01["queries"], s1["queries"]
 d01, d1 = s01.get("duckdb", {}), s1.get("duckdb", {})
@@ -86,8 +87,11 @@ out = {
         # matches the recorded ratio even when some query lacks an oracle
         "spark_comparable": s1.get("spark_comparable"),
         "duckdb_comparable": s1.get("duckdb_total"),
+        # guard BOTH operands (r14 review): a sweep artifact with
+        # duckdb_total but a missing/None spark_comparable must emit null
+        # like the per-query cells, not raise
         "ratio": round(s1["spark_comparable"] / s1["duckdb_total"], 3)
-        if s1.get("duckdb_total")
+        if s1.get("duckdb_total") and s1.get("spark_comparable")
         else None,
     },
     "sf01_totals": {
@@ -101,7 +105,7 @@ out = {
     "flagged_superlinear": flagged,
     "queries": queries,
 }
-json.dump(out, open("BENCH_SF1.json", "w"), indent=1)
+json.dump(out, open(os.environ.get("SF1_OUT", "BENCH_SF1.json"), "w"), indent=1)
 print("flagged:", [f["query"] for f in flagged])
 print(
     "sf1:", out["sf1_totals"], "| sf01:", out["sf01_totals"],
