@@ -91,7 +91,18 @@ HEADLINE = [
 
 def _query_set() -> list[str]:
     """HEADLINE by default; BENCH_QUERY_SET=all sweeps the whole catalog
-    (the sf1.0 full-catalog artifact, VERDICT r11 item 5)."""
+    (the sf1.0 full-catalog artifact, VERDICT r11 item 5);
+    BENCH_QUERY_LIST=q43_...,q44_... runs an explicit subset (targeted
+    sweeps: memory-pressure runs, smoke tests)."""
+    explicit = os.environ.get("BENCH_QUERY_LIST", "")
+    if explicit:
+        from nexgap_spark.plans import QUERIES
+
+        names = [n.strip() for n in explicit.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            raise KeyError(f"BENCH_QUERY_LIST unknown queries: {unknown}")
+        return names
     if os.environ.get("BENCH_QUERY_SET", "").lower() == "all":
         from nexgap_spark.plans import QUERIES
 
@@ -283,6 +294,13 @@ def main() -> None:
     _require_tables(sf_dir)
 
     spark_times, rows, errs = _run_spark(sf_dir)
+    # declared-quadratic oracle baselines (baseline_ namespace) report in
+    # their own section and NEVER enter a scale-claimed total (r13 verdict
+    # item 1): value / spark_comparable / duckdb_total are headline-only
+    from nexgap_spark.plans import BASELINE_QUERIES
+
+    baseline_times = {q: t for q, t in spark_times.items() if q in BASELINE_QUERIES}
+    spark_times = {q: t for q, t in spark_times.items() if q not in BASELINE_QUERIES}
     result = {
         "metric": "headline query wall time (Spark, local)",
         "value": round(sum(spark_times.values()), 3),
@@ -290,6 +308,9 @@ def main() -> None:
         "queries": spark_times,
         "sf": sf,
     }
+    if baseline_times:
+        result["baselines"] = baseline_times
+        result["baselines_total"] = round(sum(baseline_times.values()), 3)
     if errs:
         # stdout line must stay under the driver's 2000-char tail window:
         # full error text goes to BENCH_DETAIL.json, stdout gets a count
@@ -299,7 +320,11 @@ def main() -> None:
     detail = {"rows": rows, "errors": errs}
     if not os.environ.get("BENCH_SKIP_DUCKDB"):
         duck_times = _run_duckdb(sf_dir)
+        baseline_duck = {q: t for q, t in duck_times.items() if q in BASELINE_QUERIES}
+        duck_times = {q: t for q, t in duck_times.items() if q not in BASELINE_QUERIES}
         detail["duckdb"] = duck_times
+        if baseline_duck:
+            detail["baselines_duckdb"] = baseline_duck
         # the headline ratio must compare the SAME query set on both
         # engines: a Spark-errored query keeps its oracle time out of the
         # total, and oracle-less queries keep their Spark time out of the

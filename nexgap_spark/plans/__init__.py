@@ -5,7 +5,11 @@ matching DuckDB oracle SQL string where the semantics are SQL-expressible.
 ``__spark_entry__.py`` and ``bench.py`` both consume this registry.
 """
 
-from nexgap_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
+from nexgap_spark.plans.registry import (  # noqa: F401
+    BASELINE_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 
 # Importing the modules populates the registry.
 from nexgap_spark.plans import relational  # noqa: F401, E402
@@ -20,87 +24,88 @@ from nexgap_spark.plans import advanced  # noqa: F401, E402
 from nexgap_spark.plans import agents  # noqa: F401, E402
 
 # The driver's per-round correctness gate records only the FIRST 50 entries
-# of the registry (observed: CORRECTNESS_r01..r12 each hold exactly the
+# of the registry (observed: CORRECTNESS_r01..r13 each hold exactly the
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 13
-# rotates oldest-external-green first (VERDICT r12 item 6): (a) the 14
-# r10-green frozen plans deferred from the r12 rotation (q04, q06, q20,
-# q48-q53, q55, q58, q82-q84); (b) 36 of the 50 queries whose last
-# external row is r11 — prioritizing every query whose code changed this
-# round (q28 fingerprint rewrite, q75 profiling quoting, the span_tree
-# resolvers q21-q23/q37/q108) and the bench-regression suspects
-# (q43/q44/q100/q31). Deferred to r14 (all r11-green, re-pinned locally
-# every round by selfcheck + parity tests): q33, q61, q62, q63, q67, q77,
-# q96, q101, q105, q107, q109, q111, q112, plus q108 -> kept IN (span_tree
-# touched) and q36 already r12-green, so the 14th deferral is q102
-# (SemDeDup, r11-green, plan untouched).
+# purely about which results get an externally-recorded row. Round 14
+# rotates oldest-external-green first (VERDICT r13 item 2):
+# (a) the 18 queries whose last external row is r11 or older — including
+#     the 14 named r13 deferrals (q33, q61-q63, q67, q77, q96, q101, q102,
+#     q105, q107, q109, q111, q112) plus q30/q32/q34/q76 (swapped out of
+#     the r13 window by the late amendments);
+# (b) the two renamed `baseline_` queries — fresh external hash-green rows
+#     under their NEW names proves the r14 segregation changed namespace,
+#     not semantics (they also sort last in the catalog for every
+#     non-window consumer);
+# (c) 30 of the 48 remaining r12-green queries. Deferred to r15 (all
+#     r12-green, re-pinned locally every round by selfcheck + the oracle
+#     test sweep): q01, q02, q03, q05, q07, q08, q09, q10, q11, q12, q13,
+#     q14, q15, q18, q19, q46, q54, q56 — the frozen relational core,
+#     untouched since r2 and the least likely to rot.
 _DRIVER_WINDOW = [
-    # (a) last external green r10: the frozen plans deferred from r12
-    "q04_priority_semi_join",
-    "q06_revenue_filter",
-    "q20_inverse_cdf_pick",
-    "q48_pivot_event_matrix",
-    "q49_price_quantiles",
-    "q50_grouping_sets",
-    "q51_interarrival_stats",
-    "q52_ntile_quartiles",
-    "q53_hash_sample",
-    "q55_exists_subquery",
-    "q58_value_histogram",
-    "q82_run_summary",
-    "q83_query_guard",
-    "q84_url_parse",
-    # (b) last external green r11 — code-touched this round first
-    "q28_doc_fingerprints",
-    "q75_column_profile",
-    "q47_approx_distinct",
-    "q21_span_last_per_group",
-    "q22_span_parent_join",
-    "q23_span_root_walk",
-    "q37_convert_pipeline",
-    "q108_repeated_spans",
-    "q29_ngram_jaccard_topk",
-    # bench-regression suspects (fresh external rows alongside the bisect)
-    "q43_dup_groups",
-    "q44_dedup_corpus",
-    "q100_incremental_minhash",
-    "q31_minhash_lsh_pairs",
-    # code-touched late in r13: the profiling rewrite's audit twin and the
-    # NEW z-order curve — swapped in for q30/q32 (both r11-green, source
-    # untouched, and their signature path keeps an external row via q31)
-    "q75b_column_profile_approx",
-    "q114_zorder_curve",
-    # NEW composite: dedup-group-keyed splits (swapped for q34 — r11-green,
-    # untouched; q35/q85/q106 keep the ANN family's external rows)
-    "q116_leakage_safe_split",
-    # NEW: named expectations gate (swapped for q76 — r11-green, untouched,
-    # quantization family pinned by test_quantize_digest_*)
-    "q117_expectations",
-    # remaining r11-green rotation fill
-    "q24_text_stats",
-    "q25_quality_features",
-    "q26_language_id",
-    "q35_ivf_topk",
-    "q38_validate_xml",
-    "q41_asof_join",
-    "q42_range_join",
-    "q45_hyperplane_lsh",
-    "q68_decontaminate",
-    "q69_pii_scan",
-    "q70_repetition_profile",
-    "q71_quality_gate",
-    "q72_split_assign",
-    "q73_pack_chunks",
-    "q74_cohort_retention",
-    "q78_ordered_funnel",
-    "q79_rebalance_domains",
-    "q103_ngram_logprob",
-    "q106_ivf_indexed",
+    # (a) last external green <= r11
+    "q30_minhash_signatures",
+    "q32_simhash",
+    "q33_binary_payloads",
+    "q34_cosine_topk",
+    "q61_centroid_outliers",
+    "q62_tfidf_top_terms",
+    "q63_approx_quantiles",
+    "q67_corr_stats",
+    "q76_quantize_digest",
+    "q77_rolling_active_users",
+    "q96_url_pipeline",
+    "q101_png_features",
+    "q102_semantic_dedup",
+    "q105_synthesis_workflow",
+    "q107_agent_execution",
+    "q109_generate_and_execute",
+    "q111_progressive_jpeg_features",
+    "q112_mp4_metadata",
+    # (b) renamed declared-quadratic baselines (r14 segregation)
+    "baseline_q29_ngram_jaccard_topk",
+    "baseline_q36_embedding_near_dup",
+    # (c) r12-green rotation fill (30 of 48; deferral list in the header)
+    "q16_sessionize_events",
+    "q17_tumbling_window_agg",
+    "q27_exact_dedup_stats",
+    "q39_emit_qwen",
+    "q40_media_features",
+    "q57_hopping_windows",
+    "q59_top_terms",
+    "q60_length_zscore",
+    "q64_funnel_conversions",
+    "q65_moving_average",
+    "q66_unpivot_matrix",
+    "q80_kmeans_step",
+    "q81_cdc_apply",
+    "q85_ivf_nprobe",
+    "q86_chunk_text",
+    "q87_fuzzifier_contract",
+    "q88_persona_suitability",
+    "q89_url_extraction",
+    "q90_url_validate",
+    "q91_url_repair_loop",
+    "q92_file_requirement",
+    "q93_file_plan",
+    "q94_url_rewrite",
+    "q95_new_tag_parse",
+    "q97_wav_features",
+    "q98_keep_best_per_group",
+    "q99_incremental_dedup",
+    "q104_url_dedup",
+    "q110_jpeg_features",
+    "q113_mjpeg_video_pixels",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):
+    if _n not in BASELINE_QUERIES:
+        _ordered.setdefault(_n, _f)
+for _n, _f in list(QUERIES.items()):
+    # declared-quadratic baselines sort LAST for every consumer that walks
+    # the catalog in order (r14 segregation); window membership above is
+    # the one deliberate exception (external row under the new name)
     _ordered.setdefault(_n, _f)
 QUERIES.clear()
 QUERIES.update(_ordered)

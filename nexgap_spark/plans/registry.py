@@ -18,16 +18,27 @@ from typing import Any
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
+# Declared-quadratic oracle baselines (r13 verdict item 1): correct at any
+# scale but deliberately NOT scale-economical — they exist to cross-check
+# their sub-quadratic scale twins (banded LSH / sign-LSH / SemDeDup), and
+# the bench reports them SEPARATELY from the headline totals so no
+# scale-claimed number includes a query that cannot run at 100x. Names in
+# this set carry the `baseline_` prefix and sort last in the catalog.
+BASELINE_QUERIES: set[str] = set()
 
-def query(name: str, oracle: str | None = None):
+
+def query(name: str, oracle: str | None = None, *, baseline: bool = False):
     """Register a (spark, sf_dir) -> DataFrame callable, optionally with an
     equivalent DuckDB SQL oracle. No oracle => driver runs rows-only check
-    (reserved for genuinely non-SQL-expressible ops)."""
+    (reserved for genuinely non-SQL-expressible ops). ``baseline=True``
+    marks a declared-quadratic oracle baseline (see BASELINE_QUERIES)."""
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if baseline:
+            BASELINE_QUERIES.add(name)
         return fn
 
     return deco

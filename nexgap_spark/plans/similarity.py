@@ -232,14 +232,17 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q36 — blocked embedding near-dup scan: per label (the blocking key),
-# pair count above threshold + the maximum cosine observed.
+# baseline_q36 — blocked embedding near-dup scan: per label (the blocking
+# key), pair count above threshold + the maximum cosine observed.
 #
-# SCALE BOUNDARY: this is the declared quadratic-in-block all-pairs
-# BASELINE — cost Σ_block |b|² — correct at any scale but only economical
-# while the largest block stays small; past that, use the sign-LSH
-# bucketed scan (q45) or SemDeDup's centroid-bounded pass (q102), which
-# replace the block quadratic with bucket-bounded work.
+# SCALE BOUNDARY / BASELINE NAMESPACE (r14): this is the declared
+# quadratic-in-block all-pairs BASELINE — cost Σ_block |b|² — correct at
+# any scale but only economical while the largest block stays small. It
+# exists to cross-check the scale twins: the sign-LSH bucketed scan (q45)
+# and SemDeDup's centroid-bounded pass (q102), which replace the block
+# quadratic with bucket-bounded work and ARE the headline rows. The
+# `baseline_` prefix segregates it from every scale-claimed total (bench
+# reports baselines separately; catalog orders them last).
 #
 # r13: the query runs the Arrow Gram-kernel twin (bit-identical cosines
 # via the shared sequential fold) — 100.7 s → ~4 s at sf1.0. The
@@ -248,7 +251,8 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q36_embedding_near_dup",
+    "baseline_q36_embedding_near_dup",
+    baseline=True,
     oracle=f"""
     WITH pairs AS (
       SELECT a.label AS blk, a.vec_id AS a, b.vec_id AS b,
@@ -264,7 +268,7 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY blk
     """,
 )
-def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def baseline_q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     pairs = sim.blocked_near_dup_arrow(emb, threshold=-1.0)  # keep all; aggregate below
     return pairs.groupBy(F.col("blk").alias("label")).agg(

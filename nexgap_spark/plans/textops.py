@@ -202,19 +202,24 @@ def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q29 — n-gram Jaccard near-dup: top-20 most-similar pairs (all-pairs
-# baseline; the LSH path is q30/q31).
+# baseline_q29 — n-gram Jaccard near-dup: top-20 most-similar pairs
+# (all-pairs baseline; the LSH path is q30/q31).
 #
-# SCALE BOUNDARY: the shingle self-join is the declared quadratic-in-
-# shared-shingle all-pairs BASELINE — exact, but its pair stage grows with
-# the square of co-shingled documents; at corpus scale run the MinHash+LSH
-# twins (q30 signatures, q31 banded pairs), whose banded equi-join bounds
-# the candidate set per bucket.
+# SCALE BOUNDARY / BASELINE NAMESPACE (r14): the shingle self-join is the
+# declared quadratic-in-shared-shingle all-pairs BASELINE — exact, but its
+# pair stage grows with the square of co-shingled documents. It exists to
+# cross-check the MinHash+LSH twins (q30 signatures, q31 banded pairs),
+# whose banded equi-join bounds the candidate set per bucket — q31 IS the
+# scale path and the headline row. The `baseline_` prefix segregates this
+# query from every scale-claimed total: bench.py reports baselines in
+# their own section, the full-catalog sweep excludes them from the
+# headline comparable sums, and the catalog orders them last.
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "q29_ngram_jaccard_topk",
+    "baseline_q29_ngram_jaccard_topk",
+    baseline=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (
@@ -236,7 +241,7 @@ def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def q29_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def baseline_q29_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs)
     return (

@@ -78,8 +78,15 @@ def main() -> None:
     }
     # dedupe and cap at n_cent: probes beyond the centroid count are the
     # same exact search, and a duplicate key would silently overwrite the
-    # earlier timing (r13 review)
-    for nprobe in sorted({p for p in (1, 2, 4, 8, n_cent) if p <= n_cent}):
+    # earlier timing (r13 review). RECALL_NPROBES overrides the sweep —
+    # the K≈sqrt(N) sizing run (r14) needs intermediate points
+    probes_env = os.environ.get("RECALL_NPROBES", "")
+    probes = (
+        [int(p) for p in probes_env.split(",") if p.strip()]
+        if probes_env
+        else [1, 2, 4, 8, n_cent]
+    )
+    for nprobe in sorted({p for p in probes if p <= n_cent}):
         t0 = time.time()
         rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()
         dt = round(time.time() - t0, 2)

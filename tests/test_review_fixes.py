@@ -1053,3 +1053,66 @@ def test_assemble_sf1_ratio_null_when_spark_comparable_missing(tmp_path):
     assert r.returncode == 0, r.stderr
     out = _json.loads(pout.read_text())
     assert out["sf1_totals"]["ratio"] is None
+
+
+def test_baseline_namespace_segregation():
+    """r14 (VERDICT r13 item 1): the declared-quadratic oracle baselines
+    live in the baseline_ namespace, never in the bench HEADLINE set, and
+    the scale twins stay headline."""
+    import bench
+    from nexgap_spark.plans import BASELINE_QUERIES, ORACLES, QUERIES
+
+    assert BASELINE_QUERIES == {
+        "baseline_q29_ngram_jaccard_topk",
+        "baseline_q36_embedding_near_dup",
+    }
+    assert BASELINE_QUERIES <= set(QUERIES)
+    assert BASELINE_QUERIES <= set(ORACLES)  # full value oracles retained
+    assert not (set(bench.HEADLINE) & BASELINE_QUERIES)
+    # every baseline name carries the namespace prefix and nothing else does
+    assert all(n.startswith("baseline_") for n in BASELINE_QUERIES)
+    assert not [
+        n for n in QUERIES if n.startswith("baseline_") and n not in BASELINE_QUERIES
+    ]
+    # scale twins are headline rows
+    for twin in ("q31_minhash_lsh_pairs", "q45_hyperplane_lsh", "q102_semantic_dedup"):
+        assert twin in bench.HEADLINE
+
+
+def test_assemble_sf1_segregates_baselines(tmp_path):
+    """r14: a baseline_ query in a sweep artifact lands in the baselines
+    section — excluded from the headline table and never flagged."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    s01 = {
+        "queries": {"qx": 0.5, "baseline_q29_ngram_jaccard_topk": 0.4},
+        "duckdb": {"qx": 0.1},
+        "value": 0.5,
+        "spark_comparable": 0.5,
+        "duckdb_total": 0.1,
+    }
+    s1 = {
+        "queries": {"qx": 5.0, "baseline_q29_ngram_jaccard_topk": 40.0},  # 100x growth
+        "duckdb": {"qx": 1.0},
+        "value": 5.0,
+        "spark_comparable": 5.0,
+        "duckdb_total": 1.0,
+    }
+    p01, p1, pout = tmp_path / "s01.json", tmp_path / "s1.json", tmp_path / "out.json"
+    p01.write_text(_json.dumps(s01))
+    p1.write_text(_json.dumps(s1))
+    env = dict(
+        _os.environ, SF01_DETAIL=str(p01), SF1_DETAIL=str(p1), SF1_OUT=str(pout)
+    )
+    r = subprocess.run(
+        [_sys.executable, "tools_assemble_sf1.py"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    out = _json.loads(pout.read_text())
+    assert "baseline_q29_ngram_jaccard_topk" not in out["queries"]
+    assert out["baselines"]["baseline_q29_ngram_jaccard_topk"]["sf1_over_sf01"] == 100.0
+    assert not [f for f in out["flagged_superlinear"] if f["query"].startswith("baseline_")]

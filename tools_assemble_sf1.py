@@ -11,22 +11,33 @@ s1 = json.load(open(os.environ.get("SF1_DETAIL", "/tmp/bench_sf1_all.json")))
 
 q01, q1 = s01["queries"], s1["queries"]
 d01, d1 = s01.get("duckdb", {}), s1.get("duckdb", {})
+# bench.py (r14+) already splits the baseline_ namespace into its own
+# sections; older artifacts carry them inline — split here either way so
+# the headline tables and flagged_superlinear never include a baseline
+b01, b1 = dict(s01.get("baselines", {})), dict(s1.get("baselines", {}))
+bd01, bd1 = dict(s01.get("baselines_duckdb", {})), dict(s1.get("baselines_duckdb", {}))
+for src, dst in ((q01, b01), (q1, b1), (d01, bd01), (d1, bd1)):
+    for name in [n for n in src if n.startswith("baseline_")]:
+        dst[name] = src.pop(name)
 
 # Explanations for queries whose sf1.0/sf0.1 ratio can exceed 10x (linear).
-# Two legitimate classes: declared quadratic baselines, and sub-second
-# sf0.1 cells where the ratio divides by fixed session overhead rather
-# than work (isolated best-of-3 cross-checks in SCALE.md round-13 cont.).
-EXPLANATIONS = {
-    "q36_embedding_near_dup": (
+# Two legitimate classes: declared quadratic baselines (now segregated in
+# the baselines section below), and sub-second sf0.1 cells where the ratio
+# divides by fixed session overhead rather than work (isolated best-of-3
+# cross-checks in SCALE.md round-13 cont.).
+BASELINE_EXPLANATIONS = {
+    "baseline_q36_embedding_near_dup": (
         "declared quadratic-in-block all-pairs BASELINE (plans/similarity.py "
         "boundary note): blocks are 10x larger so same-block pairs grow "
         "~100x; the r13 Arrow Gram kernel cut the constant 20x. Scale "
-        "paths: q45 (sign-LSH) / q102 (SemDeDup)."
+        "paths: q45 (sign-LSH) / q102 (SemDeDup) — the headline rows."
     ),
-    "q29_ngram_jaccard_topk": (
+    "baseline_q29_ngram_jaccard_topk": (
         "declared all-pairs Jaccard BASELINE (plans/textops.py boundary "
-        "note); the LSH twin q31 is the scale path."
+        "note); the LSH twin q31 is the scale path and headline row."
     ),
+}
+EXPLANATIONS = {
     "q69_pii_scan": (
         "linear in TOTAL CHARACTERS: sf1.0 carries 13.7x the characters of "
         "sf0.1; growth tracks the byte ratio, pure projection."
@@ -75,11 +86,30 @@ for name in sorted(q1):
             )
     queries[name] = e
 
+# baseline_ namespace: own table, own (unflagged) growth ratios — these are
+# DECLARED quadratic oracle baselines whose scale twins carry the headline
+# rows; their times never enter the headline totals above
+baselines = {}
+for name in sorted(b1):
+    e = {
+        "spark_sf1": round(b1[name], 3),
+        "spark_sf01": round(b01[name], 3) if name in b01 else None,
+        "explanation": BASELINE_EXPLANATIONS.get(name, "declared baseline"),
+    }
+    if name in bd1:
+        e["duckdb_sf1"] = round(bd1[name], 3)
+    if name in bd01:
+        e["duckdb_sf01"] = round(bd01[name], 3)
+    if b01.get(name):
+        e["sf1_over_sf01"] = round(b1[name] / b01[name], 1)
+    baselines[name] = e
+
 out = {
-    "generated": "round 13 FINAL tree, post scan-width/profiling/zorder work "
-    "(bench.py BENCH_QUERY_SET=all; BENCH_TRIALS=2 both SFs, "
-    "BENCH_DUCKDB_TIMEOUT=180; quiet box; sf1.0 corpus rebuilt with the "
-    "one-file-per-core layout, 117-query catalog incl. q114/q116/q117)",
+    "generated": os.environ.get(
+        "SF1_GENERATED_NOTE",
+        "round 14 tree (bench.py BENCH_QUERY_SET=all; baseline_ namespace "
+        "segregated from every headline total per VERDICT r13 item 1)",
+    ),
     "sf1_totals": {
         "spark": s1["value"],
         # comparable = same-query-set sums; ratio is ALWAYS computed from
@@ -104,6 +134,7 @@ out = {
     "n_oracles": len(d1),
     "flagged_superlinear": flagged,
     "queries": queries,
+    "baselines": baselines,
 }
 json.dump(out, open(os.environ.get("SF1_OUT", "BENCH_SF1.json"), "w"), indent=1)
 print("flagged:", [f["query"] for f in flagged])
