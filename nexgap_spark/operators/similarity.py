@@ -158,18 +158,36 @@ def assign_clusters(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     dim: int = DEFAULT_DIM,
+    engine: str = "sql",
 ) -> DataFrame:
     """IVF coarse quantization: route each vector to its nearest centroid
     (max cosine; deterministic tiebreak on centroid id). Centroids broadcast;
     one pass over the corpus.
 
-    Plan shape: argmax-per-vector is a ``max_by`` AGGREGATE, not a
-    row_number window — the broadcast join keeps a vector's k centroid rows
-    on their map partition, so the partial aggregate collapses them to ONE
-    row per vector before the exchange. The window alternative shuffles
-    |V|·k rows each carrying two embedding arrays; this shuffles |V| rows
-    carrying one payload struct. (The Arrow twin for the pure-numpy path is
-    ``_np_assign``, used by ivf_topk/kmeans.)"""
+    Plan shape (``engine="sql"``): argmax-per-vector is a ``max_by``
+    AGGREGATE, not a row_number window — the broadcast join keeps a
+    vector's k centroid rows on their map partition, so the partial
+    aggregate collapses them to ONE row per vector before the exchange.
+    The window alternative shuffles |V|·k rows each carrying two embedding
+    arrays; this shuffles |V| rows carrying one payload struct.
+
+    ``engine="arrow"`` routes through the shared ``_np_assign`` kernel
+    (mapInPandas, centroids broadcast as a matrix) — bit-identical cosines
+    via the sequential fold, same lowest-id tiebreak, same output columns.
+    The SQL plan evaluates |V|·K codegen'd dot chains element-at-a-time,
+    which is fine at the q35/q80 K≈16 scale but dominates at K≈√N index
+    builds (measured: K=448 on 200k×64f — 305 s SQL vs ~6 s Arrow);
+    build_ivf_index therefore defaults to the Arrow engine. Embeddings
+    must be non-null under the Arrow engine (np.stack rejects None rows
+    loudly); the SQL engine tolerates them with NULL similarity."""
+    if engine == "arrow":
+        return _assign_clusters_arrow(
+            vectors,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
     cent = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_c_id"),
@@ -203,6 +221,53 @@ def assign_clusters(
         *[F.col(f"_best.{c}").alias(c) for c in payload_cols],
         F.col("_best._c_id").alias(centroid_id_col),
     )
+
+
+def _assign_clusters_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """Arrow twin of the SQL assign plan: same `_np_assign` kernel as
+    ivf_topk/kmeans (sequential-fold cosines, lowest-id tiebreak), output
+    columns identical to the SQL path ([id, payload..., centroid_id])."""
+    from pyspark.sql.types import StructField, StructType
+
+    cent_pd = _collect_small_side(
+        centroids,
+        [F.col(centroid_id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec")],
+        "centroid side",
+    )
+    cent_ids = cent_pd["_c_id"].to_numpy()
+    cent_mat = np.stack(cent_pd["_c_vec"].to_numpy()).astype(np.float64)
+    sc = vectors.sparkSession.sparkContext
+    b = sc.broadcast((cent_ids, cent_mat))
+    payload_cols = [c for c in vectors.columns if c != id_col]
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    cent_id_type = centroids.schema[centroid_id_col].dataType
+    out_schema = StructType(
+        [in_fields[id_col]]
+        + [in_fields[c] for c in payload_cols]
+        + [StructField(centroid_id_col, cent_id_type)]
+    )
+    out_cols = [id_col] + payload_cols + [centroid_id_col]
+
+    def fn(batches):
+        c_ids, c_mat = b.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                pdf[centroid_id_col] = _np_assign(m, c_ids, c_mat)
+            else:
+                pdf[centroid_id_col] = pd.Series([], dtype=object)
+            yield pdf[out_cols]
+
+    par = sc.defaultParallelism
+    return vectors.repartition(par).mapInPandas(fn, out_schema)
 
 
 def _seq_sqrt_norms(m: np.ndarray) -> np.ndarray:
@@ -273,7 +338,22 @@ def ivf_topk(
     stage partitioned on centroid, emitting per-partition partial top-k; a
     final window merges. Total score work = Σ_cluster |Q_probing_c|·|C_c| —
     the IVF saving is real, not simulated, and scales down linearly in
-    nprobe/n_centroids."""
+    nprobe/n_centroids.
+
+    SIZING RULE (measured, recall_bench.py / SCALE.md round-14): train
+    K ≈ √N centroids (a few Lloyd steps; per-probe cost then ≈ N/K ≈ √N
+    rows) and pick ``nprobe`` off the measured recall curve for YOUR
+    corpus — recall-per-probe is a property of the data's intrinsic
+    cluster structure, not of the index. On a planted-clusters ×100 corpus
+    (200k×64f, K=448): separable clusters → recall@10 = 1.0 at nprobe=1,
+    0.21× the exact cost; heavily overlapping clusters (noise ≈ 0.9× the
+    center norm) → 0.93 at nprobe=32 (0.31×). On ISOTROPIC vectors (the
+    driver's synthetic embeddings: neighbor-label agreement at chance)
+    recall ≈ the scanned corpus fraction no matter how K is chosen — the
+    information-theoretic floor for coarse quantization; use the exact
+    kernel there. Per-call corpus assignment makes the TRANSIENT form
+    uneconomical at K ≈ √N — use build_ivf_index + ivf_topk_indexed, which
+    pay assignment once at build."""
     cent_pd = _collect_small_side(
         centroids,
         [
@@ -840,13 +920,26 @@ def build_ivf_index(
     assignment, written as parquet PARTITIONED BY centroid_id — so a
     query-time filter on probed centroids becomes partition PRUNING (the
     scan literally skips the unprobed clusters' files) — plus the centroid
-    table alongside. Build cost = one assign_clusters pass + one write."""
+    table alongside. Build cost = one assign_clusters pass + one
+    centroid-keyed shuffle + one write. The shuffle matters at large K:
+    without it every scan task writes a file into EVERY centroid dir
+    (tasks × K small files — measured 354 s at K=448 from 32 tasks);
+    repartitioning on centroid_id first writes one file per cluster.
+    Assignment runs on the Arrow engine (bit-identical to the SQL plan;
+    the codegen'd dot chains dominate build cost at K≈√N — see
+    assign_clusters). Measured at K=448 / 200k×64f: 305 s → 17 s.
+
+    SIZING RULE: K ≈ √N centroids (see ivf_topk's docstring for the full
+    measured recall/nprobe/structure rule); the persisted probe then scans
+    ~nprobe·√N rows via partition pruning, and recall@10 ≥ 0.9 costs
+    ≤ 1/4 of exact search whenever the corpus has real cluster structure
+    (recall_bench.py rows in SCALE.md round-14)."""
     assigned = assign_clusters(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, engine="arrow"
     )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path.rstrip('/')}/corpus"
-    )
+    assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path.rstrip('/')}/corpus")
     centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
 
 

@@ -1,17 +1,39 @@
-"""ANN quality-at-scale harness: IVF recall@k vs nprobe on a ×MULT corpus.
+"""ANN quality-at-scale harness: IVF recall@k vs nprobe, on two corpora.
 
 Speed without a recall number is half a measurement: the IVF rows in
 BENCH/SCALE show the probe is cheap, this shows what the cheapness buys.
-Protocol: scale embeddings ×MULT (build_emb_dir — per-replica rotations,
-so neighbors are non-degenerate), train K centroids with a few exact
-Lloyd steps (operators.kmeans_update), take every STRIDE-th vector as a
-query, compute exact brute-force top-k as ground truth, then measure
-recall@k = |ivf_topk ∩ truth| / k and wall time per nprobe.
 
-Usage: python recall_bench.py   (env: RECALL_MULT=100 RECALL_QUERIES=1000
-RECALL_K=10 RECALL_CENTROIDS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 —
-the SCALE.md round-13 table used RECALL_MULT=100 RECALL_QUERIES=1000).
-Prints one JSON line; the round's numbers are recorded in SCALE.md.
+Two data regimes (RECALL_DATA), because IVF's recall-per-probe is a
+property of the DATA's intrinsic cluster structure, not just the index:
+
+* ``scaled`` (default): the driver's embeddings table ×MULT (per-replica
+  rotations — build_emb_dir). Measured fact: these vectors are isotropic
+  (mean cosine to own-label centroid 0.07; top-10 neighbor label agreement
+  at chance), so recall ≈ the scanned corpus fraction NO MATTER how many
+  centroids are trained — the information-theoretic floor for
+  coarse-quantization ANN on unclustered data. This regime documents the
+  floor honestly.
+* ``clustered``: a planted mixture (RECALL_CLUSTERS deterministic unit
+  centers, per-vector Gaussian noise RECALL_SPREAD, normalized) — the
+  shape real embedding corpora have (that's WHY IVF works in practice).
+  This regime measures what the index buys when structure exists.
+
+Cost is measured BOTH ways: ``ivf_topk`` (transient — pays query+corpus
+assignment per call; at K≈√N the corpus assign alone is ~K/|Q| of brute
+force, so large K only pays off through the index) and ``ivf_topk_indexed``
+(persisted partition-pruned index — assignment paid once at build, probe
+scans ~nprobe/K of the corpus; the 100 TB serving shape).
+
+Protocol: build corpus, train K centroids with a few exact Lloyd steps
+(operators.kmeans_update), take every STRIDE-th vector as a query, compute
+exact brute-force top-k as ground truth, then recall@k = |ivf ∩ truth| / k
+and wall time per nprobe.
+
+Usage: python recall_bench.py   (env: RECALL_DATA=scaled|clustered
+RECALL_MULT=100 RECALL_N=200000 RECALL_CLUSTERS=1000 RECALL_SPREAD=0.35
+RECALL_QUERIES=1000 RECALL_K=10 RECALL_CENTROIDS=448 RECALL_NPROBES=1,2,...
+RECALL_INDEXED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1). Prints one JSON
+line; the round's numbers are recorded in SCALE.md.
 """
 
 from __future__ import annotations
@@ -27,20 +49,68 @@ from nexgap_spark.session import get_spark, load_table
 from scale_bench import build_emb_dir
 
 
+def build_clustered_emb(spark, n: int, c: int, dim: int, spread: float, path: str):
+    """Planted-mixture corpus: cluster centers are deterministic unit
+    Gaussians keyed by cluster id; each vector = center + spread·noise
+    (noise keyed by vec_id), normalized. Partition-count independent."""
+    import os as _os
+
+    if _os.path.isdir(f"{path}/embeddings.parquet"):
+        return
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        centers = np.stack(
+            [np.random.default_rng(900_000 + j).normal(size=dim) for j in range(c)]
+        )
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        # noise scaled by 1/sqrt(dim) so ``spread`` is the expected noise
+        # NORM relative to the unit center (per-dim sigma would give norm
+        # spread*sqrt(dim) and drown the center — the r14 first-run bug)
+        sigma = spread / (dim ** 0.5)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                rng = np.random.default_rng(int(i) + 1)
+                v = centers[int(i) % c] + sigma * rng.normal(size=dim)
+                v = v / np.linalg.norm(v)
+                vecs.append(v.astype("float32"))
+            yield pd.DataFrame(
+                {"vec_id": ids, "label": ids % c, "embedding": vecs}
+            )
+
+    df = spark.range(n).repartition(32).mapInPandas(
+        gen, "vec_id long, label long, embedding array<float>"
+    )
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
 def main() -> None:
+    data = os.environ.get("RECALL_DATA", "scaled")
     mult = int(os.environ.get("RECALL_MULT", "100"))
     k = int(os.environ.get("RECALL_K", "10"))
     n_cent = int(os.environ.get("RECALL_CENTROIDS", "16"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("recall_bench")
-    d = f"/tmp/nexgap_scale_emb_x{mult}"
-    build_emb_dir(spark, sf_dir, mult, d)
+    if data == "clustered":
+        n = int(os.environ.get("RECALL_N", "200000"))
+        c = int(os.environ.get("RECALL_CLUSTERS", "1000"))
+        spread = float(os.environ.get("RECALL_SPREAD", "0.35"))
+        d = f"/tmp/nexgap_recall_clustered_n{n}_c{c}_s{spread}"
+        build_clustered_emb(spark, n, c, 64, spread, d)
+    else:
+        d = f"/tmp/nexgap_scale_emb_x{mult}"
+        build_emb_dir(spark, sf_dir, mult, d)
     emb = load_table(spark, d, "embeddings")
     n = emb.count()
 
     # K seed vectors -> 3 exact Lloyd steps (enough to spread the seeds;
     # the harness measures the INDEX the engine would really serve, not a
     # lucky initialization)
+    t_train0 = time.time()
     cents = emb.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -59,6 +129,7 @@ def main() -> None:
             )
         )
         cents = spark.createDataFrame(cents.toPandas())  # pin tiny table
+    t_train = round(time.time() - t_train0, 2)
 
     n_queries = int(os.environ.get("RECALL_QUERIES", "100"))
     stride = max(n // n_queries, 1)
@@ -73,9 +144,25 @@ def main() -> None:
         truth.setdefault(r.q_id, set()).add(r.n_id)
 
     out = {
-        "mult": mult, "corpus": n, "n_queries": n_q, "k": k,
-        "n_centroids": n_cent, "brute_force_sec": t_brute, "nprobe": {},
+        "data": data, "corpus": n, "n_queries": n_q, "k": k,
+        "n_centroids": n_cent, "train_sec": t_train,
+        "brute_force_sec": t_brute, "nprobe": {},
     }
+    if data == "clustered":
+        out.update(
+            clusters=int(os.environ.get("RECALL_CLUSTERS", "1000")),
+            spread=float(os.environ.get("RECALL_SPREAD", "0.35")),
+        )
+    else:
+        out["mult"] = mult
+
+    index_path = None
+    if os.environ.get("RECALL_INDEXED", ""):
+        index_path = f"{d}/ivf_index_k{n_cent}"
+        t0 = time.time()
+        sim.build_ivf_index(emb, cents, index_path)
+        out["index_build_sec"] = round(time.time() - t0, 2)
+
     # dedupe and cap at n_cent: probes beyond the centroid count are the
     # same exact search, and a duplicate key would silently overwrite the
     # earlier timing (r13 review). RECALL_NPROBES overrides the sweep —
@@ -86,17 +173,28 @@ def main() -> None:
         if probes_env
         else [1, 2, 4, 8, n_cent]
     )
+
+    def _recall(rows) -> float:
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.n_id)
+        return sum(len(got.get(q, set()) & s) for q, s in truth.items()) / (
+            len(truth) * k
+        )
+
     for nprobe in sorted({p for p in probes if p <= n_cent}):
         t0 = time.time()
         rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()
         dt = round(time.time() - t0, 2)
-        got: dict = {}
-        for r in rows:
-            got.setdefault(r.q_id, set()).add(r.n_id)
-        recall = sum(len(got.get(q, set()) & s) for q, s in truth.items()) / (
-            len(truth) * k
-        )
-        out["nprobe"][str(nprobe)] = {"recall": round(recall, 4), "sec": dt}
+        cell = {"recall": round(_recall(rows), 4), "sec": dt}
+        if index_path is not None:
+            t0 = time.time()
+            rows_i = sim.ivf_topk_indexed(
+                queries, index_path, k=k, nprobe=nprobe
+            ).collect()
+            cell["indexed_sec"] = round(time.time() - t0, 2)
+            cell["indexed_recall"] = round(_recall(rows_i), 4)
+        out["nprobe"][str(nprobe)] = cell
     print(json.dumps(out, separators=(",", ":")))
 
 

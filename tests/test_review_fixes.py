@@ -1116,3 +1116,31 @@ def test_assemble_sf1_segregates_baselines(tmp_path):
     assert "baseline_q29_ngram_jaccard_topk" not in out["queries"]
     assert out["baselines"]["baseline_q29_ngram_jaccard_topk"]["sf1_over_sf01"] == 100.0
     assert not [f for f in out["flagged_superlinear"] if f["query"].startswith("baseline_")]
+
+
+def test_assign_clusters_arrow_engine_equals_sql(spark):
+    """r14: build_ivf_index switched to the Arrow assign engine (the SQL
+    plan's codegen'd dot chains dominate at K~sqrt(N)); the two engines
+    must route every vector identically — same sequential-fold cosine,
+    same lowest-id tiebreak, same output columns."""
+    from nexgap_spark.operators import similarity as sim
+    from nexgap_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = emb.filter("vec_id < 7").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = sim.assign_clusters(emb, cents, engine="sql")
+    b = sim.assign_clusters(emb, cents, engine="arrow")
+    assert a.columns == b.columns
+    ka = sorted((r["vec_id"], r["centroid_id"]) for r in a.collect())
+    kb = sorted((r["vec_id"], r["centroid_id"]) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+    # string centroid ids survive the Arrow path (same contract as SQL)
+    cents_s = cents.select(
+        F.concat(F.lit("c"), F.col("centroid_id").cast("string")).alias("centroid_id"),
+        "embedding",
+    )
+    bs = sim.assign_clusters(emb, cents_s, engine="arrow")
+    row = bs.limit(1).collect()[0]
+    assert isinstance(row["centroid_id"], str) and row["centroid_id"].startswith("c")

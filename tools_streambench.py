@@ -1,0 +1,197 @@
+"""Streaming throughput harness (VERDICT r13 item 6): drive the stateful
+operators with a rate-limited source for a sustained window and record
+rows/s + state-store size, next to their batch twins' throughput on the
+same data — `streaming/pipeline.py` is equality-tested vs batch but was
+never throughput-measured.
+
+Two subjects:
+* ``stateful_sessions_buffered`` over a `rate` source mapped to
+  (user_id, ts, value) — per-trigger metrics from StreamingQueryProgress
+  (processedRowsPerSecond, stateOperators numRowsTotal / memoryUsedBytes).
+* ``incremental_dedup_sink`` over a rate-derived document stream with a
+  controlled duplicate fraction — foreachBatch has no state operator, so
+  throughput = rows acked / wall; ledger growth read back from the
+  committed epochs.
+
+Batch twins run on the SAME rows the stream processed (written to parquet
+first), so the rows/s comparison divides identical work.
+
+Usage: python tools_streambench.py  (env: STREAMBENCH_SECONDS=60
+STREAMBENCH_RATE=200000 STREAMBENCH_USERS=5000 STREAMBENCH_DUP_MOD=1000).
+Prints one JSON document; SCALE.md records the rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import sessionize
+from nexgap_spark.session import get_spark
+from nexgap_spark.streaming import pipeline as SP
+
+
+def bench_sessions(spark, seconds: int, rate: int, users: int) -> dict:
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            (F.col("value") % users).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 97).cast("double").alias("value"),
+        )
+    )
+    sess = SP.stateful_sessions_buffered(
+        events, gap_minutes=0.05, watermark="10 seconds"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sb_ckpt_"))
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(seconds)
+    progresses = [json.loads(p) for p in q.recentProgress]
+    q.stop()
+    wall = time.time() - t0
+    rows_in = sum(p.get("numInputRows", 0) for p in progresses)
+    batches = len(progresses)
+    state = {}
+    for p in reversed(progresses):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state = {
+                "numRowsTotal": ops[0].get("numRowsTotal"),
+                "memoryUsedMB": round((ops[0].get("memoryUsedBytes") or 0) / 1e6, 1),
+            }
+            break
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in progresses
+        if p.get("processedRowsPerSecond") and p.get("numInputRows", 0) > 0
+    ]
+    return {
+        "seconds": round(wall, 1),
+        "batches": batches,
+        "rows_ingested": rows_in,
+        "rows_per_sec_avg": round(rows_in / wall, 0),
+        "rows_per_sec_batch_max": round(max(rates), 0) if rates else None,
+        "state": state,
+        "configured_rate": rate,
+        "backpressured": bool(rates) and (rows_in / wall) < 0.9 * rate,
+    }
+
+
+def bench_sessions_batch_twin(spark, rate: int, users: int, rows: int) -> dict:
+    """Batch sessionization of the SAME logical event set, for the rows/s
+    comparison (gap semantics shared with the streaming operator)."""
+    events = (
+        spark.range(rows)
+        .select(
+            (F.col("id") % users).alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000) + (F.col("id") / rate * 1e6).cast("long"))
+            ).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+    )
+    t0 = time.time()
+    n = (
+        sessionize.sessionize(events, gap_minutes=0.05)
+        .groupBy().count().collect()[0][0]
+    )
+    dt = time.time() - t0
+    return {"rows": rows, "sessions": n, "sec": round(dt, 2),
+            "rows_per_sec": round(rows / dt, 0)}
+
+
+def bench_dedup_sink(spark, seconds: int, rate: int, dup_mod: int) -> dict:
+    work = tempfile.mkdtemp(prefix="sb_dedup_")
+    out, ledger, ckpt = f"{work}/out", f"{work}/ledger", f"{work}/ckpt"
+    docs = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("document body "),
+                (F.col("value") % dup_mod).cast("string"),
+                F.lit(" lorem ipsum dolor sit amet consectetur"),
+            ).alias("text"),
+        )
+    )
+    q = SP.incremental_dedup_sink(docs, out, ledger, ckpt)
+    t0 = time.time()
+    time.sleep(seconds)
+    progresses = [json.loads(p) for p in q.recentProgress]
+    q.stop()
+    wall = time.time() - t0
+    rows_in = sum(p.get("numInputRows", 0) for p in progresses)
+    survivors = spark.read.schema("doc_id long, text string").json(
+        out + "/epoch=*"
+    ).count()
+    ledger_rows = SP.read_committed_epochs(spark, ledger, "digest string").count()
+    res = {
+        "seconds": round(wall, 1),
+        "batches": len(progresses),
+        "rows_ingested": rows_in,
+        "rows_per_sec_avg": round(rows_in / wall, 0),
+        "survivors": survivors,
+        "ledger_digests": ledger_rows,
+        "configured_rate": rate,
+        "dup_mod": dup_mod,
+        "exactly_once_ok": ledger_rows <= dup_mod and survivors <= dup_mod,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def bench_dedup_batch_twin(spark, rows: int, dup_mod: int) -> dict:
+    from nexgap_spark.operators import dedup
+
+    docs = spark.range(rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body "),
+            (F.col("id") % dup_mod).cast("string"),
+            F.lit(" lorem ipsum dolor sit amet consectetur"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n = dedup.exact_dedup(docs).groupBy().count().collect()[0][0]
+    dt = time.time() - t0
+    return {"rows": rows, "kept": n, "sec": round(dt, 2),
+            "rows_per_sec": round(rows / dt, 0)}
+
+
+def main() -> int:
+    seconds = int(os.environ.get("STREAMBENCH_SECONDS", "60"))
+    rate = int(os.environ.get("STREAMBENCH_RATE", "200000"))
+    users = int(os.environ.get("STREAMBENCH_USERS", "5000"))
+    dup_mod = int(os.environ.get("STREAMBENCH_DUP_MOD", "1000"))
+    spark = get_spark("streambench")
+    out = {"sessions_stream": bench_sessions(spark, seconds, rate, users)}
+    out["sessions_batch_twin"] = bench_sessions_batch_twin(
+        spark, rate, users, out["sessions_stream"]["rows_ingested"] or rate * seconds
+    )
+    out["dedup_stream"] = bench_dedup_sink(spark, seconds, rate, dup_mod)
+    out["dedup_batch_twin"] = bench_dedup_batch_twin(
+        spark, out["dedup_stream"]["rows_ingested"] or rate * seconds, dup_mod
+    )
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
