@@ -29,6 +29,17 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _driver_mem_bytes() -> int:
+    """The driver heap get_spark will request (SPARK_GRAFT_DRIVER_MEM,
+    default 24g) in bytes — sizes the broadcast threshold. A caller who
+    sets spark.driver.memory through extra_conf instead should set the env
+    var too (or pass their own threshold) to keep the scaling keyed to the
+    real heap."""
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g").strip().lower()
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(mem[-1])
+    return int(float(mem[:-1]) * mult) if mult else int(mem)
+
+
 def get_spark(
     app_name: str = "nexgap_spark",
     *,
@@ -77,7 +88,18 @@ def get_spark(
         # as a long; load_table converts to a µs timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold sized to the DRIVER heap (broadcast tables
+        # are built driver-side before the torrent ship): 64 MB at the
+        # default 24g — and at any heap ≥ 4g, so every existing plan and
+        # plan audit is unchanged — scaling down below that so a
+        # memory-constrained driver degrades to shuffle joins instead of
+        # dying in the broadcast build (measured in the r14 memory-pressure
+        # sweep: a 2g driver + the flat 64 MB threshold failed q43's
+        # sf1.0 broadcast; heap/64 = 32 MB completes, spilling instead).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))),
+        )
         # A scan bucketed on a SUBSET of a join's keys still co-partitions
         # the join (rows with equal full keys share the bucket key, hence
         # the partition); Spark >=3.3 disables using that by default. The

@@ -1144,3 +1144,23 @@ def test_assign_clusters_arrow_engine_equals_sql(spark):
     bs = sim.assign_clusters(emb, cents_s, engine="arrow")
     row = bs.limit(1).collect()[0]
     assert isinstance(row["centroid_id"], str) and row["centroid_id"].startswith("c")
+
+
+def test_broadcast_threshold_scales_with_driver_heap(monkeypatch):
+    """r14 memsweep finding: a 2g driver + the flat 64MB broadcast
+    threshold dies in broadcast build; the threshold now scales as
+    heap/64, floored at 8MB and capped at 64MB (so >=4g heaps — every
+    existing plan audit — are unchanged)."""
+    import os as _os
+
+    from nexgap_spark.session import _driver_mem_bytes
+
+    def thresh():
+        return min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))
+
+    cases = {"24g": 64, "4g": 64, "2g": 32, "1g": 16, "512m": 8, "128m": 8}
+    for mem, mb in cases.items():
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", mem)
+        assert thresh() == mb * 1024 * 1024, (mem, thresh())
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    assert thresh() == 64 * 1024 * 1024  # default 24g

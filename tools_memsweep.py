@@ -30,7 +30,20 @@ from nexgap_spark.plans import QUERIES
 
 sf_dir = os.environ["MEMSWEEP_SF_DIR"]
 names = os.environ["MEMSWEEP_QUERIES"].split(",")
-spark = get_spark("memsweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+# extra confs for a ceiling (e.g. the 2g row disables auto-broadcast per
+# Spark's own low-memory guidance, or shrinks spark.memory.fraction to
+# force spill). Applied on the BUILDER — the child session is fresh, and
+# static core confs (memory.fraction) reject runtime conf.set.
+extra_conf = {}
+for kv in os.environ.get("MEMSWEEP_CONF", "").split(","):
+    if "=" in kv:
+        k, v = kv.split("=", 1)
+        extra_conf[k.strip()] = v.strip()
+spark = get_spark(
+    "memsweep",
+    cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    extra_conf=extra_conf or None,
+)
 
 jvm = spark._jvm
 rt = jvm.java.lang.Runtime.getRuntime()
@@ -66,13 +79,21 @@ def spill_totals():
     return mem, disk
 
 out = {"max_heap_gb": round(rt.maxMemory() / 1e9, 2), "queries": {}}
+if extra_conf:
+    out["extra_conf"] = extra_conf
 # cheap warm-up (JVM + python worker pool) that does NOT pre-run a listed
 # query: several (dup_groups) are EAGER at plan-construction time
 spark.range(32 * 1024).repartition(32).mapInPandas(lambda it: it, "id long").count()
 for name in names:
+    # per-query fault isolation: one failing query records ITS error and
+    # the sweep keeps going (the failure mode at a ceiling is data too)
     m0, d0 = spill_totals()
     t0 = time.perf_counter()
-    rows = QUERIES[name](spark, sf_dir).collect()
+    try:
+        rows = QUERIES[name](spark, sf_dir).collect()
+    except Exception as e:
+        out["queries"][name] = {"error": f"{type(e).__name__}: {e}"[:400]}
+        continue
     dt = time.perf_counter() - t0
     m1, d1 = spill_totals()
     h = hashlib.md5()
