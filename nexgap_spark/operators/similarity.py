@@ -180,6 +180,10 @@ def assign_clusters(
     build_ivf_index therefore defaults to the Arrow engine. Embeddings
     must be non-null under the Arrow engine (np.stack rejects None rows
     loudly); the SQL engine tolerates them with NULL similarity."""
+    if engine not in ("sql", "arrow"):
+        # a typo must not silently select the 50x-slower SQL path with
+        # different null handling (r14 review)
+        raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
     if engine == "arrow":
         return _assign_clusters_arrow(
             vectors,
@@ -965,16 +969,23 @@ def append_ivf_index(
     union immediately (the partition-pruned scan picks up the new files).
     Centroids stay fixed between rebuilds — standard IVF serving practice;
     recall drifts only as the new data's distribution leaves the trained
-    quantizer, which is a rebuild trigger, not an append concern."""
+    quantizer, which is a rebuild trigger, not an append concern.
+
+    Same two scale fixes as build_ivf_index (r14 review): Arrow-engine
+    assignment (the SQL dot chains dominate at K≈√N) and a centroid-keyed
+    repartition before the write (without it every append task drops a
+    file into every centroid dir — tasks×K small files per batch,
+    progressively shredding the pruned layout)."""
     spark = new_vectors.sparkSession
     root = path.rstrip("/")
     centroids = spark.read.parquet(f"{root}/centroids")
     assigned = assign_clusters(
-        new_vectors, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col, dim=dim,
+        engine="arrow",
     )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
-        f"{root}/corpus"
-    )
+    assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(f"{root}/corpus")
 
 
 def ivf_topk_indexed(

@@ -157,9 +157,13 @@ def file_spans(spark, path: str, cols: list[str]) -> DataFrame:
     directory RECURSIVELY, so hive-partitioned layouts (``key=value/``
     subdirectories) report their files instead of returning no rows — the
     ``file`` column holds the path relative to ``path``. Hive PARTITION
-    columns themselves exist only in directory names, not footers; asking
-    for one raises the not-in-parquet-schema error below (by design: spans
-    of a partition column are the partition values, not footer stats)."""
+    columns themselves exist only in directory names, not footers —
+    partition discovery puts them in the TABLE schema (so the
+    not-in-parquet-schema check passes), but no footer carries their
+    stats, and the contract is typed all-NULL spans for them (asserted in
+    test_file_spans_hive_partitioned_layout); spans of a partition column
+    are the partition values, which the caller can read off the ``file``
+    paths."""
     import os
 
     import pyarrow.parquet as pq

@@ -23,7 +23,9 @@ ORACLES: dict[str, str] = {}
 # their sub-quadratic scale twins (banded LSH / sign-LSH / SemDeDup), and
 # the bench reports them SEPARATELY from the headline totals so no
 # scale-claimed number includes a query that cannot run at 100x. Names in
-# this set carry the `baseline_` prefix and sort last in the catalog.
+# this set carry the `baseline_` prefix and sort last among NON-WINDOW
+# catalog entries (driver-window membership is the one exception — r14
+# put both baselines in the window so the rename gets external rows).
 BASELINE_QUERIES: set[str] = set()
 
 

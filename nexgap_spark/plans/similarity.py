@@ -242,7 +242,8 @@ def q106_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and SemDeDup's centroid-bounded pass (q102), which replace the block
 # quadratic with bucket-bounded work and ARE the headline rows. The
 # `baseline_` prefix segregates it from every scale-claimed total (bench
-# reports baselines separately; catalog orders them last).
+# reports baselines separately; catalog orders them after every
+# non-window query — r14's window slot is the deliberate exception).
 #
 # r13: the query runs the Arrow Gram-kernel twin (bit-identical cosines
 # via the shared sequential fold) — 100.7 s → ~4 s at sf1.0. The

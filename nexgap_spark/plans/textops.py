@@ -213,7 +213,9 @@ def q28_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale path and the headline row. The `baseline_` prefix segregates this
 # query from every scale-claimed total: bench.py reports baselines in
 # their own section, the full-catalog sweep excludes them from the
-# headline comparable sums, and the catalog orders them last.
+# headline comparable sums, and the catalog orders them after every
+# non-window query (r14's window slot is deliberate: an external
+# hash-green row under the new name).
 # ---------------------------------------------------------------------------
 
 

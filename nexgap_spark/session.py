@@ -31,13 +31,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _driver_mem_bytes() -> int:
     """The driver heap get_spark will request (SPARK_GRAFT_DRIVER_MEM,
-    default 24g) in bytes — sizes the broadcast threshold. A caller who
-    sets spark.driver.memory through extra_conf instead should set the env
-    var too (or pass their own threshold) to keep the scaling keyed to the
-    real heap."""
+    default 24g) in bytes — sizes the broadcast threshold. Parsing matches
+    Spark's own JavaUtils.byteStringAsMb semantics for spark.driver.memory
+    (r14 review): a suffix-less number is MiB (not bytes), and both the
+    one-letter (k/m/g/t) and two-letter (kb/mb/gb/tb) binary suffixes are
+    legal. A caller who sets spark.driver.memory through extra_conf
+    instead should set the env var too (or pass their own threshold) to
+    keep the scaling keyed to the real heap."""
+    import re
+
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g").strip().lower()
-    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(mem[-1])
-    return int(float(mem[:-1]) * mult) if mult else int(mem)
+    m = re.fullmatch(r"([0-9]*\.?[0-9]+)\s*([kmgtp]b?|b)?", mem)
+    if not m:
+        raise ValueError(
+            f"SPARK_GRAFT_DRIVER_MEM={mem!r} is not a Spark memory string "
+            "(e.g. 24g, 4096m, 4096 [MiB], 2gb, 1048576b)"
+        )
+    num, suffix = float(m.group(1)), (m.group(2) or "")[:1]
+    mult = {"": 1024**2, "b": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+            "t": 1024**4, "p": 1024**5}[suffix]
+    return int(num * mult)
 
 
 def get_spark(

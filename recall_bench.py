@@ -52,11 +52,19 @@ from scale_bench import build_emb_dir
 def build_clustered_emb(spark, n: int, c: int, dim: int, spread: float, path: str):
     """Planted-mixture corpus: cluster centers are deterministic unit
     Gaussians keyed by cluster id; each vector = center + spread·noise
-    (noise keyed by vec_id), normalized. Partition-count independent."""
+    (noise keyed by vec_id), normalized. Partition-count independent.
+
+    The reuse check requires a COMMITTED write (_SUCCESS marker), not a
+    bare directory — a killed mid-write build must rebuild, not serve a
+    partial corpus (r14 review; same failure class as bench._require_tables'
+    empty-directory guard)."""
     import os as _os
 
-    if _os.path.isdir(f"{path}/embeddings.parquet"):
+    if _os.path.exists(f"{path}/embeddings.parquet/_SUCCESS"):
         return
+    from nexgap_spark.session import invalidate_scan_path
+
+    invalidate_scan_path(f"{path}/embeddings.parquet")
 
     def gen(batches):
         import numpy as np

@@ -1094,12 +1094,15 @@ def test_assemble_sf1_segregates_baselines(tmp_path):
         "spark_comparable": 0.5,
         "duckdb_total": 0.1,
     }
+    # pre-split artifact shape: the baseline is inline AND counted in every
+    # total — the assembler must subtract it from the headline sums too
+    # (r14 review follow-up)
     s1 = {
         "queries": {"qx": 5.0, "baseline_q29_ngram_jaccard_topk": 40.0},  # 100x growth
-        "duckdb": {"qx": 1.0},
-        "value": 5.0,
-        "spark_comparable": 5.0,
-        "duckdb_total": 1.0,
+        "duckdb": {"qx": 1.0, "baseline_q29_ngram_jaccard_topk": 2.0},
+        "value": 45.0,
+        "spark_comparable": 45.0,
+        "duckdb_total": 3.0,
     }
     p01, p1, pout = tmp_path / "s01.json", tmp_path / "s1.json", tmp_path / "out.json"
     p01.write_text(_json.dumps(s01))
@@ -1116,6 +1119,12 @@ def test_assemble_sf1_segregates_baselines(tmp_path):
     assert "baseline_q29_ngram_jaccard_topk" not in out["queries"]
     assert out["baselines"]["baseline_q29_ngram_jaccard_topk"]["sf1_over_sf01"] == 100.0
     assert not [f for f in out["flagged_superlinear"] if f["query"].startswith("baseline_")]
+    # the inline baseline's seconds come OFF every headline total
+    assert out["sf1_totals"]["spark"] == 5.0
+    assert out["sf1_totals"]["spark_comparable"] == 5.0
+    assert out["sf1_totals"]["duckdb_comparable"] == 1.0
+    assert out["sf1_totals"]["ratio"] == 5.0
+    assert out["sf01_totals"]["spark"] == 0.1  # 0.5 - 0.4 inline baseline
 
 
 def test_assign_clusters_arrow_engine_equals_sql(spark):
@@ -1158,9 +1167,20 @@ def test_broadcast_threshold_scales_with_driver_heap(monkeypatch):
     def thresh():
         return min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))
 
-    cases = {"24g": 64, "4g": 64, "2g": 32, "1g": 16, "512m": 8, "128m": 8}
+    cases = {
+        "24g": 64, "4g": 64, "2g": 32, "1g": 16, "512m": 8, "128m": 8,
+        # Spark semantics (r14 review): suffix-less = MiB, two-letter
+        # suffixes legal, bare 'b' = bytes
+        "4096": 64, "2048": 32, "2gb": 32, "24gb": 64, "4096mb": 64,
+        str(2 * 1024**3) + "b": 32,
+    }
     for mem, mb in cases.items():
         monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", mem)
         assert thresh() == mb * 1024 * 1024, (mem, thresh())
     monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
     assert thresh() == 64 * 1024 * 1024  # default 24g
+    import pytest as _pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "lots")
+    with _pytest.raises(ValueError, match="memory string"):
+        _driver_mem_bytes()

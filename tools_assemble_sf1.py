@@ -13,12 +13,33 @@ q01, q1 = s01["queries"], s1["queries"]
 d01, d1 = s01.get("duckdb", {}), s1.get("duckdb", {})
 # bench.py (r14+) already splits the baseline_ namespace into its own
 # sections; older artifacts carry them inline — split here either way so
-# the headline tables and flagged_superlinear never include a baseline
+# the headline tables and flagged_superlinear never include a baseline.
+# When a baseline WAS inline, the artifact's totals included it too, so
+# the popped time must also come OFF every headline total below (r14
+# review: popping only the per-query row left the quadratic seconds
+# inside the scale-claimed sums).
 b01, b1 = dict(s01.get("baselines", {})), dict(s1.get("baselines", {}))
 bd01, bd1 = dict(s01.get("baselines_duckdb", {})), dict(s1.get("baselines_duckdb", {}))
-for src, dst in ((q01, b01), (q1, b1), (d01, bd01), (d1, bd1)):
+inline = {"q01": 0.0, "q1": 0.0, "d01": 0.0, "d1": 0.0,
+          "sc01": 0.0, "sc1": 0.0}
+for key, src, dst, dsrc in (
+    ("q01", q01, b01, d01),
+    ("q1", q1, b1, d1),
+):
     for name in [n for n in src if n.startswith("baseline_")]:
         dst[name] = src.pop(name)
+        inline[key] += dst[name]
+        if name in dsrc:
+            # spark_comparable sums only oracle-matched queries
+            inline["sc" + key[1:]] += dst[name]
+for key, src, dst in (("d01", d01, bd01), ("d1", d1, bd1)):
+    for name in [n for n in src if n.startswith("baseline_")]:
+        dst[name] = src.pop(name)
+        inline[key] += dst[name]
+
+
+def _adj(total, delta):
+    return round(total - delta, 3) if isinstance(total, (int, float)) else total
 
 # Explanations for queries whose sf1.0/sf0.1 ratio can exceed 10x (linear).
 # Two legitimate classes: declared quadratic baselines (now segregated in
@@ -111,23 +132,29 @@ out = {
         "segregated from every headline total per VERDICT r13 item 1)",
     ),
     "sf1_totals": {
-        "spark": s1["value"],
+        "spark": _adj(s1["value"], inline["q1"]),
         # comparable = same-query-set sums; ratio is ALWAYS computed from
         # these two, and both are reported so the displayed division
         # matches the recorded ratio even when some query lacks an oracle
-        "spark_comparable": s1.get("spark_comparable"),
-        "duckdb_comparable": s1.get("duckdb_total"),
-        # guard BOTH operands (r14 review): a sweep artifact with
-        # duckdb_total but a missing/None spark_comparable must emit null
-        # like the per-query cells, not raise
-        "ratio": round(s1["spark_comparable"] / s1["duckdb_total"], 3)
-        if s1.get("duckdb_total") and s1.get("spark_comparable")
+        "spark_comparable": _adj(s1.get("spark_comparable"), inline["sc1"]),
+        "duckdb_comparable": _adj(s1.get("duckdb_total"), inline["d1"]),
+        # guard BOTH operands (r14 review), POST-adjustment: a sweep
+        # artifact with a missing/None operand — or one zeroed by the
+        # baseline subtraction — must emit null, not raise
+        "ratio": round(
+            _adj(s1["spark_comparable"], inline["sc1"])
+            / _adj(s1["duckdb_total"], inline["d1"]),
+            3,
+        )
+        if s1.get("duckdb_total")
+        and s1.get("spark_comparable")
+        and _adj(s1["duckdb_total"], inline["d1"])
         else None,
     },
     "sf01_totals": {
-        "spark": s01["value"],
-        "spark_comparable": s01.get("spark_comparable"),
-        "duckdb_comparable": s01.get("duckdb_total"),
+        "spark": _adj(s01["value"], inline["q01"]),
+        "spark_comparable": _adj(s01.get("spark_comparable"), inline["sc01"]),
+        "duckdb_comparable": _adj(s01.get("duckdb_total"), inline["d01"]),
     },
     "spark_errors": {**s01.get("errors", {}), **s1.get("errors", {})},
     "n_queries": len(q1),

@@ -129,13 +129,20 @@ def main() -> int:
             MEMSWEEP_SF_DIR=sf_dir,
             MEMSWEEP_QUERIES=queries,
         )
-        r = subprocess.run(
-            [sys.executable, "-c", CHILD],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", CHILD],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=float(os.environ.get("MEMSWEEP_TIMEOUT", "3600")),
+            )
+        except subprocess.TimeoutExpired:
+            # one wedged ceiling (GC thrash) must cost ITS row, not the
+            # whole sweep's verdict (r14 review)
+            results[ceil] = {"error": "timeout"}
+            print(f"[memsweep] {ceil}: TIMEOUT", file=sys.stderr)
+            continue
         line = next(
             (ln for ln in r.stdout.splitlines() if ln.startswith("MEMSWEEP_JSON:")),
             None,
@@ -160,7 +167,11 @@ def main() -> int:
                 green = False
                 continue
             for q, info in ref["queries"].items():
-                if cur["queries"].get(q, {}).get("hash") != info["hash"]:
+                # a query that errored in EITHER run has no "hash" key
+                # (per-query fault isolation) — that's not-green, never a
+                # KeyError after an hour of sweeping (r14 review)
+                want = info.get("hash")
+                if want is None or cur["queries"].get(q, {}).get("hash") != want:
                     green = False
         verdict["hashes_green"] = green
     print(json.dumps(verdict, indent=1))

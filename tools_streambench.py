@@ -194,6 +194,10 @@ def main() -> int:
     users = int(os.environ.get("STREAMBENCH_USERS", "5000"))
     dup_mod = int(os.environ.get("STREAMBENCH_DUP_MOD", "1000"))
     spark = get_spark("streambench")
+    # recentProgress retains only the last N updates (default 100) — a
+    # sub-second trigger over a long window would silently evict the
+    # oldest batches and undercount rows_ingested (r14 review)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     out = {"sessions_stream": bench_sessions(spark, seconds, rate, users)}
     out["sessions_batch_twin"] = bench_sessions_batch_twin(
         spark, rate, users, out["sessions_stream"]["rows_ingested"] or rate * seconds
