@@ -960,6 +960,7 @@ def append_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    engine: str = "arrow",
 ) -> None:
     """Incremental index growth — the continuous-ingest twin of
     build_ivf_index (same family as the incremental dedup ledgers): route
@@ -975,13 +976,15 @@ def append_ivf_index(
     assignment (the SQL dot chains dominate at K≈√N) and a centroid-keyed
     repartition before the write (without it every append task drops a
     file into every centroid dir — tasks×K small files per batch,
-    progressively shredding the pruned layout)."""
+    progressively shredding the pruned layout). The Arrow engine rejects
+    NULL embeddings loudly (np.stack); pass ``engine="sql"`` to keep the
+    old tolerate-NULL-similarity behavior for dirty batches."""
     spark = new_vectors.sparkSession
     root = path.rstrip("/")
     centroids = spark.read.parquet(f"{root}/centroids")
     assigned = assign_clusters(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col, dim=dim,
-        engine="arrow",
+        engine=engine,
     )
     assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
         "centroid_id"

@@ -53,6 +53,18 @@ def _driver_mem_bytes() -> int:
     return int(num * mult)
 
 
+def _broadcast_threshold_bytes() -> int:
+    """Broadcast threshold sized to the DRIVER heap (broadcast tables are
+    built driver-side before the torrent ship): 64 MB at the default 24g —
+    and at any heap >= 4g, so every existing plan and plan audit is
+    unchanged — scaling down (heap/64, floor 8 MB) below that so a
+    memory-constrained driver degrades to shuffle joins instead of dying
+    in the broadcast build (measured in the r14 memory-pressure sweep: a
+    2g driver + the flat 64 MB threshold failed q43's sf1.0 broadcast;
+    heap/64 = 32 MB completes, spilling instead)."""
+    return min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))
+
+
 def get_spark(
     app_name: str = "nexgap_spark",
     *,
@@ -101,17 +113,11 @@ def get_spark(
         # as a long; load_table converts to a µs timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        # Broadcast threshold sized to the DRIVER heap (broadcast tables
-        # are built driver-side before the torrent ship): 64 MB at the
-        # default 24g — and at any heap ≥ 4g, so every existing plan and
-        # plan audit is unchanged — scaling down below that so a
-        # memory-constrained driver degrades to shuffle joins instead of
-        # dying in the broadcast build (measured in the r14 memory-pressure
-        # sweep: a 2g driver + the flat 64 MB threshold failed q43's
-        # sf1.0 broadcast; heap/64 = 32 MB completes, spilling instead).
+        # Broadcast threshold sized to the DRIVER heap — see
+        # _broadcast_threshold_bytes for the rule and its measurement.
         .config(
             "spark.sql.autoBroadcastJoinThreshold",
-            str(min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))),
+            str(_broadcast_threshold_bytes()),
         )
         # A scan bucketed on a SUBSET of a join's keys still co-partitions
         # the join (rows with equal full keys share the bucket key, hence

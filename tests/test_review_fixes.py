@@ -1160,12 +1160,10 @@ def test_broadcast_threshold_scales_with_driver_heap(monkeypatch):
     threshold dies in broadcast build; the threshold now scales as
     heap/64, floored at 8MB and capped at 64MB (so >=4g heaps — every
     existing plan audit — are unchanged)."""
-    import os as _os
-
+    # assert the PRODUCTION function (r14 review pass 2: a local
+    # re-implementation would stay green if session.py's expression broke)
+    from nexgap_spark.session import _broadcast_threshold_bytes as thresh
     from nexgap_spark.session import _driver_mem_bytes
-
-    def thresh():
-        return min(64 * 1024 * 1024, max(8 * 1024 * 1024, _driver_mem_bytes() // 64))
 
     cases = {
         "24g": 64, "4g": 64, "2g": 32, "1g": 16, "512m": 8, "128m": 8,

@@ -32,10 +32,15 @@ for key, src, dst, dsrc in (
         if name in dsrc:
             # spark_comparable sums only oracle-matched queries
             inline["sc" + key[1:]] += dst[name]
-for key, src, dst in (("d01", d01, bd01), ("d1", d1, bd1)):
+for key, src, dst, bsp in (("d01", d01, bd01, b01), ("d1", d1, bd1, b1)):
     for name in [n for n in src if n.startswith("baseline_")]:
         dst[name] = src.pop(name)
-        inline[key] += dst[name]
+        # only subtract from duckdb_total when the spark side ALSO ran the
+        # baseline (bench.py sums duckdb_total over the spark-AND-duck
+        # common set, so a spark-DNF baseline's duck time was never in the
+        # total — r14 review pass 2)
+        if name in bsp:
+            inline[key] += dst[name]
 
 
 def _adj(total, delta):
@@ -149,6 +154,7 @@ out = {
         if s1.get("duckdb_total")
         and s1.get("spark_comparable")
         and _adj(s1["duckdb_total"], inline["d1"])
+        and _adj(s1["spark_comparable"], inline["sc1"])
         else None,
     },
     "sf01_totals": {

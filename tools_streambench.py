@@ -88,17 +88,25 @@ def bench_sessions(spark, seconds: int, rate: int, users: int) -> dict:
         for p in progresses
         if p.get("processedRowsPerSecond") and p.get("numInputRows", 0) > 0
     ]
+    # steady-state rate: drop the FIRST batch (session-startup dead time)
+    # and divide the remaining rows by their batch durations. max(rates)
+    # is NOT a keep-up signal — a catch-up batch reading backlog bursts
+    # above the configured rate exactly when the stream is falling behind
+    # (r14 review); it is reported as a peak only.
+    steady = [p for p in progresses[1:] if p.get("numInputRows", 0) > 0]
+    steady_rows = sum(p["numInputRows"] for p in steady)
+    steady_ms = sum(p.get("batchDuration", 0) for p in steady)
+    steady_rate = round(steady_rows / (steady_ms / 1000.0), 0) if steady_ms else None
     return {
         "seconds": round(wall, 1),
         "batches": batches,
         "rows_ingested": rows_in,
         "rows_per_sec_avg": round(rows_in / wall, 0),
-        "rows_per_sec_batch_max": round(max(rates), 0) if rates else None,
+        "rows_per_sec_steady": steady_rate,
+        "rows_per_sec_batch_peak": round(max(rates), 0) if rates else None,
         "state": state,
         "configured_rate": rate,
-        # sustained judgment: can ANY steady batch keep up with the source
-        # rate? (rows_in/wall includes session-startup dead time)
-        "backpressured": bool(rates) and max(rates) < 0.9 * rate,
+        "backpressured": steady_rate is not None and steady_rate < 0.9 * rate,
     }
 
 
