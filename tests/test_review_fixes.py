@@ -1182,3 +1182,30 @@ def test_broadcast_threshold_scales_with_driver_heap(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "lots")
     with _pytest.raises(ValueError, match="memory string"):
         _driver_mem_bytes()
+
+
+def test_append_ivf_index_layout_one_file_per_centroid(spark, tmp_path):
+    """r14 review: appends must not shred the partition-pruned layout —
+    with the centroid-keyed repartition, each append adds at most ONE file
+    per centroid dir (was: one per task per centroid), and the index union
+    stays complete."""
+    import glob
+    import os
+
+    from nexgap_spark.operators import similarity as sim
+    from nexgap_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    first = emb.filter("vec_id < 100")
+    rest = emb.filter("vec_id >= 100")
+    sim.build_ivf_index(first, cents, path)
+    sim.append_ivf_index(rest, path)
+    corpus, _ = sim.load_ivf_index(spark, path)
+    assert corpus.count() == emb.count()  # union complete, nothing lost
+    for cdir in glob.glob(f"{path}/corpus/centroid_id=*"):
+        files = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
+        assert len(files) <= 2, (cdir, files)  # 1 from build + <=1 per append

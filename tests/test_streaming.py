@@ -506,3 +506,101 @@ def test_rocksdb_state_provider_helper(spark, event_stream, tmp_path):
         assert got == want and len(got) > 0
     finally:
         SP.use_default_state(spark)
+
+
+def test_buffered_sessions_survive_checkpoint_restart(spark, tmp_path):
+    """T6 for the stateful operator itself (r14): stop the buffered
+    sessionization query MID-STREAM (open sessions held only in the state
+    store), restart from the same checkpoint over the remaining files, and
+    require the union of emitted sessions to equal uninterrupted batch
+    sessionization — state recovery, no duplicate and no lost sessions."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by("ts").to_pandas()
+    n = len(pdf)
+    chunks = [pdf.iloc[: n // 2].copy(), pdf.iloc[n // 2 :].copy()]
+    sentinel = pdf.iloc[[0]].copy()
+    sentinel["user_id"] = -1
+    sentinel["event_id"] = 10**9
+    sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=10)
+    d = tmp_path / "in"
+    d.mkdir()
+    base = 1_700_000_000
+
+    def write_chunk(i, c):
+        p = str(d / f"{i}.parquet")
+        c = c.copy()
+        c["ts"] = c["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(c, preserve_index=False), p, version="2.6")
+        os.utime(p, (base + 100 * i, base + 100 * i))
+
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "ckpt")
+    schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+
+    def start():
+        stream = SP.read_event_stream(spark, str(d), max_files_per_trigger=1)
+        sess = SP.stateful_sessions_buffered(stream, watermark="40 minutes")
+        return (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, eid: SP.epoch_write_json(b, eid, out))
+            .start()
+        )
+
+    # run 1: first half only — most sessions remain OPEN in the state store
+    write_chunk(0, chunks[0])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # run 2 from the same checkpoint: second half + the watermark sentinel
+    write_chunk(1, chunks[1])
+    write_chunk(2, sentinel)
+    q2 = start()
+    q2.processAllAvailable()
+    # final flushes ride post-sentinel no-data microbatches — poll
+    want_df = (
+        sessionize(
+            load_table(spark, SF_SMOKE, "events"),
+            gap_minutes=30,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    def _ms(dt):
+        # the JSON epoch sink serializes timestamps at millisecond
+        # precision; truncate the batch reference to compare like-for-like
+        return dt.replace(microsecond=(dt.microsecond // 1000) * 1000)
+
+    want = {
+        (r.user_id, _ms(r.session_start), _ms(r.session_end), r.n_events)
+        for r in want_df.collect()
+    }
+    got: set = set()
+    for _ in range(60):
+        rows = (
+            SP.read_committed_epochs(spark, out, schema)
+            .filter("user_id >= 0")
+            .collect()
+        )
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
+        }
+        if len(got) >= len(want):
+            break
+        _time.sleep(0.5)
+    q2.stop()
+    assert got == want  # no lost sessions, no duplicates, exact boundaries
