@@ -17,6 +17,39 @@ def event_stream(spark):
     return SP.read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
 
 
+
+def _write_stream_chunk(d, i, frame, base=1_700_000_000):
+    """Write one pandas chunk as the i-th file of a stream directory: pin
+    the ts encoding to datetime64[us] (every file in the directory must
+    share one parquet encoding — pandas Timedelta arithmetic upcasts to
+    ns) and set ascending mtimes so the file source feeds oldest-first.
+    (Own the frame first: some chunks are iloc slices, and mutating a
+    slice view raises SettingWithCopyWarning.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(d / f"{i}.parquet")
+    frame = frame.copy()
+    frame["ts"] = frame["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(frame, preserve_index=False), p, version="2.6")
+    os.utime(p, (base + 100 * i, base + 100 * i))
+
+
+def _watermark_sentinel(pdf):
+    """One far-future event (user_id -1, excluded from asserts) that drags
+    the watermark past every real session + gap so ALL real sessions
+    finalize."""
+    import pandas as pd
+
+    s = pdf.iloc[[0]].copy()
+    s["user_id"] = -1
+    s["event_id"] = 10**9
+    s["ts"] = pdf["ts"].max() + pd.Timedelta(days=10)
+    return s
+
+
 def test_windowed_counts_matches_batch(spark, event_stream):
     # complete mode: append would (correctly) hold back the final open
     # window past the watermark, so totals could never equal the batch run
@@ -228,11 +261,9 @@ def test_buffered_sessions_handle_cross_batch_disorder(spark, tmp_path):
     # drags the watermark past every real session + gap, so ALL real
     # sessions finalize. The buffered operator must reconstruct batch
     # sessionization exactly despite the disorder.
-    import os
     import time as _time
 
     import pandas as pd
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by("ts").to_pandas()
@@ -247,23 +278,10 @@ def test_buffered_sessions_handle_cross_batch_disorder(spark, tmp_path):
             carry = c.iloc[-50:]
             c = c.iloc[:-50]
         shifted.append(c)
-    sentinel = pdf.iloc[[0]].copy()
-    sentinel["user_id"] = -1
-    sentinel["event_id"] = 10**9
-    sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=10)
     d = tmp_path / "ooo"
     d.mkdir()
-    base = 1_700_000_000
-    for i, c in enumerate(shifted + [sentinel]):
-        p = str(d / f"{i}.parquet")
-        # pandas Timedelta arithmetic upcasts the sentinel ts to ns — pin µs
-        # so every file in the stream directory shares one parquet encoding.
-        # (own the frame first: some chunks are iloc slices, and mutating a
-        # slice view raises SettingWithCopyWarning)
-        c = c.copy()
-        c["ts"] = c["ts"].astype("datetime64[us]")
-        pq.write_table(pa.Table.from_pandas(c, preserve_index=False), p, version="2.6")
-        os.utime(p, (base + 100 * i, base + 100 * i))
+    for i, c in enumerate(shifted + [_watermark_sentinel(pdf)]):
+        _write_stream_chunk(d, i, c)
 
     stream = SP.read_event_stream(spark, str(d), max_files_per_trigger=1)
     q = SP.run_batch_to_memory(
@@ -514,30 +532,18 @@ def test_buffered_sessions_survive_checkpoint_restart(spark, tmp_path):
     store), restart from the same checkpoint over the remaining files, and
     require the union of emitted sessions to equal uninterrupted batch
     sessionization — state recovery, no duplicate and no lost sessions."""
-    import os
     import time as _time
 
-    import pandas as pd
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by("ts").to_pandas()
     n = len(pdf)
     chunks = [pdf.iloc[: n // 2].copy(), pdf.iloc[n // 2 :].copy()]
-    sentinel = pdf.iloc[[0]].copy()
-    sentinel["user_id"] = -1
-    sentinel["event_id"] = 10**9
-    sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=10)
     d = tmp_path / "in"
     d.mkdir()
-    base = 1_700_000_000
 
     def write_chunk(i, c):
-        p = str(d / f"{i}.parquet")
-        c = c.copy()
-        c["ts"] = c["ts"].astype("datetime64[us]")
-        pq.write_table(pa.Table.from_pandas(c, preserve_index=False), p, version="2.6")
-        os.utime(p, (base + 100 * i, base + 100 * i))
+        _write_stream_chunk(d, i, c)
 
     out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "ckpt")
     schema = (
@@ -563,7 +569,7 @@ def test_buffered_sessions_survive_checkpoint_restart(spark, tmp_path):
 
     # run 2 from the same checkpoint: second half + the watermark sentinel
     write_chunk(1, chunks[1])
-    write_chunk(2, sentinel)
+    write_chunk(2, _watermark_sentinel(pdf))
     q2 = start()
     q2.processAllAvailable()
     # final flushes ride post-sentinel no-data microbatches — poll
@@ -589,18 +595,21 @@ def test_buffered_sessions_survive_checkpoint_restart(spark, tmp_path):
         (r.user_id, _ms(r.session_start), _ms(r.session_end), r.n_events)
         for r in want_df.collect()
     }
-    got: set = set()
+    got_rows: list = []
     for _ in range(60):
-        rows = (
+        got_rows = (
             SP.read_committed_epochs(spark, out, schema)
             .filter("user_id >= 0")
             .collect()
         )
-        got = {
-            (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
-        }
-        if len(got) >= len(want):
+        if len(got_rows) >= len(want):
             break
         _time.sleep(0.5)
     q2.stop()
-    assert got == want  # no lost sessions, no duplicates, exact boundaries
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in got_rows
+    }
+    assert got == want  # no lost sessions, exact boundaries
+    # the duplicate check must count ROWS (a set would collapse a session
+    # re-emitted after restart — the canonical state-not-cleared failure)
+    assert len(got_rows) == len(want)
