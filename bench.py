@@ -341,10 +341,19 @@ def main() -> None:
     # to BENCH_DETAIL.json ONLY; stderr stays short progress lines.
     detail.update(result)
     # BENCH_DETAIL_PATH lets smoke runs (tiny SFs, skip-duckdb) write
-    # elsewhere instead of clobbering the committed sf0.1 artifact
+    # elsewhere instead of clobbering the committed sf0.1 artifact. The
+    # per-round driver run sets NEITHER BENCH_DETAIL_PATH nor BENCH_TRIALS;
+    # route it to a gitignored sibling so it can never overwrite the
+    # committed close artifact (r14 verdict: the driver's 38.5 s run
+    # clobbered the committed best-of-3 and left the tree dirty).
+    default_name = (
+        "BENCH_DETAIL.json"
+        if ("BENCH_TRIALS" in os.environ or "BENCH_DETAIL_PATH" in os.environ)
+        else "BENCH_DETAIL_DRIVER.json"
+    )
     detail_path = os.environ.get(
         "BENCH_DETAIL_PATH",
-        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(__file__) or ".", default_name),
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

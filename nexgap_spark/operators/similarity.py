@@ -919,6 +919,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    engine: str = "arrow",
 ) -> None:
     """Persist an IVF index: the corpus with its coarse-quantization
     assignment, written as parquet PARTITIONED BY centroid_id — so a
@@ -938,8 +939,12 @@ def build_ivf_index(
     ~nprobe·√N rows via partition pruning, and recall@10 ≥ 0.9 costs
     ≤ 1/4 of exact search whenever the corpus has real cluster structure
     (recall_bench.py rows in SCALE.md round-14)."""
+    # engine="sql" is the NULL-tolerant escape hatch for dirty corpora at
+    # initial build time, mirroring append_ivf_index's parameter (ADVICE
+    # r14: a corpus with NULL embeddings fails inside the Arrow kernel's
+    # np.stack with no override otherwise).
     assigned = assign_clusters(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, engine="arrow"
+        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, engine=engine
     )
     assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
         "centroid_id"

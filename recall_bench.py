@@ -190,7 +190,15 @@ def main() -> None:
             len(truth) * k
         )
 
-    for nprobe in sorted({p for p in probes if p <= n_cent}):
+    usable = sorted({p for p in probes if p <= n_cent})
+    if probes and not usable:
+        # ADVICE r14: a RECALL_NPROBES list that filters to empty against
+        # n_cent would silently pay the brute-force ground-truth pass and
+        # print an empty sweep — fail loudly instead.
+        raise SystemExit(
+            f"RECALL_NPROBES={probes} all exceed n_cent={n_cent}; nothing to sweep"
+        )
+    for nprobe in usable:
         t0 = time.time()
         rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()
         dt = round(time.time() - t0, 2)

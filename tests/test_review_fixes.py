@@ -1077,6 +1077,15 @@ def test_baseline_namespace_segregation():
     # scale twins are headline rows
     for twin in ("q31_minhash_lsh_pairs", "q45_hyperplane_lsh", "q102_semantic_dedup"):
         assert twin in bench.HEADLINE
+    # r15 (ADVICE r14): whenever no baseline is window-listed, the
+    # baselines must occupy the catalog TAIL for every in-order consumer
+    # (the r14 window deliberately violated this to earn external rows
+    # under the renamed keys; the guarantee is conditional, not absolute)
+    from nexgap_spark.plans.__init__ import _DRIVER_WINDOW
+
+    if not (set(_DRIVER_WINDOW) & BASELINE_QUERIES):
+        tail = list(QUERIES)[-len(BASELINE_QUERIES):]
+        assert set(tail) == BASELINE_QUERIES, tail
 
 
 def test_assemble_sf1_segregates_baselines(tmp_path):

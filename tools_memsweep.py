@@ -175,10 +175,24 @@ def main() -> int:
                 if want is None or cur["queries"].get(q, {}).get("hash") != want:
                     green = False
         verdict["hashes_green"] = green
+    elif len(ceilings) >= 2 and "queries" not in ref:
+        # ADVICE r14: multiple ceilings ran but the unconstrained REFERENCE
+        # produced nothing to compare against — that's a failed sweep, not
+        # an exploratory single-ceiling run, and must not exit 0.
+        verdict["reference_failed"] = True
+        print(
+            f"[memsweep] reference ceiling {ceilings[0]} produced no queries; "
+            "no cross-ceiling comparison possible",
+            file=sys.stderr,
+        )
     print(json.dumps(verdict, indent=1))
-    # null = no cross-ceiling comparison possible (single-ceiling run):
-    # exploratory, not a failure; only an actual mismatch fails the sweep
-    return 1 if verdict["hashes_green"] is False else 0
+    # null + reference_failed unset = single-ceiling exploratory run: not a
+    # failure; an actual mismatch OR a dead reference fails the sweep
+    if verdict["hashes_green"] is False:
+        return 1
+    if verdict.get("reference_failed"):
+        return 2
+    return 0
 
 
 if __name__ == "__main__":

@@ -172,7 +172,18 @@ def bench_dedup_sink(spark, seconds: int, rate: int, dup_mod: int) -> dict:
         "ledger_digests": ledger_rows,
         "configured_rate": rate,
         "dup_mod": dup_mod,
-        "exactly_once_ok": ledger_rows <= dup_mod and survivors <= dup_mod,
+        # ADVICE r14: `<=` alone would pass a sink that LOST documents.
+        # Rate-source ids are sequential, so distinct keys ingested is
+        # exactly min(rows_in, dup_mod): once the stream has seen >= dup_mod
+        # rows every residue class exists and the sink must hold ALL of
+        # them — equality, catching both duplicate emission and
+        # under-delivery. (rows_in can undercount if progress history
+        # rotates, so below dup_mod we keep the duplicate-only bound.)
+        "exactly_once_ok": (
+            survivors == dup_mod and ledger_rows == dup_mod
+            if rows_in >= dup_mod
+            else ledger_rows <= dup_mod and survivors <= dup_mod
+        ),
     }
     shutil.rmtree(work, ignore_errors=True)
     return res
