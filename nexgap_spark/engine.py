@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from nexgap_spark.operators import dedup
 from nexgap_spark.operators.converter import convert_spans
 from nexgap_spark.schemas import SPAN_SCHEMA
-from nexgap_spark.session import get_spark
+from nexgap_spark.session import get_spark, materialize
 from nexgap_spark.sources import jsonl, ledger
 
 VALID_STRUCT = T.StructType(
@@ -429,9 +429,11 @@ class Engine:
             # materialize the histogram: the next round's weights depend on
             # it, and without the checkpoint every round would replay all
             # prior rounds' sampling (same lesson as dedup.dup_groups)
-            counts = taxonomy.record_samples(
-                counts, sampled.withColumn("framework", F.lit(framework))
-            ).localCheckpoint()
+            counts = materialize(
+                taxonomy.record_samples(
+                    counts, sampled.withColumn("framework", F.lit(framework))
+                )
+            )
         return out
 
     # -- file / web side channels (S8/S9/S11/S16, P8/A8) --------------------

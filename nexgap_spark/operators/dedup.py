@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nexgap_spark.operators.text import tokenize
+from nexgap_spark.session import materialize
 
 # Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
 # offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
@@ -566,21 +567,24 @@ def dup_groups(
     it took q43 at sf0.1 from 43 s to ~5 s). Each round's label frame is
     likewise checkpointed so the convergence check and the next round both
     read materialized rows instead of replaying a lineage that deepens by
-    one join per round. On a real cluster the same calls apply —
-    localCheckpoint persists to executor block storage; swap for
-    `checkpoint()` + a reliable dir only if executor loss must be survivable
-    mid-computation.
+    one join per round. Checkpoints route through session.materialize: by
+    default localCheckpoint (executor block storage — fast, but lineage
+    truncation makes the loop unrecoverable if an executor dies), and
+    automatically a RELIABLE `checkpoint()` whenever the context has a
+    checkpoint dir configured (`setCheckpointDir`), which makes the loop
+    survive executor loss — measured on the round-15 standalone-cluster
+    harness (tools_cluster.py: kill -9 of an executor mid-round, hashes
+    equal to the clean run).
 
     Convergence detection: labels are monotone non-increasing under
     hash-min, so for numeric ids an unchanged label SUM (exact, decimal
     accumulator) ⟺ a fixpoint — one cheap aggregate over the checkpointed
     labels instead of an old⋈new compare join per round.
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
         .unionByName(pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m")))
         .distinct()
-        .localCheckpoint()
     )
     labels = edges.select("n").distinct().withColumn("label", F.col("n"))
     # hash-min labels only ever DECREASE, so for INTEGER node ids the label
@@ -613,9 +617,9 @@ def dup_groups(
         # transient footprint small.
         rounds_used += 1
         if numeric:
-            new_labels = neigh.select(
-                "n", F.col("new_label").alias("label")
-            ).localCheckpoint()
+            new_labels = materialize(
+                neigh.select("n", F.col("new_label").alias("label"))
+            )
             cur_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).first()["s"]
@@ -642,7 +646,7 @@ def dup_groups(
                 break
             prev_sum = cur_sum
         else:
-            merged = labels.join(neigh, "n").localCheckpoint()
+            merged = materialize(labels.join(neigh, "n"))
             changed = (
                 merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
             )
@@ -690,7 +694,7 @@ def capped_broadcast(small: DataFrame, *, max_rows: int = 5_000_000) -> DataFram
 
     The single definition of the membership-join policy: engine.dedup_corpus
     and dedup_corpus_join both route here so the cap can't drift."""
-    small = small.localCheckpoint()
+    small = materialize(small)
     if small.count() <= max_rows:  # default ≈120 MB of ids
         small = F.broadcast(small)
     return small

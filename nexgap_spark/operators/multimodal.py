@@ -342,8 +342,12 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
       avg_sample_bytes, aspect] from the CONTAINER level (mvhd/tkhd/
       mdhd/stsd/stts/stsz); decoding frame payloads to pixels is the
       codec-bound part and still raises via real_decode_kernel;
+    * GIF87a/89a (operators/gif.py — LZW + interlace + frame-disposal
+      composition, an INTER-frame format) → [width, height, n_frames,
+      mean, std, min, max, aspect] over the composed frames;
     * anything else raises NotImplementedError exactly like
-      real_decode_kernel (frame-pixel decode genuinely needs codecs).
+      real_decode_kernel (inter-frame MOTION-COMPENSATED codecs —
+      H.26x/VP/AV1 — genuinely need codec libraries).
     """
     import numpy as np
 
@@ -405,6 +409,16 @@ def stdlib_decode_kernel(payload: bytes, kind: str) -> list[float]:
         from nexgap_spark.operators.mp4 import mp4_features
 
         return mp4_features(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        # the second REAL kernel behind the plug point (round 15): a
+        # genuinely inter-frame format — frame N's pixels depend on frames
+        # 0..N-1 via disposal/transparency composition (operators/gif.py).
+        # Returns [width, height, n_frames, mean, std, min, max, aspect]
+        # over the COMPOSED frames, so the inter-frame state is
+        # load-bearing in the feature values.
+        from nexgap_spark.operators.gif import gif_features
+
+        return gif_features(p)
     raise NotImplementedError(
         f"no codec-free decoder for this payload (kind={kind!r}); decoding "
         "video FRAME PAYLOADS to pixels needs codec libraries not present "

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nexgap_spark.session import materialize
+
 GENERATION_MARKERS = ("OpenAI-generation", "anthropic.chat")
 EPOCH_FLOOR = "1970-01-01T00:00:00"
 SUBAGENT_PREFIX = "Sub-agent: "
@@ -148,7 +150,7 @@ def _ensure_cheap(df: DataFrame) -> DataFrame:
     when the frame goes out of scope."""
     if df.isStreaming:
         return df
-    return df if _cheap_lineage(df) else df.localCheckpoint()
+    return df if _cheap_lineage(df) else materialize(df)
 
 
 _COLOCATABLE_OK: "dict[tuple[int, str], DataFrame]" = {}
@@ -245,9 +247,11 @@ def _parent_side(
             # decisions into the callable (resolve_agent_name checkpoints
             # its probe inside the thunk exactly when the prune fires)
             refs = ref_ids() if callable(ref_ids) else ref_ids
-            parents = parents.join(
-                refs.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
-            ).localCheckpoint()
+            parents = materialize(
+                parents.join(
+                    refs.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
+                )
+            )
             n = parents.count()
         hinted = n <= max_rows
         return (F.broadcast(parents) if hinted else parents), n, hinted

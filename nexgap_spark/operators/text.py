@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nexgap_spark.session import materialize
+
 DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
 # Small marker lexicons for the n-gram/stopword language-ID heuristic.
@@ -338,7 +340,7 @@ def ngram_logprob(
     # materializes c2 once — the eager vocabulary count below would
     # otherwise re-run the tokenize+explode lineage, and c1/scoring again.
     c2 = (
-        tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2")).localCheckpoint()
+        materialize(tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2")))
     )
     c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     v = c2.select("w2").union(c2.select("w1")).distinct().count()

@@ -36,7 +36,8 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # (b) new round-15 queries (fresh operators need their first external row);
 # (c) r13-green rotation fill up to 50. Deferred to r16 (all r13-green,
 #     re-pinned locally every round by selfcheck + the oracle test sweep):
-#     q26, q35, q38, q41, q42, q45, q68-q74, q78, q79, q103, q106.
+#     q24, q25, q26, q35, q38, q41, q42, q45, q68-q74, q78, q79, q103,
+#     q106.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
@@ -64,8 +65,10 @@ _DRIVER_WINDOW = [
     "q46_cube_sales",
     "q54_stratified_sample",
     "q56_monthly_gap_fill",
-    # (b) new round-15 queries get slots here as they land
-    # (c) r13-green rotation fill (32 of 49; deferral list in the header)
+    # (b) new round-15 queries (first external rows)
+    "q118_corpus_pipeline",
+    "q119_gif_animation",
+    # (c) r13-green rotation fill (30 of 49; deferral list in the header)
     "q04_priority_semi_join",
     "q06_revenue_filter",
     "q20_inverse_cdf_pick",
@@ -96,8 +99,6 @@ _DRIVER_WINDOW = [
     "q114_zorder_curve",
     "q116_leakage_safe_split",
     "q117_expectations",
-    "q24_text_stats",
-    "q25_quality_features",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -1493,3 +1493,128 @@ def q113_mjpeg_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode, schema="doc_id long, n_frames long, mean_sum double, max_mean double"
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q119 — GIF89a inter-frame decode end-to-end (round 15): per doc a real
+# GIF is written by the from-scratch encoder (operators/gif.py — LZW,
+# interlaced base frame, disposal-2 patches with transparent stripes),
+# then decoded back through frame COMPOSITION, the genuinely inter-frame
+# part H.26x is stubbed behind: frame j's pixels = background canvas
+# (disposal 2 of frame j-1) + the patch's opaque rows, and the transparent
+# rows show the canvas beneath. Every composed mean is closed form:
+#   frame 0 (full 16x16, row r = b+3r, interlaced): mean = b + 22.5
+#   frame j (8x8 patch v_j, odd rows transparent, over bg=40):
+#           mean = (40*224 + v_j*32) / 256
+# f0_rowsum = sum_r frame0[r]*(r+1) = 136*b + 4080 pins the de-interlace
+# row order (a permuted raster keeps the mean but breaks the weighted sum).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_gif_animation",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+                      (doc_id * 5) % 200 + 10 AS b
+               FROM documents),
+         f AS (SELECT doc_id, b, CAST(j.j AS BIGINT) AS j
+               FROM d, unnest(range(0, nf)) AS j(j)),
+         m AS (SELECT doc_id, b, j,
+                      CASE WHEN j = 0 THEN b + 22.5
+                           ELSE (40 * 224 +
+                                 ((doc_id * 7 + j * 11) % 200 + 12) * 32)
+                                / 256.0
+                      END AS fmean
+               FROM f)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ROUND(SUM(fmean), 2) AS mean_sum,
+           ROUND(MAX(fmean), 2) AS max_mean,
+           CAST(MAX(b) * 136 + 4080 AS BIGINT) AS f0_rowsum
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q119_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators.gif import decode_gif_frames, encode_gif
+
+    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 2 + i % 3
+                b = (i * 5) % 200 + 10
+                base = np.repeat(
+                    (b + 3 * np.arange(16, dtype=np.int64)).astype(np.uint8), 16
+                ).reshape(16, 16)
+                frames = [{"indices": base, "disposal": 2, "interlace": True}]
+                for j in range(1, nf):
+                    v = (i * 7 + j * 11) % 200 + 12
+                    patch = np.full((8, 8), v, np.uint8)
+                    patch[1::2, :] = 7  # transparent stripes
+                    q = (j - 1) % 4
+                    frames.append(
+                        {
+                            "indices": patch,
+                            "left": (q % 2) * 8,
+                            "top": (q // 2) * 8,
+                            "disposal": 2,
+                            "transparent": 7,
+                        }
+                    )
+                ids.append(i)
+                payloads.append(
+                    encode_gif(frames, width=16, height=16, bg_index=40)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["gif"] * len(ids), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w = np.arange(16, dtype=np.int64) + 1
+        for pdf in batches:
+            ids, nfs, sums, maxs, rowsums = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                means = [float(fr.mean()) for fr in frames]
+                ids.append(int(mid))
+                nfs.append(len(means))
+                # full precision here; the 2dp round happens in Spark below
+                # (F.round is HALF_UP like DuckDB's ROUND — Python's round()
+                # is banker's and splits on the exact .125 eighths these
+                # /256 means land on)
+                sums.append(sum(means))
+                maxs.append(max(means))
+                rowsums.append(
+                    int((frames[0][:, 0, 0].astype(np.int64) * w).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "mean_sum": sums,
+                    "max_mean": maxs,
+                    "f0_rowsum": rowsums,
+                }
+            )
+
+    out = media.mapInPandas(
+        decode,
+        schema="doc_id long, n_frames long, mean_sum double, max_mean double, "
+        "f0_rowsum long",
+    )
+    return out.select(
+        "doc_id",
+        "n_frames",
+        F.round("mean_sum", 2).alias("mean_sum"),
+        F.round("max_mean", 2).alias("max_mean"),
+        "f0_rowsum",
+    ).orderBy("doc_id")

@@ -748,3 +748,166 @@ def q117_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scan of the input for totals
     _passed, _quarantined, metrics = curation.apply_expectations(docs, rules)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# q118 — COMPOSED ingestion pipeline (round 15, VERDICT r14 item 4): the
+# job a training-data platform actually ships is not seven queries but ONE
+# plan: read → quality gate → exact dedup → near-dup dedup → decontaminate
+# → split → pack. Composing the operators lazily lets Catalyst share the
+# documents scan across branches, prune columns per branch, and push the
+# bench/corpus partition filters into every scan; each stage's filter
+# shrinks the rows the next (more expensive) stage touches — the LSH
+# near-dup stage runs on quality+exact survivors only, and
+# decontamination's gram join runs on near-dup survivors only. The one
+# eager island is connected components (iterative by nature; same as
+# q43/q44). scale_bench.py compares this composed plan against the
+# sum of its standalone stages at sf1.0.
+#
+# Stage parameters match the standalone queries exactly (q71 rules, q27
+# digest dedup, q44 LSH chain incl. jaccard >= 0.2, q68 8-gram bench
+# overlap with bench = doc_id % 20 == 0, q72 90/5/5 split, q73 512-token
+# packing), so the oracle is their CTE chain composed in the same order.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    from nexgap_spark.plans.textops import _NORM, _lsh_jac_ctes
+
+    split_expr = curation.split_cut_sql(_SPLIT_WEIGHTS, "doc_id")
+    return f"""
+    WITH RECURSIVE
+    corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 0),
+    qt AS (SELECT doc_id, source, text, {_TOKS} AS t FROM corpus),
+    qg AS (SELECT doc_id, source, text, t, {_G2} AS g2 FROM qt),
+    qf AS (
+      SELECT doc_id, source, text,
+             len(t) AS n_tokens,
+             len(list_filter(t, x -> list_contains({_SW_LIST}, x)))
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) AS sw_ratio,
+             length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+             {_DUP_FRAC.format(g='g2')} AS d2
+      FROM qg
+    ),
+    s1 AS (
+      SELECT doc_id, source, text FROM qf
+      WHERE n_tokens >= 10 AND n_tokens <= 100000
+        AND sw_ratio > 0 AND punct_ratio < 0.1 AND d2 < 0.8
+    ),
+    exd AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM s1
+    ),
+    s2 AS (SELECT doc_id, source, text FROM exd WHERE rn = 1),
+    {_lsh_jac_ctes(source="s2")},
+    near AS (SELECT a, b FROM jac WHERE j >= 0.2),
+    und AS (SELECT a AS n, b AS m FROM near UNION ALL SELECT b AS n, a AS m FROM near),
+    nodes AS (SELECT DISTINCT n FROM und),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.n, r.m FROM und u JOIN reach r ON u.m = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n),
+    s3 AS (
+      SELECT s2.doc_id, s2.source, s2.text
+      FROM s2 LEFT JOIN comp c ON s2.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.group_id = s2.doc_id
+    ),
+    bt AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 20 = 0),
+    bg AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS dg FROM bt),
+    bgrams AS (SELECT DISTINCT s FROM bg, UNNEST(dg) AS u(s)),
+    ct AS (SELECT doc_id, {_TOKS} AS t FROM s3),
+    cg AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS dg FROM ct),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM cg c, UNNEST(c.dg) AS u(s) JOIN bgrams b ON u.s = b.s
+    ),
+    s4 AS (
+      SELECT s3.doc_id, s3.source, s3.text FROM s3
+      WHERE s3.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    nt AS (SELECT doc_id, source, {split_expr} AS split, len({_TOKS}) AS ntok FROM s4),
+    packed AS (
+      SELECT split, source, ntok,
+             CAST(FLOOR(COALESCE(SUM(ntok) OVER (
+               PARTITION BY split, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS BIGINT) AS chunk_id
+      FROM nt
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source || '#' || CAST(chunk_id AS VARCHAR)) AS BIGINT)
+             AS n_chunks,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY split ORDER BY split
+    """
+
+
+@query("q118_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexgap_spark.operators import dedup
+
+    docs = tw(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    # stage 1: quality gate (q71's four rules, per-doc)
+    feats = curation.repetition_features(text.quality_features(corpus), ns=(2,))
+    s1 = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("stopword_ratio") > 0)
+        & (F.col("punct_ratio") < 0.1)
+        & (F.col("dup_2gram_frac") < 0.8)
+    ).select("doc_id", "source", "text")
+
+    # stage 2: exact dedup (q27's digest; min doc_id survives)
+    s2 = s1.join(dedup.exact_dedup(s1), "doc_id", "semi")
+
+    # stage 3: near-dup dedup (q44's LSH chain on the survivors)
+    sh = dedup.shingle_table(s2)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
+    groups = dedup.dup_groups(near).select(F.col("n").alias("doc_id"), "group_id")
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    membership = groups.join(sizes, "group_id")
+    s3 = s2.join(
+        dedup.dedup_corpus_join(s2, membership).select("doc_id"), "doc_id", "semi"
+    )
+
+    # stage 4: benchmark decontamination (q68's 8-gram overlap; drop on any hit)
+    scores = curation.contamination_scores(s3, bench, n=8)
+    s4 = s3.join(
+        scores.filter(F.col("n_overlap") > 0).select("doc_id"), "doc_id", "anti"
+    )
+
+    # stages 5+6: deterministic split, then 512-token packing per
+    # (split, source) — the window partition keys bound partition size at
+    # scale exactly as in q73
+    assigned = curation.split_assign(s4, key_col="doc_id", weights=_SPLIT_WEIGHTS)
+    with_tokens = assigned.select(
+        "split", "source", "doc_id", F.size(text.tokenize("text")).alias("ntok")
+    )
+    packed = curation.pack_chunks(
+        with_tokens,
+        token_col="ntok",
+        order_col="doc_id",
+        part_cols=["split", "source"],
+        budget=512,
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(
+                F.concat_ws("#", F.col("source"), F.col("chunk_id").cast("string"))
+            ).alias("n_chunks"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )

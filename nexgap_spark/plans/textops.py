@@ -302,10 +302,11 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_jac_ctes() -> str:
+def _lsh_jac_ctes(source: str = "documents") -> str:
     """Shared CTE chain (tokens → shingles → minhash → LSH buckets →
-    candidate pairs → exact Jaccard) used by the q31 summary and the q43
-    connected-components oracle."""
+    candidate pairs → exact Jaccard) used by the q31 summary, the q43
+    connected-components oracle, and (with ``source`` pointing at an
+    upstream CTE) q118's composed-pipeline oracle."""
     mins = ",\n             ".join(
         f"MIN((hv * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
         for j, (a, b) in enumerate(dedup.MINHASH_PARAMS)
@@ -314,7 +315,7 @@ def _lsh_jac_ctes() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh{2 * b}::VARCHAR || '-' || mh{2 * b + 1}::VARCHAR) AS bucket FROM sig"
         for b in range(4)
     )
-    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM {source}),
     sh AS (
       SELECT DISTINCT doc_id, s
       FROM toks, UNNEST({_SHINGLES3}) AS u(s)

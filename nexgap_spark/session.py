@@ -158,6 +158,34 @@ def get_spark(
     return spark
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage.
+
+    Default (no checkpoint dir configured): ``localCheckpoint`` — blocks
+    live only in the block storage of the executors that computed them.
+    Fast, but lineage truncation makes the frame UNRECOVERABLE after an
+    executor loss: Spark cannot recompute the lost blocks, so every
+    consumer fails with a missing-checkpoint-block error. On local[N]
+    (one JVM, no executor to lose) that trade is free, which is why it is
+    the default.
+
+    When the SparkContext has a RELIABLE checkpoint directory configured
+    (``setCheckpointDir`` — HDFS/S3-class storage on a real cluster, any
+    shared filesystem on one box), switch to ``checkpoint(eager=True)``:
+    same truncation semantics, blocks in fault-tolerant storage, and
+    iterative loops (connected components, taxonomy rounds, LSH membership
+    caps) survive ``kill -9`` of an executor mid-computation.
+    tools_cluster.py measures both modes on a real standalone cluster.
+
+    Every eager-materialization site in the package routes through here so
+    the fault-tolerance policy is a one-line deployment decision (set the
+    checkpoint dir), not a code change.
+    """
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 # Analyzed-scan cache: `spark.read.parquet` pays a file listing + footer
 # schema-inference pass PER CALL — measured ~0.1 s/table, which multiplied
 # into ~0.6 s of driver-side plan-construction for a 5-table join and was

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from nexgap_spark.session import materialize
 from pyspark.sql import types as T
 
 # Historical note: the driver's events parquet has shipped as TIMESTAMP(NANOS)
@@ -595,7 +597,7 @@ def incremental_dedup_sink(
         # so re-hashing its text reproduces incremental_exact's digest set
         # without re-executing the upstream plan (checkpointing both returned
         # DataFrames would run the whole dedup twice: eager per-DataFrame).
-        fresh = fresh.localCheckpoint()
+        fresh = materialize(fresh)
         new_digests = fresh.select(
             F.md5(normalize_text(text_col)).alias("digest")
         ).filter(F.col("digest").isNotNull())

@@ -24,6 +24,7 @@ import zlib
 import numpy as np
 import pytest
 
+from nexgap_spark.operators import gif as gifmod
 from nexgap_spark.operators import mp4 as mp4mod
 from nexgap_spark.operators.jpeg import (
     decode_jpeg,
@@ -94,6 +95,21 @@ def _fixtures() -> dict[str, tuple[bytes, callable]]:
         "mjpeg_mp4": (
             mp4mod.encode_mp4(16, 16, 3, fps=10, frames=jpg_frames, codec=b"jpeg"),
             decode_video_frames,
+        ),
+        "gif": (
+            gifmod.encode_gif(
+                [
+                    {"indices": _gradient(), "disposal": 2, "interlace": True},
+                    {
+                        "indices": _gradient(8, 8),
+                        "left": 4, "top": 4,
+                        "disposal": 3, "transparent": 7,
+                    },
+                    {"indices": _gradient(8, 8), "left": 8, "top": 8},
+                ],
+                width=16, height=16, bg_index=3,
+            ),
+            gifmod.decode_gif_frames,
         ),
     }
 
