@@ -86,6 +86,9 @@ HEADLINE = [
     "q90_url_validate",
     "q91_url_repair_loop",
     "q96_url_pipeline",
+    # round 15: composed ingestion pipeline + the inter-frame codec
+    "q118_corpus_pipeline",
+    "q119_gif_animation",
 ]
 
 

@@ -920,6 +920,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     engine: str = "arrow",
+    quantize: bool = False,
 ) -> None:
     """Persist an IVF index: the corpus with its coarse-quantization
     assignment, written as parquet PARTITIONED BY centroid_id — so a
@@ -938,7 +939,18 @@ def build_ivf_index(
     measured recall/nprobe/structure rule); the persisted probe then scans
     ~nprobe·√N rows via partition pruning, and recall@10 ≥ 0.9 costs
     ≤ 1/4 of exact search whenever the corpus has real cluster structure
-    (recall_bench.py rows in SCALE.md round-14)."""
+    (recall_bench.py rows in SCALE.md round-14).
+
+    ``quantize=True`` additionally stores an int8 scalar quantization per
+    vector (qvec tinyint[dim] + qscale + l2n; q = floor(127·x/max|x|+0.5),
+    x ≈ qscale·q — the same formula as quantize_int8_digest). The probe
+    side (ivf_topk_indexed_int8) then reads ONLY the int8 columns — ~4×
+    less probe IO/memory per dim at 100 TB, since parquet prunes the float
+    column out of the scan — and reranks the approximate top-c in float.
+    Storage grows ~1.25× (int8 + float retained for rerank/exactness);
+    the memory-bound resource is the PROBE working set, which shrinks 4×.
+    Measured recall/cost rows: recall_bench.py with RECALL_INT8=1
+    (SCALE.md round-15)."""
     # engine="sql" is the NULL-tolerant escape hatch for dirty corpora at
     # initial build time, mirroring append_ivf_index's parameter (ADVICE
     # r14: a corpus with NULL embeddings fails inside the Arrow kernel's
@@ -946,10 +958,39 @@ def build_ivf_index(
     assigned = assign_clusters(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, engine=engine
     )
+    if quantize:
+        assigned = _quantize_stage(assigned, vec_col=vec_col)
     assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{path.rstrip('/')}/corpus")
     centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
+
+
+def _quantize_stage(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Append int8 scalar-quantization columns (qvec, qscale, l2n) in one
+    Arrow stage — same kernel math as quantize_int8_digest, kept off the
+    HOF/codegen path for the same reason as _np_assign (the 305→17 s
+    index-build lesson: per-element interpreted lambdas lose to matrix
+    kernels by >10× at K≈√N scale)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", qvec array<tinyint>, qscale double, l2n double"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            maxabs = np.abs(m).max(axis=1)
+            safe = np.where(maxabs == 0.0, 1.0, maxabs)
+            q = np.floor(127.0 * m / safe[:, None] + 0.5).astype(np.int8)
+            pdf = pdf.copy()
+            pdf["qvec"] = list(q)
+            pdf["qscale"] = safe / 127.0
+            pdf["l2n"] = _seq_sqrt_norms(m)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -1099,6 +1140,158 @@ def ivf_topk_indexed(
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("q_id"),
+            F.col("n_id"),
+            F.round("cos", 6).alias("cos"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
+def ivf_topk_indexed_int8(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = DEFAULT_DIM,
+    nprobe: int = 1,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Memory-bound ANN probe against a quantize=True index: the probed
+    partitions are scanned reading ONLY (id, qvec, qscale, l2n) — parquet
+    column pruning drops the float vectors, so the probe working set is
+    ~4x smaller per dimension — candidates are ranked by int8 approximate
+    cosine, the global top rerank_factor*k per query are RERANKED with the
+    float vectors (a second, candidate-filtered read of the probed
+    partitions), and the exact-scored top-k is emitted. This is the
+    standard quantized-IVF shape at 100 TB: the index that must stay hot
+    is int8; floats are touched only for ~rerank_factor*k rows per query.
+
+    int8 approximation: x ~ qscale*q, so cos(Q, x) ~ (Q.q)*qscale /
+    (|Q|*l2n) with l2n the stored FLOAT norm — scale cancellation keeps
+    ranking error to the quantization noise of the dot product only.
+    Contract: at nprobe = n_centroids and rerank_factor*k >= corpus size,
+    the output equals brute_force_topk exactly (the rerank is exact float
+    arithmetic via the shared _seq_score_block kernel); tests pin this.
+    """
+    spark = queries.sparkSession
+    corpus, centroids = load_ivf_index(spark, index_path)
+    if "qvec" not in corpus.columns:
+        raise ValueError(
+            "index has no int8 columns; build with build_ivf_index(..., "
+            "quantize=True)"
+        )
+    cent_pd = _collect_small_side(
+        centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"
+    )
+    cent_ids = cent_pd["centroid_id"].to_numpy()
+    cent_mat = np.stack(cent_pd[vec_col].to_numpy()).astype(np.float64)
+    q_pd = _collect_small_side(queries, [F.col(id_col), F.col(vec_col)], "query side")
+    q_ids = q_pd[id_col].to_numpy()
+    q_mat = np.stack(q_pd[vec_col].to_numpy()).astype(np.float64)
+    q_probes = _np_assign_topm(q_mat, cent_ids, cent_mat, max(1, nprobe))
+    q_norms = _seq_sqrt_norms(q_mat)
+
+    members: dict = {}
+    for qi, probed in enumerate(q_probes):
+        for c in probed:
+            key = c.item() if hasattr(c, "item") else c
+            members.setdefault(key, []).append(qi)
+    q_by_cent = {
+        c: (q_ids[idx], q_mat[idx], q_norms[idx])
+        for c, idx in ((c, np.array(v)) for c, v in members.items())
+    }
+    probed_ids = sorted(q_by_cent)
+    sc = spark.sparkContext
+    bq = sc.broadcast(q_by_cent)
+    par = sc.defaultParallelism
+    c_take = max(k, rerank_factor * k)
+
+    # ---- int8 candidate scan: float column NEVER read here ----------------
+    pruned_q = corpus.filter(F.col("centroid_id").isin(probed_ids)).select(
+        id_col, "centroid_id", "qvec", "qscale", "l2n"
+    )
+
+    def search_int8(batches):
+        q_by = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows_q, rows_n, rows_c = [], [], []
+            for cent, grp in pdf.groupby("centroid_id"):
+                key = cent.item() if hasattr(cent, "item") else cent
+                qc = q_by.get(key)
+                if qc is None:
+                    continue
+                sub_q_ids, sub_qm, sub_qn = qc
+                qm8 = np.stack(grp["qvec"].to_numpy()).astype(np.float64)
+                scale = grp["qscale"].to_numpy()
+                l2n = grp["l2n"].to_numpy()
+                sub_nids = grp[id_col].to_numpy()
+                # approximate dot: Q (m,d) @ q8.T (d,n), rescaled per column
+                dots = (sub_qm @ qm8.T) * scale[None, :]
+                denom = sub_qn[:, None] * np.where(l2n == 0.0, np.inf, l2n)[None, :]
+                cos = dots / denom
+                for qi in range(len(sub_q_ids)):
+                    row = cos[qi]
+                    mask = sub_nids == sub_q_ids[qi]
+                    if mask.any():
+                        row = row.copy()
+                        row[mask] = -np.inf
+                    order = np.lexsort((sub_nids, -row))[:c_take]
+                    keep = order[np.isfinite(row[order])]
+                    rows_q.extend([sub_q_ids[qi]] * len(keep))
+                    rows_n.extend(sub_nids[keep])
+                    rows_c.extend(row[keep])
+            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "acos": rows_c})
+
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
+    partials = pruned_q.repartition(par).mapInPandas(
+        search_int8, schema=f"q_id {q_id_type}, n_id {n_id_type}, acos double"
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("acos").desc(), F.col("n_id"))
+    cand = (
+        partials.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= c_take)
+        .select("q_id", "n_id")
+    )
+
+    # ---- float rerank: only the candidates' vectors are read --------------
+    pruned_f = corpus.filter(F.col("centroid_id").isin(probed_ids)).select(
+        F.col(id_col).alias("n_id"), vec_col
+    )
+    cand_vec = cand.join(pruned_f, "n_id")
+    q_lookup = {qid: (q_mat[i], q_norms[i]) for i, qid in enumerate(q_ids)}
+    bql = sc.broadcast(q_lookup)
+
+    def rerank(batches):
+        lookup = bql.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = _seq_sqrt_norms(cm)
+            out = np.empty(len(pdf))
+            for i, (qid, nrm) in enumerate(zip(pdf["q_id"], cn)):
+                qv, qn = lookup[qid]
+                # exact float cosine, shared sequential-fold arithmetic
+                dot = _seq_score_block(qv[None, :], cm[i : i + 1])[0, 0]
+                out[i] = dot / (qn * nrm) if qn > 0 and nrm > 0 else np.nan
+            res = pdf[["q_id", "n_id"]].copy()
+            res["cos"] = out
+            yield res[np.isfinite(out)]
+
+    rescored = cand_vec.mapInPandas(
+        rerank, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
             F.col("q_id"),

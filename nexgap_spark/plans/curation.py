@@ -847,11 +847,19 @@ def _corpus_pipeline_oracle() -> str:
     """
 
 
-@query("q118_corpus_pipeline", oracle=_corpus_pipeline_oracle())
-def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pipeline(
+    docs: DataFrame,
+    *,
+    stage_out=None,
+) -> DataFrame:
+    """The q118 stage chain as a reusable composition. ``stage_out`` is an
+    optional callable(df, stage_name) -> df inserted after each stage
+    boundary — identity for the composed lazy plan (q118), a parquet
+    write+read for scale_bench's staged-orchestration comparison — so the
+    composed and staged variants run literally the same stage code."""
     from nexgap_spark.operators import dedup
 
-    docs = tw(spark, sf_dir, "documents")
+    io = stage_out or (lambda df, name: df)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
 
@@ -864,9 +872,11 @@ def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("punct_ratio") < 0.1)
         & (F.col("dup_2gram_frac") < 0.8)
     ).select("doc_id", "source", "text")
+    s1 = io(s1, "s1_quality")
 
     # stage 2: exact dedup (q27's digest; min doc_id survives)
     s2 = s1.join(dedup.exact_dedup(s1), "doc_id", "semi")
+    s2 = io(s2, "s2_exact")
 
     # stage 3: near-dup dedup (q44's LSH chain on the survivors)
     sh = dedup.shingle_table(s2)
@@ -879,12 +889,14 @@ def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(
         dedup.dedup_corpus_join(s2, membership).select("doc_id"), "doc_id", "semi"
     )
+    s3 = io(s3, "s3_neardup")
 
     # stage 4: benchmark decontamination (q68's 8-gram overlap; drop on any hit)
     scores = curation.contamination_scores(s3, bench, n=8)
     s4 = s3.join(
         scores.filter(F.col("n_overlap") > 0).select("doc_id"), "doc_id", "anti"
     )
+    s4 = io(s4, "s4_decontaminated")
 
     # stages 5+6: deterministic split, then 512-token packing per
     # (split, source) — the window partition keys bound partition size at
@@ -893,6 +905,7 @@ def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tokens = assigned.select(
         "split", "source", "doc_id", F.size(text.tokenize("text")).alias("ntok")
     )
+    with_tokens = io(with_tokens, "s5_split_tokens")
     packed = curation.pack_chunks(
         with_tokens,
         token_col="ntok",
@@ -911,3 +924,8 @@ def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query("q118_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def q118_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_pipeline(tw(spark, sf_dir, "documents"))

@@ -356,7 +356,10 @@ def stateful_sessions(
     )
 
 
-BUFFERED_STATE_SCHEMA = "pending_ts array<bigint>, pending_val array<double>"
+BUFFERED_STATE_SCHEMA = (
+    "comp_start bigint, comp_last bigint, comp_n bigint, comp_sum double, "
+    "pending_ts array<bigint>, pending_val array<double>"
+)
 
 
 def stateful_sessions_buffered(
@@ -378,57 +381,99 @@ def stateful_sessions_buffered(
     therefore handled correctly; pick ``watermark`` ≥ gap + expected
     disorder so open sessions are never emitted prematurely.
 
-    State per user is bounded by the watermark horizon (events older than
-    ``wm - gap`` are always flushable), and the event-time timeout re-runs
-    the flush when no new data arrives for the key.
+    State per user is bounded by the watermark horizon — including for a
+    session that NEVER closes. The round-15 soak measured the naive buffer
+    growing without bound on exactly that workload (every user active more
+    often than the gap: state memory +330 MB/min at a flat 5000 logical
+    rows, batch latency 3 s → 14.5 s over 10 minutes, identical on RocksDB
+    and the in-memory provider). The fix is prefix COMPACTION: buffered
+    events older than the watermark are immutable — late rows below the
+    watermark are filtered before reaching this function, and any future
+    admissible event sorts after them — so the open session's sub-watermark
+    prefix collapses into four scalars (start, last, n, Σvalue) with
+    float-identical emission (the running sum accumulates in the same
+    left-to-right order the naive buffer summed at emission time). Raw
+    events are retained only while ts ≥ watermark; the compacted prefix
+    never crosses a session boundary (a fully-compactable session with
+    end < wm - gap would already have been emitted, and a session ending
+    in (wm-gap, wm) forces the NEXT session to start above wm).
+    The event-time timeout re-runs the flush when no new data arrives.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = int(gap_minutes * 60_000_000)
 
-    def _flush(user_id, ts_arr, val_arr, wm_us):
-        """Split sorted pending events into gap-sessions; emit the finalized
-        prefix. Returns (rows, remaining_ts, remaining_val, next_flush_us) —
-        next_flush_us is the event-time at which the retained tail would
-        finalize with no further input; it drives the timeout timestamp."""
+    def _flush(user_id, agg, ts_arr, val_arr, wm_us):
+        """Split the compacted-prefix aggregate + sorted pending events into
+        gap-sessions; emit the finalized prefix; re-compact the retained
+        open session's sub-watermark events. ``agg`` is (start, last, n,
+        sum) or None. Returns (rows, new_agg, remaining_ts, remaining_val,
+        next_flush_us) — next_flush_us drives the timeout timestamp."""
         order = sorted(range(len(ts_arr)), key=lambda i: ts_arr[i])
-        ts_s = [int(ts_arr[i]) for i in order]
-        val_s = [float(val_arr[i]) for i in order]
-        sessions = []  # (start_idx, end_idx) inclusive, over ts_s
+        # element = (start_us, end_us, n_events, value_sum); the aggregate
+        # (if any) is by construction older than every raw event
+        elems: list[tuple[int, int, int, float]] = [agg] if agg else []
+        elems.extend(
+            (int(ts_arr[i]), int(ts_arr[i]), 1, float(val_arr[i])) for i in order
+        )
+        sessions = []  # (start_idx, end_idx) inclusive, over elems
         start = 0
-        for i in range(1, len(ts_s)):
-            if ts_s[i] - ts_s[i - 1] > gap_us:
+        for i in range(1, len(elems)):
+            if elems[i][0] - elems[i - 1][1] > gap_us:
                 sessions.append((start, i - 1))
                 start = i
-        if ts_s:
-            sessions.append((start, len(ts_s) - 1))
-        rows, keep_from, next_flush_us = [], len(ts_s), None
+        if elems:
+            sessions.append((start, len(elems) - 1))
+        rows, keep_from, next_flush_us = [], len(elems), None
         for s, e in sessions:
-            if wm_us > ts_s[e] + gap_us:
+            if wm_us > elems[e][1] + gap_us:
+                total = 0.0
+                n_ev = 0
+                for el in elems[s : e + 1]:  # left-to-right, float-stable
+                    n_ev += el[2]
+                    total += el[3]
                 rows.append(
                     {
                         "user_id": user_id,
-                        "session_start": pd.to_datetime(ts_s[s], unit="us"),
-                        "session_end": pd.to_datetime(ts_s[e], unit="us"),
-                        "n_events": e - s + 1,
-                        "total_value": sum(val_s[s : e + 1]),
+                        "session_start": pd.to_datetime(elems[s][0], unit="us"),
+                        "session_end": pd.to_datetime(elems[e][1], unit="us"),
+                        "n_events": n_ev,
+                        "total_value": total,
                     }
                 )
             else:
                 keep_from = s
                 # earliest future instant the first open session can close
-                next_flush_us = ts_s[e] + gap_us
+                next_flush_us = elems[e][1] + gap_us
                 break
-        return rows, ts_s[keep_from:], val_s[keep_from:], next_flush_us
+        # compact the maximal end<wm prefix of the retained elements (it
+        # cannot cross a session boundary - see the docstring proof)
+        new_agg = None
+        rem_ts: list[int] = []
+        rem_val: list[float] = []
+        for el in elems[keep_from:]:
+            if el[1] < wm_us and not rem_ts:
+                new_agg = (
+                    el
+                    if new_agg is None
+                    else (new_agg[0], el[1], new_agg[2] + el[2], new_agg[3] + el[3])
+                )
+            else:
+                rem_ts.append(el[0])
+                rem_val.append(el[3])
+        return rows, new_agg, rem_ts, rem_val, next_flush_us
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
         wm_us = state.getCurrentWatermarkMs() * 1000
+        agg = None
         ts_arr: list[int] = []
         val_arr: list[float] = []
         if state.exists:
-            old_ts, old_val = state.get
+            c_start, c_last, c_n, c_sum, old_ts, old_val = state.get
+            if c_n:
+                agg = (int(c_start), int(c_last), int(c_n), float(c_sum))
             ts_arr, val_arr = list(old_ts), list(old_val)
         if not state.hasTimedOut:
             for pdf in pdf_iter:
@@ -439,9 +484,12 @@ def stateful_sessions_buffered(
                     for t in pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
                 )
                 val_arr.extend(float(v) for v in pdf["value"].fillna(0.0))
-        rows, rem_ts, rem_val, next_flush_us = _flush(user_id, ts_arr, val_arr, wm_us)
-        if rem_ts:
-            state.update((rem_ts, rem_val))
+        rows, new_agg, rem_ts, rem_val, next_flush_us = _flush(
+            user_id, agg, ts_arr, val_arr, wm_us
+        )
+        if rem_ts or new_agg:
+            a = new_agg or (0, 0, 0, 0.0)
+            state.update((a[0], a[1], a[2], a[3], rem_ts, rem_val))
             # re-flush when the watermark passes the first open session's
             # last event + gap (guaranteed > current watermark, else the
             # session would have closed above)

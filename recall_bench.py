@@ -29,6 +29,12 @@ Protocol: build corpus, train K centroids with a few exact Lloyd steps
 exact brute-force top-k as ground truth, then recall@k = |ivf ∩ truth| / k
 and wall time per nprobe.
 
+RECALL_INT8=1 adds the quantized-probe rows: the index stores int8
+vectors (quantize=True), probes rank in int8 and rerank the top
+RECALL_RERANK*k in float — recall/cost lands next to the float probe at
+the same nprobe, so the 4x-smaller probe working set has a measured
+price.
+
 Usage: python recall_bench.py   (env: RECALL_DATA=scaled|clustered
 RECALL_MULT=100 RECALL_N=200000 RECALL_CLUSTERS=1000 RECALL_SPREAD=0.35
 RECALL_QUERIES=1000 RECALL_K=10 RECALL_CENTROIDS=448 RECALL_NPROBES=1,2,...
@@ -165,11 +171,15 @@ def main() -> None:
         out["mult"] = mult
 
     index_path = None
-    if os.environ.get("RECALL_INDEXED", ""):
-        index_path = f"{d}/ivf_index_k{n_cent}"
+    want_int8 = bool(os.environ.get("RECALL_INT8", ""))
+    if os.environ.get("RECALL_INDEXED", "") or want_int8:
+        index_path = f"{d}/ivf_index_k{n_cent}" + ("_q8" if want_int8 else "")
         t0 = time.time()
-        sim.build_ivf_index(emb, cents, index_path)
+        # int8 sweep builds a quantized index; the float probe on it reads
+        # the float column as before, so one index serves both rows
+        sim.build_ivf_index(emb, cents, index_path, quantize=want_int8)
         out["index_build_sec"] = round(time.time() - t0, 2)
+        out["index_quantized"] = want_int8
 
     # dedupe and cap at n_cent: probes beyond the centroid count are the
     # same exact search, and a duplicate key would silently overwrite the
@@ -210,6 +220,15 @@ def main() -> None:
             ).collect()
             cell["indexed_sec"] = round(time.time() - t0, 2)
             cell["indexed_recall"] = round(_recall(rows_i), 4)
+            if want_int8:
+                # memory-bound probe: int8 candidate scan + float rerank
+                t0 = time.time()
+                rows_q = sim.ivf_topk_indexed_int8(
+                    queries, index_path, k=k, nprobe=nprobe,
+                    rerank_factor=int(os.environ.get("RECALL_RERANK", "4")),
+                ).collect()
+                cell["int8_sec"] = round(time.time() - t0, 2)
+                cell["int8_recall"] = round(_recall(rows_q), 4)
         out["nprobe"][str(nprobe)] = cell
     print(json.dumps(out, separators=(",", ":")))
 

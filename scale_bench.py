@@ -498,6 +498,62 @@ def bench_span_bucketed(spark, con, scaled_dir: str, trials: int = TRIALS) -> di
     return out
 
 
+def bench_pipeline(spark, con, scaled_dir: str, trials: int = TRIALS) -> dict:
+    """q118 composed-vs-staged (VERDICT r14 item 4): the SAME stage code
+    (plans.curation.corpus_pipeline) run (a) as one lazy plan and (b) as a
+    naive orchestration that materializes every stage boundary to parquet
+    and reads it back - the multi-job shape a workflow engine produces
+    when each stage is a separate task. The composed plan shares the
+    documents scan across branches and pushes each stage's filter into the
+    next stage's input; the staged variant pays a full write+read of the
+    surviving corpus at every boundary. DuckDB runs the q118 oracle on the
+    same bytes for the external reference."""
+    import shutil
+    import tempfile
+
+    from nexgap_spark.plans import ORACLES
+    from nexgap_spark.plans.curation import corpus_pipeline
+    from nexgap_spark.session import wide_table as tw
+
+    rec: dict = {}
+    composed = []
+    for _ in range(trials):
+        t0 = time.time()
+        rows = corpus_pipeline(tw(spark, scaled_dir, "documents")).collect()
+        composed.append(time.time() - t0)
+    rec["composed_sec"] = round(min(composed), 2)
+    rec["rows"] = len(rows)
+    comp_set = {tuple(r) for r in rows}
+
+    staged = []
+    for _ in range(trials):
+        work = tempfile.mkdtemp(prefix="nexgap_staged_")
+        stage_secs: dict = {}
+
+        def roundtrip(df, name):
+            t0 = time.time()
+            path = f"{work}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            stage_secs[name] = round(time.time() - t0, 2)
+            return out
+
+        t0 = time.time()
+        rows_s = corpus_pipeline(
+            tw(spark, scaled_dir, "documents"), stage_out=roundtrip
+        ).collect()
+        staged.append(time.time() - t0)
+        shutil.rmtree(work, ignore_errors=True)
+    rec["staged_sec"] = round(min(staged), 2)
+    rec["staged_stage_write_sec"] = stage_secs
+    rec["staged_rows_equal"] = {tuple(r) for r in rows_s} == comp_set
+    rec["composed_speedup"] = round(rec["staged_sec"] / rec["composed_sec"], 2)
+    d = _duckdb_timed(con, ORACLES["q118_corpus_pipeline"])
+    if d is not None:
+        rec["duckdb_sec"] = round(d, 2)
+    return rec
+
+
 def _duckdb_timed(con, sql: str) -> float | None:
     """One DuckDB run; None = interrupted at DUCKDB_TIMEOUT_S (DNF).
     Only the timeout interrupt maps to DNF — a genuine oracle error
@@ -661,6 +717,15 @@ def main() -> None:
             build_span_dir(spark, sf_dir, SPAN_MULT, ds)
         result["stream_mult"] = SPAN_MULT
         result["stream"] = bench_stream(spark, ds)
+    if family in ("pipeline", "all"):
+        dp = f"/tmp/nexgap_scale_docs_x{TEXT_MULT}"
+        build_docs_dir(spark, sf_dir, TEXT_MULT, dp)
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {cpus}")
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{dp}/documents.parquet/*.parquet')")
+        result["pipeline_mult"] = TEXT_MULT
+        result["pipeline"] = bench_pipeline(spark, con, dp)
+        con.close()
     if family in ("media", "all"):
         # pure-Python codec throughput (encode+decode per doc); reuses the
         # text family's scaled documents dir — the queries only read doc_id

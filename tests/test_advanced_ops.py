@@ -363,3 +363,113 @@ def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
     full = sorted(tuple(r) for r in ivf_topk_indexed(queries, full_path, k=3, nprobe=2).collect())
     assert inc == full
     assert len(inc) > 0
+
+
+def test_ivf_int8_probe_exact_at_full_coverage(spark, tmp_path):
+    """quantize=True index + int8 probe: at nprobe=all and a rerank window
+    covering the whole corpus, the float rerank makes the output EXACTLY
+    brute_force_topk (the int8 stage only selects candidates; scoring of
+    the emitted rows is exact float arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed_int8,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") * 10 + 3).alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf8")
+    build_ivf_index(emb, cents, path, quantize=True)
+    corpus, _ = load_ivf_index(spark, path)
+    assert {"qvec", "qscale", "l2n"} <= set(corpus.columns)
+    row = corpus.limit(1).collect()[0]
+    assert len(row.qvec) == len(row.embedding)
+    assert max(abs(v) for v in row.qvec) <= 127
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    # brute_force_topk emits full-precision cos; the indexed probes round
+    # to 6dp (same contract as ivf_topk_indexed) — compare at 6dp
+    exact = {
+        (r.q_id, r.n_id, round(r.cos, 6))
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    got = {
+        (r.q_id, r.n_id, r.cos)
+        for r in ivf_topk_indexed_int8(
+            queries, path, k=3, nprobe=8, rerank_factor=(n // 3) + 1
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_int8_probe_prunes_and_reranks(spark, tmp_path):
+    """Default rerank window: results are float-scored (cos matches the
+    float probe for the pairs both return) and the int8 candidate scan
+    never reads the float vector column."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        ivf_topk_indexed_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf8b")
+    build_ivf_index(emb, cents, path, quantize=True)
+    queries = emb.filter(F.col("vec_id") % 60 == 0)
+
+    flt = ivf_topk_indexed(queries, path, k=3, nprobe=2)
+    i8 = ivf_topk_indexed_int8(queries, path, k=3, nprobe=2, rerank_factor=4)
+    f_rows = {(r.q_id, r.n_id): r.cos for r in flt.collect()}
+    i_rows = {(r.q_id, r.n_id): r.cos for r in i8.collect()}
+    assert i_rows, "int8 probe returned nothing"
+    shared = set(f_rows) & set(i_rows)
+    assert shared, "no overlap between float and int8 probes at nprobe=2"
+    for key in shared:  # rerank is exact float scoring -> identical cos
+        assert i_rows[key] == f_rows[key], key
+    # recall of the int8 path vs the float path at the same nprobe
+    recall = len(shared) / len(f_rows)
+    assert recall >= 0.8, f"int8-vs-float agreement {recall}"
+
+    # plan audit: the candidate scan must not read the float column
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        i8.explain("formatted")
+    plan = buf.getvalue()
+    assert "qvec" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_build_ivf_index_engine_escape_hatch(spark, tmp_path):
+    """ADVICE r14: engine='sql' must be reachable from build_ivf_index for
+    NULL-tolerant initial builds (same hatch append_ivf_index has)."""
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import build_ivf_index, load_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    cents = emb.limit(4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    build_ivf_index(emb, cents, pa, engine="arrow")
+    build_ivf_index(emb, cents, pb, engine="sql")
+    a, _ = load_ivf_index(spark, pa)
+    b, _ = load_ivf_index(spark, pb)
+    assert {(r.vec_id, r.centroid_id) for r in a.collect()} == {
+        (r.vec_id, r.centroid_id) for r in b.collect()
+    }

@@ -598,3 +598,29 @@ def test_trace_local_huge_int_ids_raise(spark):
 
     with _pytest.raises(Exception, match="2\\^53"):
         span_tree.resolve_root_trace_local(spans, trace_col="trace_id").collect()
+
+
+def test_skew_artifact_green():
+    """The committed Zipf skew measurement (tools_skew.py, round 15) must
+    stay green: salted join row-identical to plain, and the sweep names
+    the shares where salting beats the best plain variant."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    path = "/root/repo/SKEW.json"
+    if not _os.path.exists(path):
+        _pytest.skip("SKEW.json not yet committed")
+    with open(path) as f:
+        rep = _json.load(f)
+    assert rep["equality_ok"] is True
+    shares = {r["hot_share"]: r for r in rep["shares"]}
+    assert 0.0 in shares and len(shares) >= 3
+    # every variant actually ran at every share
+    for r in rep["shares"]:
+        for variant in ("join_plain_noaqe", "join_plain_aqe", "join_salted"):
+            assert r[variant]["sec"] > 0
+    # the uniform (share=0) row must NOT claim a salting win — salting
+    # costs a dim replication; on uniform data plain should hold
+    assert 0.0 not in rep["salted_join_wins_at_shares"]

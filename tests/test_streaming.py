@@ -613,3 +613,83 @@ def test_buffered_sessions_survive_checkpoint_restart(spark, tmp_path):
     # the duplicate check must count ROWS (a set would collapse a session
     # re-emitted after restart — the canonical state-not-cleared failure)
     assert len(got_rows) == len(want)
+
+
+def test_buffered_sessions_compact_never_closing_session(spark, tmp_path):
+    """Round-15 soak finding: a session that NEVER closes (every event
+    within the gap of the previous) used to keep ALL its raw events in
+    state — unbounded growth at flat logical rows. The compaction fix
+    collapses the sub-watermark prefix into (start, last, n, sum) scalars.
+    This drives one user through MANY micro-batches of a single unbroken
+    session (so the state round-trips through the compacted tuple across
+    flush cycles), then closes it: the emitted session must match the
+    batch sessionizer exactly — boundaries, count, and float-identical
+    total_value."""
+    import pandas as pd
+
+    from nexgap_spark.operators.sessionize import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # one event per minute for 300 minutes: gap 5 min never fires inside
+    rows = pd.DataFrame(
+        {
+            "event_id": range(300),
+            "user_id": [7] * 300,
+            "event_type": ["e"] * 300,
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(300)],
+            "value": [float((i * 13) % 97) / 7.0 for i in range(300)],
+        }
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    # 10 chunks of 30 events -> >= 10 micro-batches (maxFilesPerTrigger=1)
+    for i in range(10):
+        _write_stream_chunk(d, i, rows.iloc[i * 30 : (i + 1) * 30])
+    _write_stream_chunk(d, 10, _watermark_sentinel(rows))
+
+    out = str(tmp_path / "out")
+    stream = SP.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    sess = SP.stateful_sessions_buffered(
+        stream, gap_minutes=5, watermark="10 minutes"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, eid: SP.epoch_write_json(b, eid, out))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    got = [
+        r
+        for r in spark.read.schema(schema).json(out + "/epoch=*").collect()
+        if r.user_id == 7
+    ]
+    assert len(got) == 1, got
+    batch = spark.createDataFrame(rows)
+    want = (
+        sessionize(batch, gap_minutes=5, order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    )
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert g.n_events == w.n_events == 300
+    assert g.session_start == w.session_start
+    assert g.session_end == w.session_end
+    # compaction accumulates the running sum in the same left-to-right
+    # event-time order the naive buffer summed at emission: identical float
+    assert g.total_value == sum(
+        float((i * 13) % 97) / 7.0 for i in range(300)
+    )
