@@ -103,6 +103,18 @@ def salted_join(
     Row-level semantics equal ``skewed.join(other, on, how)`` for how ∈
     {inner, left}: every skewed row carries exactly one salt and every
     (key, salt) it can need exists on the replicated side.
+
+    WHEN TO SALT — measured, not assumed (tools_skew.py, SCALE.md
+    round-15): at 20 M rows on 32 cores the hot-key straggler is real
+    (parallel efficiency 0.74 → 0.15 as one key grows to 50 % of rows)
+    but cheap (~0.43 s per 10 M hot rows of serial sort-merge), and the
+    salt's per-row tax exceeded the saving at EVERY hot share in both
+    dim regimes — `salted_join_wins_at_shares: []`. Salting is insurance
+    against the partition-size wall, not a wall-clock optimization at
+    comfortable sizes: reach for it when hot_rows × bytes/row approaches
+    one executor's memory (a 10 % key of a 100 TB fact is 10 TB in ONE
+    sort task — that partition doesn't straggle, it dies). Below that
+    threshold, plain shuffle join + AQE is faster.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")

@@ -693,3 +693,25 @@ def test_buffered_sessions_compact_never_closing_session(spark, tmp_path):
     assert g.total_value == sum(
         float((i * 13) % 97) / 7.0 for i in range(300)
     )
+
+
+def test_soak_artifact_fixed_is_flat():
+    """The committed post-compaction soak (SOAK_r15_fixed.json) must show
+    the fix holding: flat batch latency and flat state rows at the full
+    configured rate, under RocksDB."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    path = "/root/repo/SOAK_r15_fixed.json"
+    if not _os.path.exists(path):
+        _pytest.skip("SOAK_r15_fixed.json not yet committed")
+    with open(path) as f:
+        s = _json.load(f)["soak_sessions"]
+    assert s["rocksdb_used"] is True
+    assert s["state_rows_flat"] is True
+    assert s["batch_ms_flat"] is True
+    # throughput held the configured rate in every steady minute
+    for row in s["curve"][1:]:
+        assert row["rows_per_sec"] >= 0.9 * s["configured_rate"], row
