@@ -1032,6 +1032,11 @@ def append_ivf_index(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col, dim=dim,
         engine=engine,
     )
+    # a quantize=True index must STAY quantized: appending rows without
+    # qvec/qscale/l2n would NULL those columns on the new files and crash
+    # (or mislead) the next int8 probe (r15 review)
+    if "qvec" in spark.read.parquet(f"{root}/corpus").columns:
+        assigned = _quantize_stage(assigned, vec_col=vec_col)
     assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
         "centroid_id"
     ).parquet(f"{root}/corpus")
@@ -1274,17 +1279,25 @@ def ivf_topk_indexed_int8(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cn = _seq_sqrt_norms(cm)
-            out = np.empty(len(pdf))
-            for i, (qid, nrm) in enumerate(zip(pdf["q_id"], cn)):
+            outs = []
+            # block per query: one (1,d)@(d,n) kernel per group instead of
+            # a per-row Python loop of 1x1 matmuls (r15 review — the same
+            # interpreted-vs-kernel lesson _quantize_stage cites); the
+            # left-to-right dimension fold is identical, so scores stay
+            # bit-equal to brute_force_topk
+            for qid, grp in pdf.groupby("q_id", sort=False):
                 qv, qn = lookup[qid]
-                # exact float cosine, shared sequential-fold arithmetic
-                dot = _seq_score_block(qv[None, :], cm[i : i + 1])[0, 0]
-                out[i] = dot / (qn * nrm) if qn > 0 and nrm > 0 else np.nan
-            res = pdf[["q_id", "n_id"]].copy()
-            res["cos"] = out
-            yield res[np.isfinite(out)]
+                cm = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                cn = _seq_sqrt_norms(cm)
+                dots = _seq_score_block(qv[None, :], cm)[0]
+                denom = qn * cn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, np.nan)
+                res = grp[["q_id", "n_id"]].copy()
+                res["cos"] = cos
+                outs.append(res[np.isfinite(cos)])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     rescored = cand_vec.mapInPandas(
         rerank, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"

@@ -858,8 +858,23 @@ def corpus_pipeline(
     write+read for scale_bench's staged-orchestration comparison — so the
     composed and staged variants run literally the same stage code."""
     from nexgap_spark.operators import dedup
+    from nexgap_spark.session import materialize
 
-    io = stage_out or (lambda df, name: df)
+    def _default_io(df, name):
+        # s1/s2/s3 each feed 2-3 downstream branches (a dedup build side
+        # PLUS the survivor join; s3 additionally the contamination
+        # scorer): in a lazy plan every consumer would replay the whole
+        # upstream lineage — the quality-gate regex/HOF work ran ~5x and
+        # the composed plan LOST to parquet-staged orchestration 43 s vs
+        # 28 s at x10 before this (SCALE.md round-15). materialize() pins
+        # each multi-consumer boundary once (localCheckpoint locally,
+        # reliable checkpoint under a checkpoint dir); s4/s5 are
+        # single-consumer and stay lazy.
+        if name in ("s1_quality", "s2_exact", "s3_neardup"):
+            return materialize(df)
+        return df
+
+    io = stage_out or _default_io
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
 

@@ -126,6 +126,10 @@ def get_spark(
         # trace_id join on (trace_id, parent=span) with ZERO exchange.
         # Purely a planner relaxation — results are unaffected.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # reliable checkpoints (session.materialize under a checkpoint dir)
+        # must not accumulate forever: reap a checkpoint's files when its
+        # RDD is garbage-collected, mirroring localCheckpoint's lifecycle
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Python-worker lifecycle: keep the idle pool big enough that every
@@ -180,9 +184,27 @@ def materialize(df: DataFrame) -> DataFrame:
     Every eager-materialization site in the package routes through here so
     the fault-tolerance policy is a one-line deployment decision (set the
     checkpoint dir), not a code change.
+
+    Two costs of the reliable path, both handled (r15 review): (a)
+    ``checkpoint(eager=True)`` alone computes the plan TWICE (the eager
+    count, then the checkpoint-write job re-runs the lineage) — the
+    standard persist-first recipe makes the write read from cache; (b)
+    checkpoint files are permanent unless the ContextCleaner is told to
+    reap them — get_spark sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so a
+    checkpointed frame's files are deleted when the frame is GC'd, same
+    lifecycle the localCheckpoint blocks had (a long-running CC loop or
+    streaming sink would otherwise fill the checkpoint store without
+    bound).
     """
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint()
 
 

@@ -356,6 +356,11 @@ def stateful_sessions(
     )
 
 
+# v2 (round 15): the four comp_* fields are the compacted open-session
+# prefix. BREAKING for existing checkpoints — a stream checkpointed on the
+# v1 2-field schema cannot restart on this code (the state unpack fails on
+# the first batch); drain the old query (watermark sentinel flushes open
+# sessions) and start a fresh checkpointLocation to upgrade.
 BUFFERED_STATE_SCHEMA = (
     "comp_start bigint, comp_last bigint, comp_n bigint, comp_sum double, "
     "pending_ts array<bigint>, pending_val array<double>"

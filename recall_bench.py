@@ -145,6 +145,21 @@ def main() -> None:
         cents = spark.createDataFrame(cents.toPandas())  # pin tiny table
     t_train = round(time.time() - t_train0, 2)
 
+    # fail-loud BEFORE the expensive ground-truth pass: an nprobe list
+    # that filters to empty must not cost a brute-force collect + index
+    # build first (r15 review moved this up from the sweep loop)
+    probes_env = os.environ.get("RECALL_NPROBES", "")
+    probes = (
+        [int(p) for p in probes_env.split(",") if p.strip()]
+        if probes_env
+        else [1, 2, 4, 8, n_cent]
+    )
+    usable = sorted({p for p in probes if p <= n_cent})
+    if probes and not usable:
+        raise SystemExit(
+            f"RECALL_NPROBES={probes} all exceed n_cent={n_cent}; nothing to sweep"
+        )
+
     n_queries = int(os.environ.get("RECALL_QUERIES", "100"))
     stride = max(n // n_queries, 1)
     queries = emb.filter(F.col("vec_id") % stride == 0)
@@ -181,17 +196,6 @@ def main() -> None:
         out["index_build_sec"] = round(time.time() - t0, 2)
         out["index_quantized"] = want_int8
 
-    # dedupe and cap at n_cent: probes beyond the centroid count are the
-    # same exact search, and a duplicate key would silently overwrite the
-    # earlier timing (r13 review). RECALL_NPROBES overrides the sweep —
-    # the K≈sqrt(N) sizing run (r14) needs intermediate points
-    probes_env = os.environ.get("RECALL_NPROBES", "")
-    probes = (
-        [int(p) for p in probes_env.split(",") if p.strip()]
-        if probes_env
-        else [1, 2, 4, 8, n_cent]
-    )
-
     def _recall(rows) -> float:
         got: dict = {}
         for r in rows:
@@ -200,14 +204,8 @@ def main() -> None:
             len(truth) * k
         )
 
-    usable = sorted({p for p in probes if p <= n_cent})
-    if probes and not usable:
-        # ADVICE r14: a RECALL_NPROBES list that filters to empty against
-        # n_cent would silently pay the brute-force ground-truth pass and
-        # print an empty sweep — fail loudly instead.
-        raise SystemExit(
-            f"RECALL_NPROBES={probes} all exceed n_cent={n_cent}; nothing to sweep"
-        )
+    # dedupe/cap (r13 review): probes beyond the centroid count are the
+    # same exact search; duplicates would overwrite earlier timings
     for nprobe in usable:
         t0 = time.time()
         rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()

@@ -93,6 +93,26 @@ def build_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
+def build_pipeline_docs_dir(spark, sf_dir: str, m: int, path: str) -> None:
+    """Scale-out corpus for the COMPOSED-pipeline bench: replica ids shift
+    into disjoint ranges and ONE salt token is appended per replica. The
+    token-level salt build_docs_dir uses would break q118's semantics —
+    salted tokens match no stopwords, so the quality gate's
+    stopword_ratio>0 rule drops 100% of rows (measured: the first x10
+    pipeline run emitted 0 rows). Appending a single token preserves the
+    quality features; the price is real cross-replica near-duplication
+    (replicas share almost all shingles), which is exactly what the
+    pipeline's near-dup + decontamination stages exist to handle - the
+    bench therefore exercises every stage with non-trivial selectivity."""
+    invalidate_scan_cache(path)
+    docs = load_table(spark, sf_dir, "documents")
+    out = _shifted(docs, m, ["doc_id"])
+    out = out.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" repsalt"), F.col("_rep"))
+    ).drop("_rep")
+    out.repartition(32).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
 def build_emb_dir(spark, sf_dir: str, m: int, path: str) -> None:
     invalidate_scan_cache(path)  # this dir is about to be rewritten
     emb = load_table(spark, sf_dir, "embeddings")
@@ -718,8 +738,8 @@ def main() -> None:
         result["stream_mult"] = SPAN_MULT
         result["stream"] = bench_stream(spark, ds)
     if family in ("pipeline", "all"):
-        dp = f"/tmp/nexgap_scale_docs_x{TEXT_MULT}"
-        build_docs_dir(spark, sf_dir, TEXT_MULT, dp)
+        dp = f"/tmp/nexgap_pipeline_docs_x{TEXT_MULT}"
+        build_pipeline_docs_dir(spark, sf_dir, TEXT_MULT, dp)
         con = duckdb.connect()
         con.sql(f"SET threads TO {cpus}")
         con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{dp}/documents.parquet/*.parquet')")

@@ -473,3 +473,36 @@ def test_build_ivf_index_engine_escape_hatch(spark, tmp_path):
     assert {(r.vec_id, r.centroid_id) for r in a.collect()} == {
         (r.vec_id, r.centroid_id) for r in b.collect()
     }
+
+
+def test_append_ivf_index_preserves_quantization(spark, tmp_path):
+    """r15 review: appending to a quantize=True index must quantize the
+    appended batch too — otherwise the new files carry NULL qvec/qscale/
+    l2n and the next int8 probe crashes or silently mis-ranks."""
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed_int8,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(base, cents, path, quantize=True)
+    append_ivf_index(extra, path)
+    corpus, _ = load_ivf_index(spark, path)
+    assert corpus.count() == emb.count()
+    # every appended row carries the int8 columns
+    assert corpus.filter(F.col("qvec").isNull()).count() == 0
+    assert corpus.filter(F.col("l2n").isNull()).count() == 0
+    # and the int8 probe sees appended vectors as results
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    got = ivf_topk_indexed_int8(queries, path, k=5, nprobe=6).collect()
+    assert any(r.n_id >= 300 for r in got)
