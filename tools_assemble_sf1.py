@@ -133,7 +133,7 @@ for name in sorted(b1):
 out = {
     "generated": os.environ.get(
         "SF1_GENERATED_NOTE",
-        "round 14 tree (bench.py BENCH_QUERY_SET=all; baseline_ namespace "
+        "round 15 tree (bench.py BENCH_QUERY_SET=all; baseline_ namespace "
         "segregated from every headline total per VERDICT r13 item 1)",
     ),
     "sf1_totals": {
