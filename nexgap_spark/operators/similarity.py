@@ -1237,8 +1237,12 @@ def ivf_topk_indexed_int8(
                 scale = grp["qscale"].to_numpy()
                 l2n = grp["l2n"].to_numpy()
                 sub_nids = grp[id_col].to_numpy()
-                # approximate dot: Q (m,d) @ q8.T (d,n), rescaled per column
-                dots = (sub_qm @ qm8.T) * scale[None, :]
+                # approximate dot via the shared ORDERED-fold kernel (not
+                # BLAS matmul): candidate selection ties then break
+                # identically across engines, which the q120 SQL oracle
+                # depends on — and acos values are bit-comparable with
+                # DuckDB's left-to-right list fold
+                dots = _seq_score_block(sub_qm, qm8) * scale[None, :]
                 denom = sub_qn[:, None] * np.where(l2n == 0.0, np.inf, l2n)[None, :]
                 cos = dots / denom
                 for qi in range(len(sub_q_ids)):

@@ -37,7 +37,7 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # (c) r13-green rotation fill up to 50. Deferred to r16 (all r13-green,
 #     re-pinned locally every round by selfcheck + the oracle test sweep):
 #     q24, q25, q26, q35, q38, q41, q42, q45, q68-q74, q78, q79, q103,
-#     q106.
+#     q106, q117.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
@@ -68,6 +68,7 @@ _DRIVER_WINDOW = [
     # (b) new round-15 queries (first external rows)
     "q118_corpus_pipeline",
     "q119_gif_animation",
+    "q120_ivf_int8_probe",
     # (c) r13-green rotation fill (30 of 49; deferral list in the header)
     "q04_priority_semi_join",
     "q06_revenue_filter",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW = [
     "q75b_column_profile_approx",
     "q114_zorder_curve",
     "q116_leakage_safe_split",
-    "q117_expectations",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -430,3 +430,106 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salt-split scale-guard default
     kept = sim.semantic_dedup(emb, cents, threshold=0.3, max_cluster_size=None)
     return kept.select("vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q120 — the QUANTIZED IVF probe end-to-end (round 15): build_ivf_index
+# (quantize=True) persists int8 vectors (+qscale/l2n) next to the floats;
+# ivf_topk_indexed_int8 selects candidates reading ONLY the int8 columns
+# (partition-pruned AND column-pruned scan) and reranks the global top
+# rerank_factor·k in exact float. The oracle replays the whole path in
+# SQL: same q = floor(127·x/safe + 0.5) quantization, same ordered-fold
+# int8 approximate cosine for candidate selection (the Spark kernel uses
+# the shared sequential fold precisely so selection TIES break
+# identically cross-engine), same exact-float rerank — so the value hash
+# pins candidate selection, not just the final scores.
+# ---------------------------------------------------------------------------
+
+_Q8 = "floor(127 * CAST({v}[i] AS DOUBLE) / {safe} + 0.5)"
+_ADOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({q}[i] AS DOUBLE) * " + _Q8 + "), 'sum')"
+)
+
+
+@query(
+    "q120_ivf_int8_probe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    q8 AS (
+      SELECT vec_id, centroid_id, embedding,
+             CASE WHEN mx = 0 THEN 1.0 ELSE mx END AS safe
+      FROM (
+        SELECT vec_id, centroid_id, embedding,
+               list_max(list_transform(range(1, 65),
+                 i -> abs(CAST(embedding[i] AS DOUBLE)))) AS mx
+        FROM clusters
+      )
+    ),
+    probes AS (
+      SELECT vec_id, c_id FROM assigned WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    acand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             ({_ADOT.format(q='q.embedding', v='c.embedding', safe='c.safe')}
+              * (c.safe / 127))
+             / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.embedding')})
+               AS acos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN q8 c ON c.centroid_id = p.c_id AND c.vec_id != q.vec_id
+    ),
+    sel AS (
+      SELECT q_id, n_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos DESC, n_id) AS arn
+      FROM acand
+    ),
+    rescored AS (
+      SELECT s.q_id, s.n_id, {_cos('q.embedding', 'c.embedding')} AS cos
+      FROM sel s
+      JOIN embeddings q ON q.vec_id = s.q_id
+      JOIN embeddings c ON c.vec_id = s.n_id
+      WHERE s.arn <= 6
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rk
+      FROM rescored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q120_ivf_int8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # side effect by design, same as q106: building the quantized index IS
+    # the operator under test
+    import os
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "nexgap_ivf8_index_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
+    )
+    sim.build_ivf_index(emb, centroids, path, quantize=True)
+    topk = sim.ivf_topk_indexed_int8(
+        queries, path, k=3, nprobe=2, rerank_factor=2
+    )
+    return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))

@@ -74,6 +74,12 @@ EXPLANATIONS = {
         "pre-agg shuffle + 1.5M-key broadcast build; isolated best-of-3 "
         "4.6-5.4s vs 5.5s before the r13 rewrite."
     ),
+    "q16_sessionize_events": (
+        "sweep-position inflation over a sub-0.3s sf0.1 base: isolated "
+        "best-of-3 at sf1.0 is 2.48s (9.5x, linear range) vs the sweep "
+        "cell's contended 5.1s; one shuffle + per-user sort, hot-key "
+        "boundary quantified in SCALE.md round-15 skew table."
+    ),
 }
 _SUBSECOND = (
     "ratio divides a sub-second, fixed-overhead-dominated sf0.1 cell; "
