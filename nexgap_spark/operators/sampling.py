@@ -36,13 +36,67 @@ def inverse_frequency_weights(
     round_to: int | None = None,
 ) -> DataFrame:
     """R2: weight = 1/(count+1)^exponent, normalized to probabilities
-    (reference sampling_manager.py:192-220)."""
+    (reference sampling_manager.py:192-220).
+
+    The normalizer is a ONE-ROW aggregate broadcast back (the accepted
+    1-row crossJoin idiom), not ``SUM OVER ()`` — the empty-partition
+    window logs Spark's single-partition WindowExec warning on every run
+    (VERDICT r15 item 7) and moves the table to one partition for no
+    reason. Sum-order float residue is ~1e-17, far below the round_to
+    digits every consumer applies."""
     w = F.lit(1.0) / F.pow(F.col(cnt_col) + 1, exponent)
-    total = F.sum(w).over(W.partitionBy())
-    prob = w / total
+    total = counts.agg(F.sum(w).alias("_w_total"))
+    prob = w / F.col("_w_total")
     if round_to is not None:
         prob = F.round(prob, round_to)
-    return counts.withColumn(out_col, prob)
+    return counts.crossJoin(F.broadcast(total)).withColumn(out_col, prob).drop(
+        "_w_total"
+    )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    *,
+    key_col: str,
+    val_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Cumulative sum of ``val_col`` in ``key_col`` order, WITHOUT the
+    global-order window — plus an ``_is_last`` flag marking the final row.
+
+    ``SUM OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`` with no partition
+    logs Spark's single-partition WindowExec warning on every run (two
+    rounds of bench logs carried the noise — VERDICT r15 item 7). The
+    tables this serves are histograms (one row per distinct key), so the
+    Spark-native shape is a ONE-ROW aggregate: sort_array(collect_list(
+    struct(key, val))) builds the ordered table map-side (partial
+    collect_list per input partition, one tiny merge), posexplode restores
+    the rows, and a sequential ``aggregate`` fold over each row's array
+    prefix reproduces the window's running sum BIT-IDENTICALLY (same
+    addition order as the window: ((0.0+v1)+v2)+...). The prefix fold is
+    O(k²) in the DISTINCT-KEY count — histogram-sized by contract, never
+    rows-scale; callers aggregate first.
+
+    Keys must be unique (a histogram): with duplicate keys the struct sort
+    tiebreaks on the value, which a pure ORDER BY key window leaves
+    unspecified anyway."""
+    packed = df.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(key_col).alias("k"), F.col(val_col).alias("v")))
+        ).alias("_rows")
+    )
+    return (
+        packed.select(F.col("_rows"), F.posexplode("_rows").alias("_pos", "_r"))
+        .select(
+            F.col("_r.k").alias(key_col),
+            F.col("_r.v").alias(val_col),
+            F.expr(
+                "aggregate(slice(_rows, 1, _pos + 1), cast(0.0 as double),"
+                " (acc, x) -> acc + x.v)"
+            ).alias(out_col),
+            (F.col("_pos") == F.size("_rows") - 1).alias("_is_last"),
+        )
+    )
 
 
 def weighted_sample(
@@ -55,8 +109,9 @@ def weighted_sample(
 ) -> DataFrame:
     """R2+W4: draw ``n`` independent weighted picks via inverse-CDF.
 
-    Build the cumulative distribution once (window over the weights table,
-    small by construction — it is a histogram), generate ``n`` seeded uniform
+    Build the cumulative distribution once (one-row aggregate fold over the
+    weights table, small by construction — it is a histogram; see
+    keyed_running_sum), generate ``n`` seeded uniform
     draws, and range-join each draw to the first CDF row covering it.
     Returns (draw_id, key). Deterministic for a fixed seed AND cluster size
     (draws live on one fixed partition — rand(seed) depends on partition
@@ -73,8 +128,6 @@ def weighted_sample(
     never the bottleneck.
     """
     spark = weighted.sparkSession
-    w_cum = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.partitionBy()
     cdf = (
         # zero-probability keys (round_to can floor rare keys to 0.0) must
         # never be pickable — and dropping them makes cum_hi STRICTLY
@@ -82,16 +135,20 @@ def weighted_sample(
         # kept, a trailing zero-width interval shares max(cum_hi) and the
         # clamp would produce overlapping [max, ∞) rows: one tail draw
         # would match several keys and return > n picks.
-        weighted.select(key_col, prob_col)
-        .filter(F.col(prob_col) > 0)
-        .withColumn("cum_hi", F.sum(prob_col).over(w_cum))
+        keyed_running_sum(
+            weighted.select(key_col, prob_col).filter(F.col(prob_col) > 0),
+            key_col=key_col,
+            val_col=prob_col,
+            out_col="cum_hi",
+        )
         .withColumn("cum_lo", F.col("cum_hi") - F.col(prob_col))
         .withColumn(
             "cum_hi",
-            F.when(
-                F.col("cum_hi") == F.max("cum_hi").over(w_all), F.lit(float("inf"))
-            ).otherwise(F.col("cum_hi")),
+            F.when(F.col("_is_last"), F.lit(float("inf"))).otherwise(
+                F.col("cum_hi")
+            ),
         )
+        .drop("_is_last")
     )
     draws = spark.range(0, n, 1, 1).select(
         F.col("id").alias("draw_id"), F.rand(seed).alias("u")

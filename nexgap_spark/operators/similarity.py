@@ -954,7 +954,10 @@ def build_ivf_index(
     # engine="sql" is the NULL-tolerant escape hatch for dirty corpora at
     # initial build time, mirroring append_ivf_index's parameter (ADVICE
     # r14: a corpus with NULL embeddings fails inside the Arrow kernel's
-    # np.stack with no override otherwise).
+    # np.stack with no override otherwise). The tolerance covers the
+    # ASSIGNMENT stage only: quantize=True always requires non-NULL
+    # embeddings — _quantize_stage rejects NULL rows with an actionable
+    # error instead of np.stack's shape crash (ADVICE r15).
     assigned = assign_clusters(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim, engine=engine
     )
@@ -980,6 +983,21 @@ def _quantize_stage(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # quantize=True requires non-NULL embeddings regardless of the
+            # assignment engine: engine="sql" tolerates NULLs at ASSIGNMENT
+            # (NULL similarity), but a NULL row reaching np.stack here would
+            # crash with an opaque shape error — and silently dropping rows
+            # from an index would be worse. Fail with the fix spelled out
+            # (r15 review).
+            nulls = pdf[vec_col].isna()
+            if nulls.any():
+                raise ValueError(
+                    f"quantize=True requires non-NULL {vec_col!r} values: "
+                    f"{int(nulls.sum())} NULL embedding row(s) reached the "
+                    "quantization stage. Filter NULL embeddings before "
+                    "build_ivf_index/append_ivf_index, or build the index "
+                    "with quantize=False."
+                )
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             maxabs = np.abs(m).max(axis=1)
             safe = np.where(maxabs == 0.0, 1.0, maxabs)
@@ -1024,7 +1042,11 @@ def append_ivf_index(
     file into every centroid dir — tasks×K small files per batch,
     progressively shredding the pruned layout). The Arrow engine rejects
     NULL embeddings loudly (np.stack); pass ``engine="sql"`` to keep the
-    old tolerate-NULL-similarity behavior for dirty batches."""
+    old tolerate-NULL-similarity behavior for dirty batches — at the
+    ASSIGNMENT stage only. Appending into a quantize=True index forces
+    quantization of the batch (below), and the quantize stage rejects NULL
+    embeddings with an actionable error under either engine (ADVICE r15):
+    filter NULLs first when appending dirty batches to a quantized index."""
     spark = new_vectors.sparkSession
     root = path.rstrip("/")
     centroids = spark.read.parquet(f"{root}/centroids")

@@ -24,81 +24,80 @@ from nexgap_spark.plans import advanced  # noqa: F401, E402
 from nexgap_spark.plans import agents  # noqa: F401, E402
 
 # The driver's per-round correctness gate records only the FIRST 50 entries
-# of the registry (observed: CORRECTNESS_r01..r13 each hold exactly the
+# of the registry (observed: CORRECTNESS_r01..r15 each hold exactly the
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 15
-# rotates oldest-external-green first (VERDICT r14 item 2):
-# (a) the 18 frozen-relational-core queries whose last external row is r12
-#     (the named r14 deferrals: q01-q03, q05, q07-q15, q18, q19, q46, q54,
-#     q56);
-# (b) new round-15 queries (fresh operators need their first external row);
-# (c) r13-green rotation fill up to 50. Deferred to r16 (all r13-green,
-#     re-pinned locally every round by selfcheck + the oracle test sweep):
-#     q24, q25, q26, q35, q38, q41, q42, q45, q68-q74, q78, q79, q103,
-#     q106, q117.
+# purely about which results get an externally-recorded row. Round 16
+# rotates oldest-external-green first (VERDICT r15 item 2):
+# (a) the 20 r15-deferred queries whose last external row is r13 (the
+#     named r15 deferrals: q24-q26, q35, q38, q41, q42, q45, q68-q74,
+#     q78, q79, q103, q106, q117);
+# (b) r14-green rotation fill up to 50, code-touched families first
+#     (similarity: q34/q76/q85/q102; streaming-adjacent: q16/q17).
+#     Deferred to r17 (all r14-green, re-pinned locally every round by
+#     selfcheck + the oracle test sweep): q39, q81, q86, q87-q95, q97,
+#     q98, q99, q104, q110, q113.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
-# the new names; r15 returns them to the tail). Consumers that must
+# the new names; r15+ return them to the tail). Consumers that must
 # exclude them key off registry.BASELINE_QUERIES / the name prefix, never
 # off catalog position — test_baseline_namespace_segregation asserts the
 # tail ordering whenever no baseline is window-listed.
 _DRIVER_WINDOW = [
-    # (a) frozen relational core — last external green r12
-    "q01_pricing_summary",
-    "q02_regional_revenue",
-    "q03_top_orders",
-    "q05_customers_no_orders",
-    "q07_topk_parts_per_brand",
-    "q08_last_event_per_user",
-    "q09_cumulative_revenue",
-    "q10_event_type_stats",
-    "q11_rollup_sales",
-    "q12_distinct_counts",
-    "q13_string_functions",
-    "q14_monthly_orders",
-    "q15_nation_set_ops",
-    "q18_json_extraction",
-    "q19_sampling_weights",
-    "q46_cube_sales",
-    "q54_stratified_sample",
-    "q56_monthly_gap_fill",
-    # (b) new round-15 queries (first external rows)
-    "q118_corpus_pipeline",
-    "q119_gif_animation",
-    "q120_ivf_int8_probe",
-    # (c) r13-green rotation fill (30 of 49; deferral list in the header)
-    "q04_priority_semi_join",
-    "q06_revenue_filter",
-    "q20_inverse_cdf_pick",
-    "q48_pivot_event_matrix",
-    "q49_price_quantiles",
-    "q50_grouping_sets",
-    "q51_interarrival_stats",
-    "q52_ntile_quartiles",
-    "q53_hash_sample",
-    "q55_exists_subquery",
-    "q58_value_histogram",
-    "q82_run_summary",
-    "q83_query_guard",
-    "q84_url_parse",
-    "q28_doc_fingerprints",
-    "q75_column_profile",
-    "q47_approx_distinct",
-    "q21_span_last_per_group",
-    "q22_span_parent_join",
-    "q23_span_root_walk",
-    "q37_convert_pipeline",
-    "q108_repeated_spans",
-    "q43_dup_groups",
-    "q44_dedup_corpus",
-    "q100_incremental_minhash",
-    "q31_minhash_lsh_pairs",
-    "q75b_column_profile_approx",
-    "q114_zorder_curve",
-    "q116_leakage_safe_split",
+    # (a) r15 deferrals — last external green r13
+    "q24_text_stats",
+    "q25_quality_features",
+    "q26_language_id",
+    "q35_ivf_topk",
+    "q38_validate_xml",
+    "q41_asof_join",
+    "q42_range_join",
+    "q45_hyperplane_lsh",
+    "q68_decontaminate",
+    "q69_pii_scan",
+    "q70_repetition_profile",
+    "q71_quality_gate",
+    "q72_split_assign",
+    "q73_pack_chunks",
+    "q74_cohort_retention",
+    "q78_ordered_funnel",
+    "q79_rebalance_domains",
+    "q103_ngram_logprob",
+    "q106_ivf_indexed",
+    "q117_expectations",
+    # (b) r14-green rotation fill (30 of 48; deferral list in the header)
+    "q30_minhash_signatures",
+    "q32_simhash",
+    "q33_binary_payloads",
+    "q34_cosine_topk",
+    "q61_centroid_outliers",
+    "q62_tfidf_top_terms",
+    "q63_approx_quantiles",
+    "q67_corr_stats",
+    "q76_quantize_digest",
+    "q77_rolling_active_users",
+    "q96_url_pipeline",
+    "q101_png_features",
+    "q102_semantic_dedup",
+    "q105_synthesis_workflow",
+    "q107_agent_execution",
+    "q109_generate_and_execute",
+    "q111_progressive_jpeg_features",
+    "q112_mp4_metadata",
+    "q16_sessionize_events",
+    "q17_tumbling_window_agg",
+    "q27_exact_dedup_stats",
+    "q40_media_features",
+    "q57_hopping_windows",
+    "q59_top_terms",
+    "q60_length_zscore",
+    "q64_funnel_conversions",
+    "q65_moving_average",
+    "q66_unpivot_matrix",
+    "q80_kmeans_step",
+    "q85_ivf_nprobe",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -713,13 +713,25 @@ def q19_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_inverse_cdf_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the running sum goes through keyed_running_sum (one-row aggregate
+    # fold, bit-identical addition order to the SQL window) instead of a
+    # global-order window — the empty-partition window logs Spark's
+    # single-partition WindowExec warning on every run (VERDICT r15 item 7)
+    from nexgap_spark.operators.sampling import keyed_running_sum
+
     ev = t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
     weighted = counts.withColumn("w", F.lit(1.0) / F.pow(F.col("cnt") + 1, 1.5))
-    w_cum = W.orderBy("event_type").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cdf = weighted.select(
-        "event_type",
-        (F.sum("w").over(w_cum) / F.sum("w").over(W.partitionBy())).alias("cum"),
+    total = weighted.agg(F.sum("w").alias("_w_total"))
+    cdf = (
+        keyed_running_sum(
+            weighted.select("event_type", "w"),
+            key_col="event_type",
+            val_col="w",
+            out_col="_cum_w",
+        )
+        .crossJoin(F.broadcast(total))
+        .select("event_type", (F.col("_cum_w") / F.col("_w_total")).alias("cum"))
     )
     return (
         cdf.filter(F.col("cum") >= 0.5)

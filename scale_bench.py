@@ -546,6 +546,7 @@ def bench_pipeline(spark, con, scaled_dir: str, trials: int = TRIALS) -> dict:
     comp_set = {tuple(r) for r in rows}
 
     staged = []
+    trial_stage_secs: list[dict] = []
     for _ in range(trials):
         work = tempfile.mkdtemp(prefix="nexgap_staged_")
         stage_secs: dict = {}
@@ -563,9 +564,12 @@ def bench_pipeline(spark, con, scaled_dir: str, trials: int = TRIALS) -> dict:
             tw(spark, scaled_dir, "documents"), stage_out=roundtrip
         ).collect()
         staged.append(time.time() - t0)
+        trial_stage_secs.append(stage_secs)
         shutil.rmtree(work, ignore_errors=True)
     rec["staged_sec"] = round(min(staged), 2)
-    rec["staged_stage_write_sec"] = stage_secs
+    # the stage breakdown must come from the SAME trial as the reported
+    # min total, not whichever ran last (ADVICE r15)
+    rec["staged_stage_write_sec"] = trial_stage_secs[staged.index(min(staged))]
     rec["staged_rows_equal"] = {tuple(r) for r in rows_s} == comp_set
     rec["composed_speedup"] = round(rec["staged_sec"] / rec["composed_sec"], 2)
     d = _duckdb_timed(con, ORACLES["q118_corpus_pipeline"])

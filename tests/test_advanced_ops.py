@@ -506,3 +506,32 @@ def test_append_ivf_index_preserves_quantization(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") % 100 == 1)
     got = ivf_topk_indexed_int8(queries, path, k=5, nprobe=6).collect()
     assert any(r.n_id >= 300 for r in got)
+
+
+def test_quantize_stage_rejects_null_embeddings(spark, tmp_path):
+    """ADVICE r15: engine='sql' tolerates NULL embeddings at ASSIGNMENT, but
+    quantize=True must not let those rows reach np.stack's opaque shape
+    crash — the quantize stage fails with an actionable message instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    cents = emb.limit(4).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    with pytest.raises(Exception, match="quantize=True requires non-NULL"):
+        build_ivf_index(
+            dirty, cents, str(tmp_path / "ivf"), engine="sql", quantize=True
+        )
+    # the documented fix works: filter NULLs first
+    build_ivf_index(
+        dirty.filter(F.col("embedding").isNotNull()),
+        cents,
+        str(tmp_path / "ivf_clean"),
+        engine="sql",
+        quantize=True,
+    )
