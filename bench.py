@@ -310,6 +310,9 @@ def main() -> None:
         "unit": "sec",
         "queries": spark_times,
         "sf": sf,
+        # recorded so tools_assemble_sf1.py can auto-rerun flagged
+        # queries isolated against the same data (VERDICT r15 item 6)
+        "sf_dir": sf_dir,
     }
     if baseline_times:
         result["baselines"] = baseline_times

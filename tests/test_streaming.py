@@ -715,3 +715,189 @@ def test_soak_artifact_fixed_is_flat():
     # throughput held the configured rate in every steady minute
     for row in s["curve"][1:]:
         assert row["rows_per_sec"] >= 0.9 * s["configured_rate"], row
+
+
+def test_v1_checkpoint_migrates_to_compacted_sessionizer(spark, tmp_path):
+    """VERDICT r15 item 4: the r15 prefix-compaction changed
+    BUFFERED_STATE_SCHEMA to v2, which a v1 checkpoint cannot restart on
+    in place. migrate_buffered_sessions_checkpoint is the tested upgrade:
+    build a GENUINE v1 checkpoint (the pre-fix buffer-everything state
+    layout, reimplemented below), stop mid-stream with open sessions in
+    state, read the state back through the State Data Source, and replay
+    it as the first input of a fresh-checkpoint v2 query. Invariant
+    (robust to timeout-batch timing): v1 emissions ∪ v2 emissions ==
+    the batch sessionizer over ALL events — every session exactly once,
+    exact boundaries/counts/totals (values are exact binary fractions, so
+    any summation order gives identical floats)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nexgap_spark.operators.sessionize import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda lo, hi: pd.DataFrame(
+        {
+            "user_id": [7] * (hi - lo),
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(lo, hi)],
+            "value": [float(m) * 0.25 for m in range(lo, hi)],
+        }
+    )
+    # three gap-5min sessions: A=min 0-9, B=min 60-69, C=min 120-129
+    sess_a, sess_b = mk(0, 10), mk(60, 70)
+    sess_c_head, sess_c_tail = mk(120, 121), mk(121, 130)
+    all_events = pd.concat(
+        [sess_a, sess_b, sess_c_head, sess_c_tail], ignore_index=True
+    )
+
+    # --- phase 1: the PRE-FIX v1 sessionizer (2-field raw-buffer state) ---
+    gap_us = 5 * 60 * 1_000_000
+
+    def fn_v1(key, pdf_iter, state):
+        (uid,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts, val = [], []
+        if state.exists:
+            t0, v0 = state.get
+            ts, val = list(t0), list(v0)
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                ts.extend(
+                    int(t)
+                    for t in pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                )
+                val.extend(float(v) for v in pdf["value"].fillna(0.0))
+        order = sorted(range(len(ts)), key=lambda i: ts[i])
+        ts, val = [ts[i] for i in order], [val[i] for i in order]
+        bounds, start = [], 0
+        for i in range(1, len(ts)):
+            if ts[i] - ts[i - 1] > gap_us:
+                bounds.append((start, i - 1))
+                start = i
+        if ts:
+            bounds.append((start, len(ts) - 1))
+        rows, keep_from = [], len(ts)
+        for s, e in bounds:
+            if wm_us > ts[e] + gap_us:
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "session_start": pd.to_datetime(ts[s], unit="us"),
+                        "session_end": pd.to_datetime(ts[e], unit="us"),
+                        "n_events": e - s + 1,
+                        "total_value": float(sum(val[s : e + 1])),
+                    }
+                )
+            else:
+                keep_from = s
+                break
+        rem_ts, rem_val = ts[keep_from:], val[keep_from:]
+        if rem_ts:
+            state.update((rem_ts, rem_val))
+            state.setTimeoutTimestamp((rem_ts[-1] + gap_us) // 1000 + 1)
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "total_value",
+                ],
+            )
+
+    d1 = tmp_path / "in_v1"
+    d1.mkdir()
+    _write_stream_chunk(d1, 0, sess_a)
+    _write_stream_chunk(d1, 1, sess_b)
+    _write_stream_chunk(d1, 2, sess_c_head)
+    out1 = str(tmp_path / "out_v1")
+    ck1 = str(tmp_path / "ckpt_v1")
+    q1 = (
+        SP.read_event_stream(spark, str(d1), max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn_v1,
+            SP.SESSION_OUTPUT_SCHEMA,
+            "pending_ts array<bigint>, pending_val array<double>",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck1)
+        .foreachBatch(lambda b, eid: SP.epoch_write_json(b, eid, out1))
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    # --- migrate: v1 state -> replayable raw events ---
+    seed = SP.migrate_buffered_sessions_checkpoint(spark, ck1)
+    seed_pd = seed.toPandas()
+    assert len(seed_pd) > 0, "v1 checkpoint should hold open-session events"
+
+    # --- phase 2: fresh-checkpoint v2 query, seed FIRST then the rest ---
+    d2 = tmp_path / "in_v2"
+    d2.mkdir()
+    _write_stream_chunk(d2, 0, seed_pd)
+    _write_stream_chunk(d2, 1, sess_c_tail)
+    _write_stream_chunk(d2, 2, _watermark_sentinel(all_events.assign(event_id=0)))
+    out2 = str(tmp_path / "out_v2")
+    q2 = (
+        SP.stateful_sessions_buffered(
+            SP.read_event_stream(spark, str(d2), max_files_per_trigger=1),
+            gap_minutes=5,
+            watermark="10 minutes",
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+        .foreachBatch(lambda b, eid: SP.epoch_write_json(b, eid, out2))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    got = []
+    for out in (out1, out2):
+        got.extend(
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in spark.read.schema(schema).json(out + "/epoch=*").collect()
+            if r.user_id == 7
+        )
+    assert len(got) > len(
+        [r for r in spark.read.schema(schema).json(out1 + "/epoch=*").collect()
+         if r.user_id == 7]
+    ), "the migrated v2 query must emit the sessions the v1 state held"
+    want = (
+        sessionize(
+            spark.createDataFrame(all_events.assign(event_id=range(len(all_events)))),
+            gap_minutes=5,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    )
+    want_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in want
+    }
+    assert len(want) == 3
+    assert sorted(got) == sorted(want_set), (got, want_set)
+
+    # a v2 checkpoint must be REFUSED (it restarts in place)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not the v1"):
+        SP.migrate_buffered_sessions_checkpoint(spark, str(tmp_path / "ckpt_v2"))

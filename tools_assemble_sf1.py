@@ -118,6 +118,60 @@ for name in sorted(q1):
             )
     queries[name] = e
 
+
+def _isolated_recheck(flagged: list[dict], sf1_dir: str | None) -> None:
+    """Auto-rerun every flagged_superlinear query ISOLATED best-of-3 at
+    sf1.0 and record isolated_sec / isolated_ratio inside the flag entry —
+    the cross-check that classified q16's 19x as sweep-position contention
+    needed manual prose in r13 AND r15 (VERDICT r15 item 6); now the
+    artifact carries it. A fresh session per assembler run (one session for
+    all flagged queries — isolation is from the SWEEP's cache/GC pressure,
+    not from sibling flagged queries, which run serially anyway)."""
+    if not flagged:
+        return
+    if not sf1_dir or not os.path.isdir(sf1_dir):
+        for f in flagged:
+            f["isolated_sec"] = None
+            f["isolated_note"] = (
+                f"sf1 dir unavailable ({sf1_dir!r}) — rerun the sweep with "
+                "the scaled dir present, or set SF1_DIR"
+            )
+        return
+    import time
+
+    from nexgap_spark.plans import QUERIES  # populates the registry
+    from nexgap_spark.session import get_spark
+
+    spark = get_spark()
+    # same warmup bench.py uses: session/codegen spin-up must not land in
+    # the first flagged query's first trial
+    QUERIES["q06_revenue_filter"](spark, sf1_dir).collect()
+    for f in flagged:
+        name = f["query"]
+        if name not in QUERIES:
+            f["isolated_sec"] = None
+            f["isolated_note"] = "query no longer in the catalog"
+            continue
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf1_dir).collect()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        f["isolated_sec"] = round(best, 3)
+        if f.get("sf01_sec"):
+            f["isolated_ratio"] = round(best / f["sf01_sec"], 1)
+            if f["isolated_ratio"] <= 10 and f["explanation"] == "UNEXPLAINED":
+                f["explanation"] = (
+                    "sweep-position inflation: isolated best-of-3 is in the "
+                    "linear range (see isolated_ratio)"
+                )
+
+
+_isolated_recheck(
+    flagged, os.environ.get("SF1_DIR", s1.get("sf_dir"))
+)
+
 # baseline_ namespace: own table, own (unflagged) growth ratios — these are
 # DECLARED quadratic oracle baselines whose scale twins carry the headline
 # rows; their times never enter the headline totals above
