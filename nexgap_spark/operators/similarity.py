@@ -1194,9 +1194,24 @@ def ivf_topk_indexed_int8(
     ~4x smaller per dimension — candidates are ranked by int8 approximate
     cosine, the global top rerank_factor*k per query are RERANKED with the
     float vectors (a second, candidate-filtered read of the probed
-    partitions), and the exact-scored top-k is emitted. This is the
-    standard quantized-IVF shape at 100 TB: the index that must stay hot
-    is int8; floats are touched only for ~rerank_factor*k rows per query.
+    partitions), and the exact-scored top-k is emitted.
+
+    MEASURED BYTES RULE (round 16, app-status-store inputBytes on the
+    1M x 768d clustered corpus — SCALE.md round-16 table): in a
+    pure-parquet deployment the rerank's candidate-filtered float read
+    still SCANS the float column of every probed partition (the id filter
+    evaluates after page decode; candidate ids are scattered, so row-group
+    stats can't prune), so rerank_factor>=1 reads int8 + float ≈ 1.25x the
+    float probe's bytes — it buys exact final scores, not IO. Pass
+    ``rerank_factor=0`` for the true 4x-bytes shape: rank by the int8
+    approximate cosine alone, never touching the float column (plan-audited
+    in tests). Recall of the int8-only ranking measured IDENTICAL to the
+    float probe at every nprobe in both data regimes and both dims
+    (RECALL_INT8*.json r15, round-16 high-dim rows) — the rerank's
+    exactness matters when downstream consumes the SCORES, not the ids.
+    At 100 TB: serve the int8 index hot with rerank_factor=0; add the
+    rerank only where floats live in a point-lookup store (not a parquet
+    scan) or score exactness is contractual.
 
     int8 approximation: x ~ qscale*q, so cos(Q, x) ~ (Q.q)*qscale /
     (|Q|*l2n) with l2n the stored FLOAT norm — scale cancellation keeps
@@ -1286,6 +1301,21 @@ def ivf_topk_indexed_int8(
         search_int8, schema=f"q_id {q_id_type}, n_id {n_id_type}, acos double"
     )
     wq = W.partitionBy("q_id").orderBy(F.col("acos").desc(), F.col("n_id"))
+    if rerank_factor == 0:
+        # int8-only ranking: the float column is NEVER read — the measured
+        # 4x-bytes serving shape (docstring rule). cos is the int8
+        # APPROXIMATE cosine; ids carry the same recall as the float probe
+        # on every measured regime.
+        return (
+            partials.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= k)
+            .select(
+                F.col("q_id"),
+                F.col("n_id"),
+                F.round("acos", 6).alias("cos"),
+                F.col("_rn").alias("rank"),
+            )
+        )
     cand = (
         partials.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= c_take)

@@ -533,3 +533,85 @@ def q120_ivf_int8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, path, k=3, nprobe=2, rerank_factor=2
     )
     return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# q121 — the NO-RERANK int8 probe (round 16): rank by the int8 approximate
+# cosine alone, float column never read — the measured 4x-bytes serving
+# shape (ivf_topk_indexed_int8 docstring rule; the round-16 bytes rows
+# showed the rerank's "candidate-filtered" float read still scans the
+# probed partitions' float column in a pure-parquet deployment). The
+# oracle replays quantization + the ordered-fold int8 cosine and emits the
+# APPROXIMATE score — both engines fold left-to-right, so the 6dp-rounded
+# values and the tie-broken ranking hash-match exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_ivf_int8_norerank",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    q8 AS (
+      SELECT vec_id, centroid_id, embedding,
+             CASE WHEN mx = 0 THEN 1.0 ELSE mx END AS safe
+      FROM (
+        SELECT vec_id, centroid_id, embedding,
+               list_max(list_transform(range(1, 65),
+                 i -> abs(CAST(embedding[i] AS DOUBLE)))) AS mx
+        FROM clusters
+      )
+    ),
+    probes AS (
+      SELECT vec_id, c_id FROM assigned WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    acand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             ({_ADOT.format(q='q.embedding', v='c.embedding', safe='c.safe')}
+              * (c.safe / 127))
+             / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.embedding')})
+               AS acos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN q8 c ON c.centroid_id = p.c_id AND c.vec_id != q.vec_id
+    ),
+    sel AS (
+      SELECT q_id, n_id, acos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY acos DESC, n_id) AS INT) AS rk
+      FROM acand
+    )
+    SELECT q_id, n_id, ROUND(acos, 6) AS cos, rk FROM sel WHERE rk <= 3
+    """,
+)
+def q121_ivf_int8_norerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "nexgap_ivf8nr_index_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
+    )
+    sim.build_ivf_index(emb, centroids, path, quantize=True)
+    topk = sim.ivf_topk_indexed_int8(
+        queries, path, k=3, nprobe=2, rerank_factor=0
+    )
+    return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))

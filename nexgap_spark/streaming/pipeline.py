@@ -683,6 +683,8 @@ def incremental_dedup_sink(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pre_batch=None,
+    post_batch=None,
 ):
     """Streaming twin of dedup.incremental_exact (T3+T6 + content dedup):
     each micro-batch is collapsed within itself and anti-joined against the
@@ -697,10 +699,17 @@ def incremental_dedup_sink(
     runs, and its size is the count of distinct documents ever seen —
     exactly the batch pipeline's ledger, shared. At scale, swap the JSON
     epoch dirs for a table format; the contract (committed-epoch union,
-    digest column) is unchanged."""
+    digest column) is unchanged.
+
+    ``pre_batch(epoch_id)`` / ``post_batch(epoch_id)`` are optional
+    driver-side hooks fired before the epoch's work and after BOTH epoch
+    writes but BEFORE the stream commit — the window the fault harnesses
+    (tools_cluster_stream.py) target with executor/driver kills."""
     from nexgap_spark.operators.dedup import incremental_exact, normalize_text
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        if pre_batch is not None:
+            pre_batch(epoch_id)
         spark = batch.sparkSession
         seen = read_committed_epochs(spark, ledger_dir, "digest string")
         fresh, _ = incremental_exact(
@@ -718,6 +727,8 @@ def incremental_dedup_sink(
         ).filter(F.col("digest").isNotNull())
         epoch_write_json(fresh, epoch_id, out_dir)
         epoch_write_json(new_digests, epoch_id, ledger_dir)
+        if post_batch is not None:
+            post_batch(epoch_id)
 
     return (
         docs.writeStream.outputMode("append")

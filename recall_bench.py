@@ -38,8 +38,14 @@ price.
 Usage: python recall_bench.py   (env: RECALL_DATA=scaled|clustered
 RECALL_MULT=100 RECALL_N=200000 RECALL_CLUSTERS=1000 RECALL_SPREAD=0.35
 RECALL_QUERIES=1000 RECALL_K=10 RECALL_CENTROIDS=448 RECALL_NPROBES=1,2,...
-RECALL_INDEXED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1). Prints one JSON
-line; the round's numbers are recorded in SCALE.md.
+RECALL_INDEXED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1). Round-16 knobs
+for the HIGH-DIM regime the int8 probe is designed for (VERDICT r15 item
+1): RECALL_DIM=768 (clustered corpus dimension), RECALL_TRAIN_SAMPLE=10
+(train the quantizer on every s-th vector), RECALL_INDEXED_ONLY=1 (skip
+the transient rows), and every indexed probe row now records its BYTES
+READ (indexed_input_mb / int8_input_mb / bytes_ratio_float_over_int8 from
+the app status store). Prints one JSON line; the round's numbers are
+recorded in SCALE.md.
 """
 
 from __future__ import annotations
@@ -102,19 +108,43 @@ def build_clustered_emb(spark, n: int, c: int, dim: int, spread: float, path: st
     df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
+def _input_bytes_total(spark) -> int:
+    """Sum of inputBytes over all stages in the app status store (works
+    with the UI disabled; the scala-default dance from tools_memsweep).
+    Deltas around an action give that action's BYTES READ — the number the
+    int8 probe's 4x-working-set claim is about (VERDICT r15 item 1)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jvm = spark.sparkContext._jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
+    it = stages.iterator()
+    total = 0
+    while it.hasNext():
+        total += it.next().inputBytes()
+    return total
+
+
 def main() -> None:
     data = os.environ.get("RECALL_DATA", "scaled")
     mult = int(os.environ.get("RECALL_MULT", "100"))
     k = int(os.environ.get("RECALL_K", "10"))
     n_cent = int(os.environ.get("RECALL_CENTROIDS", "16"))
+    dim = int(os.environ.get("RECALL_DIM", "64"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("recall_bench")
     if data == "clustered":
         n = int(os.environ.get("RECALL_N", "200000"))
         c = int(os.environ.get("RECALL_CLUSTERS", "1000"))
         spread = float(os.environ.get("RECALL_SPREAD", "0.35"))
-        d = f"/tmp/nexgap_recall_clustered_n{n}_c{c}_s{spread}"
-        build_clustered_emb(spark, n, c, 64, spread, d)
+        d = f"/tmp/nexgap_recall_clustered_n{n}_c{c}_s{spread}" + (
+            f"_d{dim}" if dim != 64 else ""
+        )
+        build_clustered_emb(spark, n, c, dim, spread, d)
     else:
         d = f"/tmp/nexgap_scale_emb_x{mult}"
         build_emb_dir(spark, sf_dir, mult, d)
@@ -123,13 +153,20 @@ def main() -> None:
 
     # K seed vectors -> 3 exact Lloyd steps (enough to spread the seeds;
     # the harness measures the INDEX the engine would really serve, not a
-    # lucky initialization)
+    # lucky initialization). RECALL_TRAIN_SAMPLE=s trains the quantizer on
+    # every s-th vector — standard IVF practice at corpus sizes where full
+    # Lloyd passes dominate the harness (the index ASSIGNMENT still covers
+    # the full corpus)
     t_train0 = time.time()
+    train_stride = int(os.environ.get("RECALL_TRAIN_SAMPLE", "1"))
+    train_emb = (
+        emb.filter(F.col("vec_id") % train_stride == 0) if train_stride > 1 else emb
+    )
     cents = emb.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     for _ in range(3):
-        upd = sim.kmeans_update(emb, cents)
+        upd = sim.kmeans_update(train_emb, cents, dim=dim)
         cents = (
             upd.groupBy("centroid_id")
             .agg(
@@ -162,18 +199,26 @@ def main() -> None:
 
     n_queries = int(os.environ.get("RECALL_QUERIES", "100"))
     stride = max(n // n_queries, 1)
-    queries = emb.filter(F.col("vec_id") % stride == 0)
+    # materialize the query set to its own (tiny) parquet: a filter over
+    # the corpus table re-SCANS the whole corpus on every probe call, which
+    # would swamp the probe-side input-bytes measurement at high dim
+    qpath = f"{d}/queries_s{stride}.parquet"
+    if not os.path.exists(f"{qpath}/_SUCCESS"):
+        emb.filter(F.col("vec_id") % stride == 0).write.mode("overwrite").parquet(
+            qpath
+        )
+    queries = spark.read.parquet(qpath)
     n_q = queries.count()
 
     t0 = time.time()
-    truth_rows = sim.brute_force_topk(queries, emb, k=k).collect()
+    truth_rows = sim.brute_force_topk(queries, emb, k=k, dim=dim).collect()
     t_brute = round(time.time() - t0, 2)
     truth: dict = {}
     for r in truth_rows:
         truth.setdefault(r.q_id, set()).add(r.n_id)
 
     out = {
-        "data": data, "corpus": n, "n_queries": n_q, "k": k,
+        "data": data, "corpus": n, "dim": dim, "n_queries": n_q, "k": k,
         "n_centroids": n_cent, "train_sec": t_train,
         "brute_force_sec": t_brute, "nprobe": {},
     }
@@ -205,28 +250,62 @@ def main() -> None:
         )
 
     # dedupe/cap (r13 review): probes beyond the centroid count are the
-    # same exact search; duplicates would overwrite earlier timings
+    # same exact search; duplicates would overwrite earlier timings.
+    # RECALL_INDEXED_ONLY=1 skips the transient rows — at high dim the
+    # per-call corpus re-assignment dominates the harness and the serving
+    # question is the INDEXED probe anyway.
+    indexed_only = bool(os.environ.get("RECALL_INDEXED_ONLY", ""))
     for nprobe in usable:
-        t0 = time.time()
-        rows = sim.ivf_topk(queries, emb, cents, k=k, nprobe=nprobe).collect()
-        dt = round(time.time() - t0, 2)
-        cell = {"recall": round(_recall(rows), 4), "sec": dt}
+        cell = {}
+        if not indexed_only:
+            t0 = time.time()
+            rows = sim.ivf_topk(
+                queries, emb, cents, k=k, dim=dim, nprobe=nprobe
+            ).collect()
+            cell = {"recall": round(_recall(rows), 4), "sec": round(time.time() - t0, 2)}
         if index_path is not None:
+            b0 = _input_bytes_total(spark)
             t0 = time.time()
             rows_i = sim.ivf_topk_indexed(
-                queries, index_path, k=k, nprobe=nprobe
+                queries, index_path, k=k, dim=dim, nprobe=nprobe
             ).collect()
             cell["indexed_sec"] = round(time.time() - t0, 2)
+            cell["indexed_input_mb"] = round((_input_bytes_total(spark) - b0) / 1e6, 1)
             cell["indexed_recall"] = round(_recall(rows_i), 4)
             if want_int8:
                 # memory-bound probe: int8 candidate scan + float rerank
+                b0 = _input_bytes_total(spark)
                 t0 = time.time()
                 rows_q = sim.ivf_topk_indexed_int8(
-                    queries, index_path, k=k, nprobe=nprobe,
+                    queries, index_path, k=k, dim=dim, nprobe=nprobe,
                     rerank_factor=int(os.environ.get("RECALL_RERANK", "4")),
                 ).collect()
                 cell["int8_sec"] = round(time.time() - t0, 2)
+                cell["int8_input_mb"] = round(
+                    (_input_bytes_total(spark) - b0) / 1e6, 1
+                )
                 cell["int8_recall"] = round(_recall(rows_q), 4)
+                if cell["int8_input_mb"]:
+                    cell["bytes_ratio_float_over_int8"] = round(
+                        cell["indexed_input_mb"] / cell["int8_input_mb"], 2
+                    )
+                # rerank_factor=0: the int8-ONLY ranking — float column
+                # never read; the true 4x-bytes serving shape
+                b0 = _input_bytes_total(spark)
+                t0 = time.time()
+                rows_nr = sim.ivf_topk_indexed_int8(
+                    queries, index_path, k=k, dim=dim, nprobe=nprobe,
+                    rerank_factor=0,
+                ).collect()
+                cell["int8nr_sec"] = round(time.time() - t0, 2)
+                cell["int8nr_input_mb"] = round(
+                    (_input_bytes_total(spark) - b0) / 1e6, 1
+                )
+                cell["int8nr_recall"] = round(_recall(rows_nr), 4)
+                if cell["int8nr_input_mb"]:
+                    cell["bytes_ratio_float_over_int8nr"] = round(
+                        cell["indexed_input_mb"] / cell["int8nr_input_mb"], 2
+                    )
         out["nprobe"][str(nprobe)] = cell
     print(json.dumps(out, separators=(",", ":")))
 

@@ -535,3 +535,55 @@ def test_quantize_stage_rejects_null_embeddings(spark, tmp_path):
         engine="sql",
         quantize=True,
     )
+
+
+def test_ivf_int8_probe_norerank_never_reads_float(spark, tmp_path):
+    """Round 16: rerank_factor=0 is the true 4x-bytes serving shape — the
+    float column must be ABSENT from the plan (the rerank pass re-scans
+    probed partitions' floats in a pure-parquet deployment, measured in
+    the round-16 bytes rows), and at full coverage the returned ids must
+    match the reranked path's ids (recall parity: the int8 ranking picks
+    the same neighbors; only the score column is approximate)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(emb, cents, path, quantize=True)
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+
+    nr = ivf_topk_indexed_int8(queries, path, k=5, nprobe=4, rerank_factor=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nr.explain("formatted")
+    plan = buf.getvalue()
+    assert "qvec" in plan
+    # the corpus float column never enters the no-rerank plan: the only
+    # embedding reads are the driver-side query/centroid pulls
+    assert "embedding" not in plan, plan
+
+    nr_rows = nr.collect()
+    rr_rows = ivf_topk_indexed_int8(
+        queries, path, k=5, nprobe=4, rerank_factor=4
+    ).collect()
+    per_q = {}
+    for r in nr_rows:
+        per_q.setdefault(r.q_id, set()).add(r.n_id)
+    assert all(len(s) == 5 for s in per_q.values())
+    rr_per_q = {}
+    for r in rr_rows:
+        rr_per_q.setdefault(r.q_id, set()).add(r.n_id)
+    agree = sum(
+        len(per_q[q] & rr_per_q[q]) for q in per_q
+    ) / (5 * len(per_q))
+    assert agree >= 0.9, f"int8-only ids vs reranked ids agreement {agree}"
