@@ -109,24 +109,25 @@ def build_clustered_emb(spark, n: int, c: int, dim: int, spread: float, path: st
 
 
 def _input_bytes_total(spark) -> int:
-    """Sum of inputBytes over all stages in the app status store (works
-    with the UI disabled; the scala-default dance from tools_memsweep).
-    Deltas around an action give that action's BYTES READ — the number the
-    int8 probe's 4x-working-set claim is about (VERDICT r15 item 1)."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    jvm = spark.sparkContext._jvm
-    stages = store.stageList(
-        jvm.java.util.ArrayList(),
-        getattr(store, "stageList$default$2")(),
-        getattr(store, "stageList$default$3")(),
-        getattr(store, "stageList$default$4")(),
-        getattr(store, "stageList$default$5")(),
-    )
-    it = stages.iterator()
-    total = 0
-    while it.hasNext():
-        total += it.next().inputBytes()
-    return total
+    """Logical bytes READ by the executor JVM — /proc/<jvm>/io rchar.
+    Deltas around an action give that action's bytes read — the number the
+    int8 probe's 4x-working-set claim is about (VERDICT r15 item 1).
+
+    Why rchar and not Spark's own counters (measured r16): the
+    app-status-store StageData.inputBytes AND the Hadoop FileSystem
+    statistics both register ~0.2 MB for a full 3.1 GB embedding-column
+    scan on this setup (the vectorized parquet reader's NIO path bypasses
+    both), while rchar deltas reproduce file sizes exactly — 3097 MB for
+    that same scan, 23 MB for the id-column-only scan, so COLUMN pruning
+    is visible, which is the whole point. Local-mode only by design (every
+    executor shares the driver JVM); includes shuffle-file reads, which
+    are negligible for the partition-pruned probes this instruments."""
+    jvm_pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    with open(f"/proc/{jvm_pid}/io") as f:
+        for line in f:
+            if line.startswith("rchar:"):
+                return int(line.split()[1])
+    return 0
 
 
 def main() -> None:
@@ -151,6 +152,18 @@ def main() -> None:
     emb = load_table(spark, d, "embeddings")
     n = emb.count()
 
+    # RECALL_REUSE_INDEX=1 + an already-committed index + indexed-only
+    # probes: training and building can both be skipped — the metric
+    # harness then iterates on probe instrumentation without re-paying the
+    # 4-minute build (the centroids the indexed probes route on live
+    # INSIDE the index layout)
+    want_int8 = bool(os.environ.get("RECALL_INT8", ""))
+    indexed_only = bool(os.environ.get("RECALL_INDEXED_ONLY", ""))
+    maybe_index_path = f"{d}/ivf_index_k{n_cent}" + ("_q8" if want_int8 else "")
+    reuse_index = bool(os.environ.get("RECALL_REUSE_INDEX", "")) and os.path.exists(
+        f"{maybe_index_path}/corpus/_SUCCESS"
+    )
+
     # K seed vectors -> 3 exact Lloyd steps (enough to spread the seeds;
     # the harness measures the INDEX the engine would really serve, not a
     # lucky initialization). RECALL_TRAIN_SAMPLE=s trains the quantizer on
@@ -165,7 +178,7 @@ def main() -> None:
     cents = emb.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    for _ in range(3):
+    for _ in range(0 if (reuse_index and indexed_only) else 3):
         upd = sim.kmeans_update(train_emb, cents, dim=dim)
         cents = (
             upd.groupBy("centroid_id")
@@ -210,9 +223,20 @@ def main() -> None:
     queries = spark.read.parquet(qpath)
     n_q = queries.count()
 
-    t0 = time.time()
-    truth_rows = sim.brute_force_topk(queries, emb, k=k, dim=dim).collect()
-    t_brute = round(time.time() - t0, 2)
+    # ground truth is PURE derived data on an immutable corpus — cache it
+    # next to the corpus so metric-harness iterations don't re-pay the
+    # brute-force pass (869 s at 1M x 768d)
+    tpath = f"{d}/truth_s{stride}_k{k}.parquet"
+    t_brute: float | None
+    if os.path.exists(f"{tpath}/_SUCCESS"):
+        truth_rows = spark.read.parquet(tpath).collect()
+        t_brute = None  # cached; the original cost is in the first artifact
+    else:
+        t0 = time.time()
+        bf = sim.brute_force_topk(queries, emb, k=k, dim=dim).select("q_id", "n_id")
+        bf.write.mode("overwrite").parquet(tpath)
+        truth_rows = spark.read.parquet(tpath).collect()
+        t_brute = round(time.time() - t0, 2)
     truth: dict = {}
     for r in truth_rows:
         truth.setdefault(r.q_id, set()).add(r.n_id)
@@ -231,14 +255,16 @@ def main() -> None:
         out["mult"] = mult
 
     index_path = None
-    want_int8 = bool(os.environ.get("RECALL_INT8", ""))
     if os.environ.get("RECALL_INDEXED", "") or want_int8:
-        index_path = f"{d}/ivf_index_k{n_cent}" + ("_q8" if want_int8 else "")
-        t0 = time.time()
-        # int8 sweep builds a quantized index; the float probe on it reads
-        # the float column as before, so one index serves both rows
-        sim.build_ivf_index(emb, cents, index_path, quantize=want_int8)
-        out["index_build_sec"] = round(time.time() - t0, 2)
+        index_path = maybe_index_path
+        if reuse_index:
+            out["index_reused"] = True
+        else:
+            t0 = time.time()
+            # int8 sweep builds a quantized index; the float probe on it
+            # reads the float column as before, so one index serves both
+            sim.build_ivf_index(emb, cents, index_path, quantize=want_int8)
+            out["index_build_sec"] = round(time.time() - t0, 2)
         out["index_quantized"] = want_int8
 
     def _recall(rows) -> float:
@@ -254,7 +280,6 @@ def main() -> None:
     # RECALL_INDEXED_ONLY=1 skips the transient rows — at high dim the
     # per-call corpus re-assignment dominates the harness and the serving
     # question is the INDEXED probe anyway.
-    indexed_only = bool(os.environ.get("RECALL_INDEXED_ONLY", ""))
     for nprobe in usable:
         cell = {}
         if not indexed_only:

@@ -178,3 +178,34 @@ def test_cluster_artifact_green():
     assert demo_rel["value"] == demo_rel["expected"]
     demo_loc = rep["ckpt_demo_local"]["demo"]
     assert "err" in demo_loc and "CHECKPOINT" in demo_loc["err"].upper()
+
+
+def test_cluster_stream_artifact_green():
+    """The committed cluster x streaming fault compose (tools_cluster_stream,
+    round 16) must stay green and complete: the streaming dedup sink
+    survives a mid-epoch executor kill AND a driver kill between ledger
+    write and commit (checkpoint resume), and the RocksDB sessionizer
+    under executor kill equals the batch twin — all hash-gated against
+    the clean local run."""
+    path = os.path.join("/root/repo", "CLUSTER_STREAM.json")
+    if not os.path.exists(path):
+        pytest.skip("CLUSTER_STREAM.json not yet committed")
+    with open(path) as f:
+        rep = json.load(f)
+    assert rep["ok"] is True
+    assert rep["exec_kill_ok"] is True
+    assert rep["driver_kill_ok"] is True
+    assert rep["sessions_exec_kill_ok"] is True
+    # the kills genuinely happened and the master replaced the executors
+    assert rep["exec_kill"]["kill"]["victim_pid"]
+    assert rep["exec_kill"]["kill"]["replaced"] is True
+    assert rep["exec_kill"]["dup_survivors"] == 0
+    assert "driver_kill_marker" in rep["driver_kill_first"]["kill"]
+    assert rep["driver_kill_resumed"]["dup_survivors"] == 0
+    assert (
+        rep["driver_kill_resumed"]["survivors_hash"]
+        == rep["clean"]["survivors_hash"]
+    )
+    sk = rep["sessions_exec_kill"]
+    assert sk["equal"] is True and sk["emitted"] > 0
+    assert sk["kill"]["victim_pid"] and sk["kill"]["replaced"] is True
