@@ -1206,19 +1206,22 @@ def ivf_topk_indexed_int8(
     float vectors (a second, candidate-filtered read of the probed
     partitions), and the exact-scored top-k is emitted.
 
-    MEASURED BYTES RULE (round 16, app-status-store inputBytes on the
-    1M x 768d clustered corpus — SCALE.md round-16 table): in a
-    pure-parquet deployment the rerank's candidate-filtered float read
-    still SCANS the float column of every probed partition (the id filter
-    evaluates after page decode; candidate ids are scattered, so row-group
-    stats can't prune), so rerank_factor>=1 reads int8 + float ≈ 1.25x the
-    float probe's bytes — it buys exact final scores, not IO. Pass
-    ``rerank_factor=0`` for the true 4x-bytes shape: rank by the int8
+    MEASURED BYTES RULE (round 16, JVM-rchar bytes-read deltas on the
+    1M x 768d clustered corpus — RECALL_INT8_HIGHDIM_r16.json, SCALE.md
+    round-16 table): in a pure-parquet deployment the rerank's
+    candidate-filtered float read still SCANS the float column of every
+    probed partition (the id filter evaluates after page decode; candidate
+    ids are scattered, so row-group stats can't prune), so rerank_factor>=1
+    reads 1.0-1.15x the FLOAT probe's bytes — it buys exact final scores,
+    not IO. Pass ``rerank_factor=0`` for the real saving: rank by the int8
     approximate cosine alone, never touching the float column (plan-audited
-    in tests). Recall of the int8-only ranking measured IDENTICAL to the
-    float probe at every nprobe in both data regimes and both dims
-    (RECALL_INT8*.json r15, round-16 high-dim rows) — the rerank's
-    exactness matters when downstream consumes the SCORES, not the ids.
+    in tests) — measured 3.4-4.7x fewer bytes AND 1.25-1.6x faster wall
+    than the float probe at every nprobe at 768 dims, where the probe is
+    scan/decode-bound. That is the crossover's far side: at 64 dims
+    (CPU-bound kernel, r15) int8 paid ~1.5x wall for the same recall; at
+    768 dims it wins both axes. Recall: int8+rerank is IDENTICAL to the
+    float probe at every nprobe in every measured regime; int8-only
+    ranking gives up <=1.8 recall points (0.9723 -> 0.9546 at nprobe=4).
     At 100 TB: serve the int8 index hot with rerank_factor=0; add the
     rerank only where floats live in a point-lookup store (not a parquet
     scan) or score exactness is contractual.
