@@ -931,6 +931,7 @@ def build_ivf_index(
     dim: int = DEFAULT_DIM,
     engine: str = "arrow",
     quantize: bool = False,
+    pq_codebooks: DataFrame | None = None,
 ) -> None:
     """Persist an IVF index: the corpus with its coarse-quantization
     assignment, written as parquet PARTITIONED BY centroid_id — so a
@@ -960,7 +961,16 @@ def build_ivf_index(
     Storage grows ~1.25× (int8 + float retained for rerank/exactness);
     the memory-bound resource is the PROBE working set, which shrinks 4×.
     Measured recall/cost rows: recall_bench.py with RECALL_INT8=1
-    (SCALE.md round-15)."""
+    (SCALE.md round-15).
+
+    ``pq_codebooks`` (a (subspace, code, codeword) DataFrame from
+    operators.pq) additionally stores an m-BYTE product-quantization code
+    per vector (``pqcodes`` binary) and persists the codebooks alongside
+    (``{path}/pq_codebooks``) — the bytes-floor probe shape
+    (ivf_topk_indexed_pq reads m bytes/row where int8 reads dim and float
+    reads 4·dim). Composable with ``quantize=True``: a production index
+    stores all tiers and each probe's column pruning pays only for the
+    tier it reads."""
     # engine="sql" is the NULL-tolerant escape hatch for dirty corpora at
     # initial build time, mirroring append_ivf_index's parameter (ADVICE
     # r14: a corpus with NULL embeddings fails inside the Arrow kernel's
@@ -973,6 +983,13 @@ def build_ivf_index(
     )
     if quantize:
         assigned = _quantize_stage(assigned, vec_col=vec_col)
+    if pq_codebooks is not None:
+        from nexgap_spark.operators import pq as _pq
+
+        assigned = _pq.pq_encode_stage(assigned, pq_codebooks, vec_col=vec_col)
+        pq_codebooks.write.mode("overwrite").parquet(
+            f"{path.rstrip('/')}/pq_codebooks"
+        )
     assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{path.rstrip('/')}/corpus")
@@ -1067,8 +1084,21 @@ def append_ivf_index(
     # a quantize=True index must STAY quantized: appending rows without
     # qvec/qscale/l2n would NULL those columns on the new files and crash
     # (or mislead) the next int8 probe (r15 review)
-    if "qvec" in spark.read.parquet(f"{root}/corpus").columns:
+    existing_cols = spark.read.parquet(f"{root}/corpus").columns
+    if "qvec" in existing_cols:
         assigned = _quantize_stage(assigned, vec_col=vec_col)
+    # the same staying-power contract for PQ codes: the batch is encoded
+    # against the index's PERSISTED codebooks (codebooks stay fixed between
+    # rebuilds, exactly like the centroids — the recall-drift/rebuild note
+    # above covers both quantizers)
+    if "pqcodes" in existing_cols:
+        from nexgap_spark.operators import pq as _pq
+
+        assigned = _pq.pq_encode_stage(
+            assigned,
+            spark.read.parquet(f"{root}/pq_codebooks"),
+            vec_col=vec_col,
+        )
     assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
         "centroid_id"
     ).parquet(f"{root}/corpus")

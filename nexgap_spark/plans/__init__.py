@@ -33,13 +33,13 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # (a) the 20 r15-deferred queries whose last external row is r13 (the
 #     named r15 deferrals: q24-q26, q35, q38, q41, q42, q45, q68-q74,
 #     q78, q79, q103, q106, q117);
-# (b) the new round-16 query (first external row): q121, the no-rerank
-#     int8 probe;
+# (b) the new round-16 queries (first external rows): q121, the no-rerank
+#     int8 probe, and q122, the PQ-ADC probe;
 # (c) r14-green rotation fill up to 50, code-touched families first
 #     (similarity: q34/q76/q102; streaming-adjacent: q16/q17).
 #     Deferred to r17 (all r14-green, re-pinned locally every round by
-#     selfcheck + the oracle test sweep): q39, q81, q85, q86, q87-q95,
-#     q97, q98, q99, q104, q110, q113.
+#     selfcheck + the oracle test sweep): q39, q80, q81, q85, q86,
+#     q87-q95, q97, q98, q99, q104, q110, q113.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
@@ -69,9 +69,10 @@ _DRIVER_WINDOW = [
     "q103_ngram_logprob",
     "q106_ivf_indexed",
     "q117_expectations",
-    # (b) new round-16 query (first external row)
+    # (b) new round-16 queries (first external rows)
     "q121_ivf_int8_norerank",
-    # (c) r14-green rotation fill (29 of 48; deferral list in the header)
+    "q122_pq_adc_topk",
+    # (c) r14-green rotation fill (28 of 48; deferral list in the header)
     "q30_minhash_signatures",
     "q32_simhash",
     "q33_binary_payloads",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW = [
     "q64_funnel_conversions",
     "q65_moving_average",
     "q66_unpivot_matrix",
-    "q80_kmeans_step",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):

@@ -615,3 +615,97 @@ def q121_ivf_int8_norerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, path, k=3, nprobe=2, rerank_factor=0
     )
     return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# q122 — PQ-ADC top-3 against the persisted IVF index (nprobe=2): the
+# bytes-floor probe. Codebooks are deterministic data rows (codeword (j, i)
+# = subspace-j slice of vec_id i, i < 8; m=4 subspaces of 16 dims) — the
+# same data-as-parameters convention as q35's centroids, which lets the
+# oracle rebuild the codebook, replay the per-subspace ordered-fold L2
+# argmin encode (ties -> lowest code), reconstruct each candidate, and
+# score the reconstruction with the shared cosine fold. The probe scans
+# ONLY (id, centroid_id, pqcodes) — m BYTES per candidate (plan-audited);
+# the float and int8 columns never enter the scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_pq_adc_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_cos('embedding', 'c_vec')} DESC, c_id) AS rn
+      FROM embeddings CROSS JOIN centroids
+    ),
+    clusters AS (
+      SELECT vec_id, embedding, c_id AS centroid_id FROM assigned WHERE rn = 1
+    ),
+    subs AS (SELECT CAST(UNNEST(range(4)) AS INT) AS j),
+    cb AS (
+      SELECT j, CAST(vec_id AS INT) AS code,
+             list_transform(range(CAST(j*16+1 AS INT), CAST(j*16+17 AS INT)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS cw
+      FROM embeddings CROSS JOIN subs WHERE vec_id < 8
+    ),
+    enc AS (
+      SELECT v.vec_id, c.j, c.cw,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.j ORDER BY
+               list_aggregate(list_transform(range(1, 17),
+                 i -> (CAST(v.embedding[c.j*16 + i] AS DOUBLE) - c.cw[i])
+                    * (CAST(v.embedding[c.j*16 + i] AS DOUBLE) - c.cw[i])),
+                 'sum') ASC, c.code) AS rn
+      FROM clusters v CROSS JOIN cb c
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(cw ORDER BY j)) AS rvec
+      FROM enc WHERE rn = 1 GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id, c_id FROM assigned WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    acand AS (
+      SELECT q.vec_id AS q_id, cand.vec_id AS n_id,
+             ({_DOT.format(a='q.embedding', b='r.rvec')})
+             / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='r.rvec')})
+               AS acos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN clusters cand ON cand.centroid_id = p.c_id AND cand.vec_id != q.vec_id
+      JOIN recon r ON r.vec_id = cand.vec_id
+    ),
+    sel AS (
+      SELECT q_id, n_id, acos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY acos DESC, n_id) AS INT) AS rk
+      FROM acand
+    )
+    SELECT q_id, n_id, ROUND(acos, 6) AS cos, rk FROM sel WHERE rk <= 3
+    """,
+)
+def q122_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nexgap_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    codebooks = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "nexgap_ivfpq_index_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
+    )
+    sim.build_ivf_index(emb, centroids, path, pq_codebooks=codebooks)
+    topk = pq.ivf_topk_indexed_pq(queries, path, k=3, nprobe=2)
+    return topk.select("q_id", "n_id", "cos", F.col("rank").alias("rk"))

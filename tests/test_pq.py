@@ -1,0 +1,233 @@
+"""Product-quantization operator suite (operators/pq.py): geometry
+validation, encode determinism and exact-reconstruction property, NULL
+rejection, plan audit (the probe reads m BYTES per row — neither the float
+nor the int8 column may enter the scan), trained-codebook determinism, and
+the append-path staying-quantized contract. The value-level cross-engine
+gate is q122's DuckDB oracle (test_oracle_queries sweep)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nexgap_spark.operators import pq
+from nexgap_spark.operators.similarity import (
+    append_ivf_index,
+    build_ivf_index,
+    ivf_topk_indexed,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def _cents(emb, n=4):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
+def test_pq_geometry_validation(spark):
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_codebooks_from_rows(emb, m=5, ksub=8)
+    with pytest.raises(ValueError, match="ksub"):
+        pq.pq_codebooks_from_rows(emb, m=4, ksub=300)
+    # a sparse (subspace, code) grid must be rejected before any encode
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8).filter(
+        ~((F.col("subspace") == 2) & (F.col("code") == 3))
+    )
+    with pytest.raises(ValueError, match="dense"):
+        pq.pq_encode_stage(emb, cb).collect()
+
+
+def test_pq_encode_codebook_rows_are_fixed_points(spark):
+    """Codeword (j, i) IS row i's subvector, so encoding the source rows
+    must return code i in every subspace (distance exactly 0, and the
+    lowest-code tiebreak cannot displace an exact zero), and the
+    reconstruction equals the original vector bit-for-bit."""
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    coded = (
+        pq.pq_encode_stage(emb.filter(F.col("vec_id") < 8), cb)
+        .select("vec_id", "embedding", "pqcodes")
+        .collect()
+    )
+    assert len(coded) == 8
+    cbm = pq._codebook_matrix(cb)
+    for row in coded:
+        codes = np.frombuffer(row.pqcodes, dtype=np.uint8)
+        assert list(codes) == [row.vec_id] * 4
+        recon = pq._reconstruct(codes[None, :], cbm)[0]
+        assert np.array_equal(recon, np.asarray(row.embedding, dtype=np.float64))
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """The Arrow encode stage equals an independent per-row numpy argmin
+    (ordered-fold distances, first-minimum ties) on a real slice."""
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    cbm = pq._codebook_matrix(cb)
+    rows = (
+        pq.pq_encode_stage(emb.filter(F.col("vec_id") < 64), cb)
+        .select("vec_id", "embedding", "pqcodes")
+        .collect()
+    )
+    assert len(rows) == 64
+    for row in rows:
+        x = np.asarray(row.embedding, dtype=np.float64)
+        got = np.frombuffer(row.pqcodes, dtype=np.uint8)
+        for j in range(4):
+            xs = x[j * 16 : (j + 1) * 16]
+            acc = (xs[0] - cbm[j][:, 0]) ** 2
+            for i in range(1, 16):
+                acc = acc + (xs[i] - cbm[j][:, i]) ** 2
+            assert got[j] == int(np.argmin(acc))
+
+
+def test_pq_encode_rejects_null_embeddings(spark):
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(Exception, match="non-NULL"):
+        pq.pq_encode_stage(dirty, cb).collect()
+
+
+def test_pq_probe_never_reads_float_or_int8(spark, tmp_path):
+    """The bytes-floor contract: a PQ probe against an index that ALSO
+    stores float and int8 tiers must scan only (id, centroid_id, pqcodes)
+    — both heavier columns absent from the executed plan's scan."""
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, _cents(emb), path, quantize=True, pq_codebooks=cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+    topk = pq.ivf_topk_indexed_pq(queries, path, k=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk.explain("formatted")
+    plan = buf.getvalue()
+    assert "pqcodes" in plan
+    assert "embedding" not in plan, plan
+    assert "qvec" not in plan, plan
+    assert topk.count() > 0
+
+
+def test_pq_probe_full_coverage_ids_track_reconstruction_ranking(spark, tmp_path):
+    """At nprobe = n_centroids the probe ranks the WHOLE corpus by the ADC
+    approximate cosine; an independent numpy replay (encode + reconstruct +
+    ordered-fold cosine, ties to lowest id) must produce the same ids,
+    ranks, and 6dp scores for every query."""
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    path = str(tmp_path / "ivfpq_full")
+    build_ivf_index(emb, _cents(emb), path, pq_codebooks=cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+    got = {
+        (r.q_id, r.rank): (r.n_id, r.cos)
+        for r in pq.ivf_topk_indexed_pq(queries, path, k=4, nprobe=4).collect()
+    }
+
+    cbm = pq._codebook_matrix(cb)
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    codes = np.empty((len(mat), 4), dtype=np.uint8)
+    for j in range(4):
+        codes[:, j] = np.argmin(
+            pq._seq_sqdist_block(mat[:, j * 16 : (j + 1) * 16], cbm[j]), axis=1
+        )
+    recon = pq._reconstruct(codes, cbm)
+    from nexgap_spark.operators.similarity import _seq_score_block, _seq_sqrt_norms
+
+    rl2 = _seq_sqrt_norms(recon)
+    qsel = ids % 100 == 3
+    qm, qids = mat[qsel], ids[qsel]
+    cos = _seq_score_block(qm, recon) / (
+        _seq_sqrt_norms(qm)[:, None] * rl2[None, :]
+    )
+    for qi, qid in enumerate(qids):
+        row = cos[qi].copy()
+        row[ids == qid] = -np.inf
+        order = np.lexsort((ids, -row))[:4]
+        for rk, ci in enumerate(order, start=1):
+            n_id, score = got[(qid, rk)]
+            assert n_id == ids[ci], (qid, rk)
+            assert score == pytest.approx(round(row[ci], 6), abs=1e-9)
+
+
+def test_append_into_pq_index_stays_coded(spark, tmp_path):
+    """Appending into a PQ index must encode the batch against the
+    PERSISTED codebooks: the union index answers a full-coverage probe
+    identically to the same index built in one shot."""
+    emb = _emb(spark)
+    cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
+    first, rest = emb.filter(F.col("vec_id") < 300), emb.filter(F.col("vec_id") >= 300)
+    grown = str(tmp_path / "grown")
+    build_ivf_index(first, _cents(emb), grown, pq_codebooks=cb)
+    append_ivf_index(rest, grown)
+    whole = str(tmp_path / "whole")
+    build_ivf_index(emb, _cents(emb), whole, pq_codebooks=cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+    a = sorted(
+        map(tuple, pq.ivf_topk_indexed_pq(queries, grown, k=5, nprobe=4).collect())
+    )
+    b = sorted(
+        map(tuple, pq.ivf_topk_indexed_pq(queries, whole, k=5, nprobe=4).collect())
+    )
+    assert a == b and len(a) > 0
+    # the appended rows carry real codes (no NULL pqcodes on the new files)
+    corpus = spark.read.parquet(f"{grown}/corpus")
+    assert corpus.filter(F.col("pqcodes").isNull()).count() == 0
+    # and the float probe still works against the same grown index
+    assert ivf_topk_indexed(queries, grown, k=3, nprobe=4).count() > 0
+
+
+def test_pq_train_codebooks_seeded_determinism(spark):
+    emb = _emb(spark)
+    a = pq.pq_train_codebooks(
+        emb, m=4, ksub=16, sample_rows=400, iters=3, seed=11
+    ).collect()
+    b = pq.pq_train_codebooks(
+        emb, m=4, ksub=16, sample_rows=400, iters=3, seed=11
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = pq.pq_train_codebooks(
+        emb, m=4, ksub=16, sample_rows=400, iters=3, seed=12
+    ).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_pq_trained_beats_or_matches_rows_codebook_distortion(spark):
+    """Training exists to cut quantization distortion: mean squared
+    reconstruction error with trained codebooks must not exceed the
+    data-rows codebook's on the same sample."""
+    emb = _emb(spark)
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def mse(cb_df):
+        cbm = pq._codebook_matrix(cb_df)
+        codes = np.empty((len(mat), 4), dtype=np.uint8)
+        for j in range(4):
+            codes[:, j] = np.argmin(
+                pq._seq_sqdist_block(mat[:, j * 16 : (j + 1) * 16], cbm[j]), axis=1
+            )
+        recon = pq._reconstruct(codes, cbm)
+        return float(((mat - recon) ** 2).mean())
+
+    rows_mse = mse(pq.pq_codebooks_from_rows(emb, m=4, ksub=8))
+    trained_mse = mse(
+        pq.pq_train_codebooks(emb, m=4, ksub=8, sample_rows=500, iters=8, seed=7)
+    )
+    assert trained_mse <= rows_mse
