@@ -175,36 +175,51 @@ def materialize(df: DataFrame) -> DataFrame:
 
     When the SparkContext has a RELIABLE checkpoint directory configured
     (``setCheckpointDir`` — HDFS/S3-class storage on a real cluster, any
-    shared filesystem on one box), switch to ``checkpoint(eager=True)``:
-    same truncation semantics, blocks in fault-tolerant storage, and
-    iterative loops (connected components, taxonomy rounds, LSH membership
-    caps) survive ``kill -9`` of an executor mid-computation.
+    shared filesystem on one box), materialize as a PARQUET ROUND-TRIP
+    into that directory: one compute, one columnar write, consumers
+    re-scan the files. Same truncation semantics (the re-read is a fresh
+    scan with no upstream lineage), same durable-storage recovery contract
+    — iterative loops (connected components, taxonomy rounds, LSH
+    membership caps) survive ``kill -9`` of an executor mid-computation
+    because retried/replacement tasks recompute from the files.
     tools_cluster.py measures both modes on a real standalone cluster.
 
     Every eager-materialization site in the package routes through here so
     the fault-tolerance policy is a one-line deployment decision (set the
     checkpoint dir), not a code change.
 
-    Two costs of the reliable path, both handled (r15 review): (a)
-    ``checkpoint(eager=True)`` alone computes the plan TWICE (the eager
-    count, then the checkpoint-write job re-runs the lineage) — the
-    standard persist-first recipe makes the write read from cache; (b)
-    checkpoint files are permanent unless the ContextCleaner is told to
-    reap them — get_spark sets
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so a
-    checkpointed frame's files are deleted when the frame is GC'd, same
-    lifecycle the localCheckpoint blocks had (a long-running CC loop or
-    streaming sink would otherwise fill the checkpoint store without
-    bound).
-    """
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        from pyspark.storagelevel import StorageLevel
+    Why files and not ``checkpoint(eager=True)`` (r16): the r15 recipe —
+    ``persist(MEMORY_AND_DISK)`` so the checkpoint-write job reads cache
+    instead of recomputing the lineage, then eager checkpoint — entangles
+    the materialization with the block and cache managers, and under real
+    heap pressure that machinery is exactly what fails: the x100
+    memory-wall sweep (PIPELINE_r16.json) died at every constrained
+    ceiling inside the checkpoint action's cache rebuild
+    (``SparkPlan.session() is null`` NPE in ``CachedRDDBuilder`` via
+    ``CacheManager.recacheByPlan``, a Spark 4.1 bug the pressure exposes;
+    localCheckpoint at the same ceilings loses blocks — TaskResultLost /
+    OOM). The parquet round-trip depends on neither manager, and the same
+    sweep completes green at 2g where both checkpoint flavors die. Spilled
+    compute stays spilled: storage is files from the first byte.
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
+    File lifecycle: one ``nexgap_mat_*`` directory per call under the
+    checkpoint dir, reaped when the checkpoint dir is (job-scoped storage
+    in a real deployment — the lifecycle Spark's own checkpoint files have
+    in practice; ContextCleaner GC reaping is best-effort either way).
+    """
+    spark = df.sparkSession
+    ckdir = spark.sparkContext.getCheckpointDir()
+    if ckdir is not None:
+        import uuid
+
+        if any(f.dataType.typeName() == "void" for f in df.schema.fields):
+            # parquet cannot store VOID columns; keep the eager-checkpoint
+            # recipe for this rare shape (WITHOUT the persist — the cache
+            # manager is the pressure-fragile part)
             return df.checkpoint(eager=True)
-        finally:
-            df.unpersist()
+        path = f"{ckdir.rstrip('/')}/nexgap_mat_{uuid.uuid4().hex}"
+        df.write.mode("error").parquet(path)
+        return spark.read.parquet(path)
     return df.localCheckpoint()
 
 

@@ -35,6 +35,14 @@ RECALL_RERANK*k in float — recall/cost lands next to the float probe at
 the same nprobe, so the 4x-smaller probe working set has a measured
 price.
 
+RECALL_PQ=m adds the product-quantization rows (round 16, the bytes-floor
+tier past int8): codebooks are trained with seeded per-subspace Lloyd on
+the first RECALL_PQ_TRAIN_ROWS vectors (ksub=RECALL_PQ_KSUB, default 256),
+the index additionally stores the m-byte PQ code per vector, and each
+nprobe row records the PQ probe's wall / bytes-read / recall next to the
+float and int8 probes on the SAME index — pq_input_mb vs indexed_input_mb
+is the measured compression-as-serving-cost ratio.
+
 Usage: python recall_bench.py   (env: RECALL_DATA=scaled|clustered
 RECALL_MULT=100 RECALL_N=200000 RECALL_CLUSTERS=1000 RECALL_SPREAD=0.35
 RECALL_QUERIES=1000 RECALL_K=10 RECALL_CENTROIDS=448 RECALL_NPROBES=1,2,...
@@ -158,8 +166,13 @@ def main() -> None:
     # 4-minute build (the centroids the indexed probes route on live
     # INSIDE the index layout)
     want_int8 = bool(os.environ.get("RECALL_INT8", ""))
+    pq_m = int(os.environ.get("RECALL_PQ", "0"))
     indexed_only = bool(os.environ.get("RECALL_INDEXED_ONLY", ""))
-    maybe_index_path = f"{d}/ivf_index_k{n_cent}" + ("_q8" if want_int8 else "")
+    maybe_index_path = (
+        f"{d}/ivf_index_k{n_cent}"
+        + ("_q8" if want_int8 else "")
+        + (f"_pq{pq_m}" if pq_m else "")
+    )
     reuse_index = bool(os.environ.get("RECALL_REUSE_INDEX", "")) and os.path.exists(
         f"{maybe_index_path}/corpus/_SUCCESS"
     )
@@ -260,12 +273,32 @@ def main() -> None:
         if reuse_index:
             out["index_reused"] = True
         else:
+            codebooks = None
+            if pq_m:
+                from nexgap_spark.operators import pq as pqmod
+
+                t0 = time.time()
+                codebooks = pqmod.pq_train_codebooks(
+                    emb,
+                    m=pq_m,
+                    ksub=int(os.environ.get("RECALL_PQ_KSUB", "256")),
+                    dim=dim,
+                    sample_rows=int(os.environ.get("RECALL_PQ_TRAIN_ROWS", "50000")),
+                    iters=int(os.environ.get("RECALL_PQ_ITERS", "8")),
+                )
+                out["pq_train_sec"] = round(time.time() - t0, 2)
             t0 = time.time()
-            # int8 sweep builds a quantized index; the float probe on it
-            # reads the float column as before, so one index serves both
-            sim.build_ivf_index(emb, cents, index_path, quantize=want_int8)
+            # one index serves every probe tier: the float probe reads the
+            # float column, int8 its qvec tier, PQ its m-byte codes —
+            # column pruning charges each probe only for the tier it reads
+            sim.build_ivf_index(
+                emb, cents, index_path, quantize=want_int8, pq_codebooks=codebooks
+            )
             out["index_build_sec"] = round(time.time() - t0, 2)
         out["index_quantized"] = want_int8
+        if pq_m:
+            out["pq_m"] = pq_m
+            out["pq_ksub"] = int(os.environ.get("RECALL_PQ_KSUB", "256"))
 
     def _recall(rows) -> float:
         got: dict = {}
@@ -330,6 +363,25 @@ def main() -> None:
                 if cell["int8nr_input_mb"]:
                     cell["bytes_ratio_float_over_int8nr"] = round(
                         cell["indexed_input_mb"] / cell["int8nr_input_mb"], 2
+                    )
+            if pq_m:
+                from nexgap_spark.operators import pq as pqmod
+
+                # bytes-floor probe: m bytes per candidate, never the
+                # float or int8 columns (plan-audited in test_pq)
+                b0 = _input_bytes_total(spark)
+                t0 = time.time()
+                rows_p = pqmod.ivf_topk_indexed_pq(
+                    queries, index_path, k=k, nprobe=nprobe
+                ).collect()
+                cell["pq_sec"] = round(time.time() - t0, 2)
+                cell["pq_input_mb"] = round(
+                    (_input_bytes_total(spark) - b0) / 1e6, 1
+                )
+                cell["pq_recall"] = round(_recall(rows_p), 4)
+                if cell["pq_input_mb"]:
+                    cell["bytes_ratio_float_over_pq"] = round(
+                        cell["indexed_input_mb"] / cell["pq_input_mb"], 2
                     )
         out["nprobe"][str(nprobe)] = cell
     print(json.dumps(out, separators=(",", ":")))
