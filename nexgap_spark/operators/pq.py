@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from nexgap_spark.operators.similarity import (
     DEFAULT_DIM,
     _collect_small_side,
+    _np_assign,
     _np_assign_topm,
     _seq_score_block,
     _seq_sqrt_norms,
@@ -119,6 +120,7 @@ def pq_train_codebooks(
     sample_rows: int = 100_000,
     iters: int = 10,
     seed: int = 7,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall-bearing codebooks: seeded per-subspace Lloyd k-means on a
     BOUNDED driver sample (`limit(sample_rows)` — training reads one scan
@@ -128,7 +130,22 @@ def pq_train_codebooks(
     here; ENCODING against the result still runs the ordered-fold kernel.
     Empty clusters keep their previous centroid (deterministic under the
     seed). Returns the same (subspace, code, codeword) shape as
-    `pq_codebooks_from_rows`."""
+    `pq_codebooks_from_rows`, plus a ``residual`` flag column.
+
+    ``centroids`` (the IVF coarse quantizer) switches to RESIDUAL
+    training — the IVF-PQ shape, and on clustered data the difference is
+    not a tweak but the whole ballgame: encoding raw vectors spends the
+    entire code budget re-describing the cluster center every candidate
+    in a probed partition SHARES, so within-cluster ranking drowns in
+    quantization noise (measured: recall@10 collapsed to 0.23 vs the
+    float probe's 0.88-0.97 on the 1M×768 clustered corpus,
+    RECALL_PQ_HIGHDIM_r16.json). Residual codebooks quantize x − c(x)
+    (sample rows assigned to their max-cosine centroid exactly like
+    assign_clusters), the probe adds the centroid back before scoring,
+    and every code bit works on the part that distinguishes neighbors.
+    The flag travels WITH the codebooks (persisted beside the index), so
+    encode/append/probe auto-detect — residualness is a property of the
+    codebook, not a per-call argument to keep consistent."""
     _validate_geometry(m, ksub, dim)
     sub = dim // m
     pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
@@ -138,6 +155,17 @@ def pq_train_codebooks(
             f"{vec_col!r} rows before pq_train_codebooks"
         )
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    residual = centroids is not None
+    if residual:
+        cent_pd = _collect_small_side(
+            centroids,
+            [F.col("centroid_id").alias("_c_id"), F.col(vec_col).alias("_c_vec")],
+            "centroid side",
+        )
+        c_ids = cent_pd["_c_id"].to_numpy()
+        c_mat = np.stack(cent_pd["_c_vec"].to_numpy()).astype(np.float64)
+        assigned = _np_assign(mat, np.arange(len(c_ids)), c_mat)
+        mat = mat - c_mat[assigned]
     if len(mat) < ksub:
         raise ValueError(
             f"PQ training sample has {len(mat)} rows < ksub={ksub}: raise "
@@ -160,10 +188,10 @@ def pq_train_codebooks(
                 if mask.any():
                     cent[i] = x[mask].mean(axis=0)
         rows.extend(
-            (j, i, [float(v) for v in cent[i]]) for i in range(ksub)
+            (j, i, [float(v) for v in cent[i]], residual) for i in range(ksub)
         )
     return vectors.sparkSession.createDataFrame(
-        rows, "subspace int, code int, codeword array<double>"
+        rows, "subspace int, code int, codeword array<double>, residual boolean"
     )
 
 
@@ -172,6 +200,16 @@ def _validate_geometry(m: int, ksub: int, dim: int) -> None:
         raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
     if not (2 <= ksub <= MAX_KSUB):
         raise ValueError(f"ksub must be in [2, {MAX_KSUB}] (one uint8 per code), got {ksub}")
+
+
+def _codebook_residual(codebooks: DataFrame) -> bool:
+    """Whether these codebooks quantize residuals (x − centroid). Codebooks
+    from before the residual flag existed (and the data-rows oracle
+    variant) are raw-vector codebooks."""
+    if "residual" not in codebooks.columns:
+        return False
+    row = codebooks.select("residual").limit(1).collect()
+    return bool(row and row[0][0])
 
 
 def _codebook_matrix(codebooks: DataFrame) -> np.ndarray:
@@ -199,6 +237,7 @@ def pq_encode_stage(
     *,
     vec_col: str = "embedding",
     out_col: str = "pqcodes",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Append the PQ code column (BINARY, m bytes per row — one uint8 per
     subspace) in one Arrow stage. Per subspace: ordered-fold squared-L2
@@ -206,18 +245,44 @@ def pq_encode_stage(
     first-minimum convention ROW_NUMBER ... ORDER BY dist, code replays).
     NULL embeddings are rejected with the fix spelled out — silently
     dropping rows from an index would be worse (same contract as
-    `_quantize_stage`)."""
+    `_quantize_stage`).
+
+    RESIDUAL codebooks (pq_train_codebooks(centroids=...)) encode
+    x − centroid: ``df`` must carry ``centroid_id`` (it does at every
+    index-build/append call site — encode runs after assign_clusters) and
+    ``centroids`` supplies the vectors to subtract."""
     cb = _codebook_matrix(codebooks)
+    residual = _codebook_residual(codebooks)
     m, _, sub = cb.shape
     dim = m * sub
     sc = df.sparkSession.sparkContext
     b = sc.broadcast(cb)
+    bc = None
+    if residual:
+        if centroids is None or "centroid_id" not in df.columns:
+            raise ValueError(
+                "residual PQ codebooks need the coarse quantizer: pass "
+                "centroids= and encode AFTER cluster assignment "
+                "(centroid_id column)"
+            )
+        cent_pd = _collect_small_side(
+            centroids,
+            [F.col("centroid_id").alias("_c_id"), F.col(vec_col).alias("_c_vec")],
+            "centroid side",
+        )
+        bc = sc.broadcast(
+            {
+                cid: np.asarray(vec, dtype=np.float64)
+                for cid, vec in zip(cent_pd["_c_id"], cent_pd["_c_vec"])
+            }
+        )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} binary"
 
     def run(batches):
         cbm = b.value
+        cmap = bc.value if bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -233,6 +298,10 @@ def pq_encode_stage(
             if x.shape[1] != dim:
                 raise ValueError(
                     f"embedding dim {x.shape[1]} != codebook dim {dim}"
+                )
+            if cmap is not None:
+                x = x - np.stack(
+                    [cmap[c] for c in pdf["centroid_id"].to_numpy()]
                 )
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
@@ -295,7 +364,9 @@ def ivf_topk_indexed_pq(
             "pq_codebooks=...)"
         )
     root = index_path.rstrip("/")
-    cb = _codebook_matrix(spark.read.parquet(f"{root}/pq_codebooks"))
+    cb_df = spark.read.parquet(f"{root}/pq_codebooks")
+    cb = _codebook_matrix(cb_df)
+    residual = _codebook_residual(cb_df)
     m = cb.shape[0]
     cent_pd = _collect_small_side(
         centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"
@@ -321,6 +392,17 @@ def ivf_topk_indexed_pq(
     sc = spark.sparkContext
     bq = sc.broadcast(q_by_cent)
     bcb = sc.broadcast(cb)
+    # residual indexes reconstruct candidate ≈ centroid + r̂ — the probe
+    # adds the (already-collected) centroid vector back per group
+    cent_map = (
+        {
+            cid.item() if hasattr(cid, "item") else cid: cent_mat[i]
+            for i, cid in enumerate(cent_ids)
+        }
+        if residual
+        else None
+    )
+    bcm = sc.broadcast(cent_map)
     par = sc.defaultParallelism
 
     # ---- PQ candidate scan: float/int8 columns NEVER read -----------------
@@ -331,6 +413,7 @@ def ivf_topk_indexed_pq(
     def search_pq(batches):
         q_by = bq.value
         cbm = bcb.value
+        cmap = bcm.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -342,6 +425,8 @@ def ivf_topk_indexed_pq(
                     continue
                 sub_q_ids, sub_qm, sub_qn = qc
                 recon = _reconstruct(_decode_codes(grp["pqcodes"], m), cbm)
+                if cmap is not None:
+                    recon = recon + cmap[key][None, :]
                 rl2 = _seq_sqrt_norms(recon)
                 sub_nids = grp[id_col].to_numpy()
                 dots = _seq_score_block(sub_qm, recon)

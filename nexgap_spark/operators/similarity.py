@@ -986,7 +986,9 @@ def build_ivf_index(
     if pq_codebooks is not None:
         from nexgap_spark.operators import pq as _pq
 
-        assigned = _pq.pq_encode_stage(assigned, pq_codebooks, vec_col=vec_col)
+        assigned = _pq.pq_encode_stage(
+            assigned, pq_codebooks, vec_col=vec_col, centroids=centroids
+        )
         pq_codebooks.write.mode("overwrite").parquet(
             f"{path.rstrip('/')}/pq_codebooks"
         )
@@ -1098,6 +1100,7 @@ def append_ivf_index(
             assigned,
             spark.read.parquet(f"{root}/pq_codebooks"),
             vec_col=vec_col,
+            centroids=centroids,
         )
     assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
         "centroid_id"

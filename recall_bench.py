@@ -171,7 +171,11 @@ def main() -> None:
     maybe_index_path = (
         f"{d}/ivf_index_k{n_cent}"
         + ("_q8" if want_int8 else "")
-        + (f"_pq{pq_m}" if pq_m else "")
+        + (
+            f"_pq{'r' if os.environ.get('RECALL_PQ_RESIDUAL', '') else ''}{pq_m}"
+            if pq_m
+            else ""
+        )
     )
     reuse_index = bool(os.environ.get("RECALL_REUSE_INDEX", "")) and os.path.exists(
         f"{maybe_index_path}/corpus/_SUCCESS"
@@ -285,8 +289,15 @@ def main() -> None:
                     dim=dim,
                     sample_rows=int(os.environ.get("RECALL_PQ_TRAIN_ROWS", "50000")),
                     iters=int(os.environ.get("RECALL_PQ_ITERS", "8")),
+                    # RECALL_PQ_RESIDUAL=1: IVF-PQ residual codebooks —
+                    # measured essential on clustered data (raw-vector PQ
+                    # recall collapsed to 0.23; see pq_train_codebooks)
+                    centroids=(
+                        cents if os.environ.get("RECALL_PQ_RESIDUAL", "") else None
+                    ),
                 )
                 out["pq_train_sec"] = round(time.time() - t0, 2)
+                out["pq_residual"] = bool(os.environ.get("RECALL_PQ_RESIDUAL", ""))
             t0 = time.time()
             # one index serves every probe tier: the float probe reads the
             # float column, int8 its qvec tier, PQ its m-byte codes —

@@ -231,3 +231,60 @@ def test_pq_trained_beats_or_matches_rows_codebook_distortion(spark):
         pq.pq_train_codebooks(emb, m=4, ksub=8, sample_rows=500, iters=8, seed=7)
     )
     assert trained_mse <= rows_mse
+
+
+def test_residual_pq_full_coverage_matches_numpy_replay(spark, tmp_path):
+    """Residual (IVF-PQ) round-trip: trained residual codebooks travel with
+    the index, the encode stage subtracts the assigned centroid, the probe
+    adds it back — a full-coverage probe must equal an independent numpy
+    replay (assign → residual-encode → centroid+reconstruction → ordered
+    cosine) for ids, ranks, and 6dp scores."""
+    from nexgap_spark.operators.similarity import (
+        _np_assign,
+        _seq_score_block,
+        _seq_sqrt_norms,
+    )
+
+    emb = _emb(spark)
+    cents = _cents(emb, 4)
+    cb = pq.pq_train_codebooks(
+        emb, m=4, ksub=16, sample_rows=400, iters=4, seed=5, centroids=cents
+    )
+    assert pq._codebook_residual(cb) is True
+    path = str(tmp_path / "ivfpqr")
+    build_ivf_index(emb, cents, path, pq_codebooks=cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+    got = {
+        (r.q_id, r.rank): (r.n_id, r.cos)
+        for r in pq.ivf_topk_indexed_pq(queries, path, k=4, nprobe=4).collect()
+    }
+    assert got
+
+    cbm = pq._codebook_matrix(cb)
+    cent_pd = cents.orderBy("centroid_id").toPandas()
+    c_mat = np.stack(cent_pd["embedding"].to_numpy()).astype(np.float64)
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    assigned = _np_assign(mat, np.arange(4), c_mat)
+    res = mat - c_mat[assigned]
+    codes = np.empty((len(mat), 4), dtype=np.uint8)
+    for j in range(4):
+        codes[:, j] = np.argmin(
+            pq._seq_sqdist_block(res[:, j * 16 : (j + 1) * 16], cbm[j]), axis=1
+        )
+    recon = pq._reconstruct(codes, cbm) + c_mat[assigned]
+    rl2 = _seq_sqrt_norms(recon)
+    qsel = ids % 100 == 3
+    qm, qids = mat[qsel], ids[qsel]
+    cos = _seq_score_block(qm, recon) / (
+        _seq_sqrt_norms(qm)[:, None] * rl2[None, :]
+    )
+    for qi, qid in enumerate(qids):
+        row = cos[qi].copy()
+        row[ids == qid] = -np.inf
+        order = np.lexsort((ids, -row))[:4]
+        for rk, ci in enumerate(order, start=1):
+            n_id, score = got[(qid, rk)]
+            assert n_id == ids[ci], (qid, rk)
+            assert score == pytest.approx(round(row[ci], 6), abs=1e-9)
