@@ -241,6 +241,11 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q75_column_profile",        # 1-row scalar-agg broadcast × k distinct rows
         "q75b_column_profile_approx",  # same scalar-row shape (audit side)
         "q117_expectations",         # 1-row metrics agg × k rule rows + 1-row totals
+        # r16 window-free CDF (keyed_running_sum): the probability total /
+        # packed-CDF one-row aggregate broadcasts against the histogram
+        # rows — same 1-row-broadcast shape as q62/q79, never rows-scale
+        "q19_sampling_weights",
+        "q20_inverse_cdf_pick",
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     offenders = {}
