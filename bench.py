@@ -92,6 +92,64 @@ HEADLINE = [
 ]
 
 
+def _env_fingerprint() -> dict:
+    """Environment fingerprint recorded into every bench artifact (VERDICT
+    r16 item 3): two rounds running, the headline-ratio swing needed
+    judge-side per-query diffs to classify as environment vs code. Load,
+    uptime (fresh-boot flag) and the hypervisor steal counter make drift
+    classifiable from the artifact alone — r17 measured sustained
+    multi-second windows where CPU steal turned unchanged queries 10x
+    slower on this sandbox."""
+    env: dict = {}
+    try:
+        env["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            up = float(f.read().split()[0])
+        env["uptime_s"] = int(up)
+        env["fresh_boot"] = up < 600
+    except OSError:
+        pass
+    return env
+
+
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — deltas over the Spark phase
+    give the share of CPU the hypervisor took mid-run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError):
+        return None
+
+
+def _calibrate(spark) -> float:
+    """Fixed-cost calibration row (VERDICT r16 item 3): a pinned pure-JVM
+    compute with NO engine code and NO input data — spark.range + a modulo
+    sum, whole-stage codegen over the same core allocation as the queries.
+    Its drift across rounds factors out the box: calibrated ratio =
+    (headline / calib) vs the prior round's (headline / calib)."""
+    best = None
+    spark.sparkContext.setJobDescription("bench calibration: pinned JVM compute")
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(64_000_000).selectExpr("sum(id % 1000003) AS s").collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    except Exception as e:  # noqa: BLE001 — calibration must never cost the artifact
+        print(f"[bench] calibration failed: {e}", file=sys.stderr)
+        return -1.0
+    finally:
+        spark.sparkContext.setJobDescription(None)
+    return round(best, 3)
+
+
 def _query_set() -> list[str]:
     """HEADLINE by default; BENCH_QUERY_SET=all sweeps the whole catalog
     (the sf1.0 full-catalog artifact, VERDICT r11 item 5);
@@ -113,7 +171,9 @@ def _query_set() -> list[str]:
     return HEADLINE
 
 
-def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
+def _run_spark(
+    sf_dir: str,
+) -> tuple[dict[str, float], dict[str, int], dict[str, str], float]:
     from nexgap_spark.plans import QUERIES
     from nexgap_spark.session import get_spark
 
@@ -133,6 +193,8 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
     except Exception as e:  # noqa: BLE001
         print(f"[bench] warmup failed (continuing cold): {e}", file=sys.stderr)
 
+    calib = _calibrate(spark)
+    print(f"[bench] calibration: {calib}s", file=sys.stderr)
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
@@ -179,7 +241,7 @@ def _run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, int], dict[str,
         times[name] = round(min(samples), 3)
         rows[name] = n
         print(f"[bench] {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
-    return times, rows, errs
+    return times, rows, errs, calib
 
 
 def _require_tables(sf_dir: str) -> None:
@@ -296,7 +358,14 @@ def main() -> None:
     # item 1 — see _require_tables)
     _require_tables(sf_dir)
 
-    spark_times, rows, errs = _run_spark(sf_dir)
+    env = _env_fingerprint()
+    jiff0 = _cpu_jiffies()
+    spark_times, rows, errs, calib = _run_spark(sf_dir)
+    jiff1 = _cpu_jiffies()
+    if jiff0 and jiff1 and jiff1[1] > jiff0[1]:
+        env["steal_pct"] = round(
+            100.0 * (jiff1[0] - jiff0[0]) / (jiff1[1] - jiff0[1]), 2
+        )
     # declared-quadratic oracle baselines (baseline_ namespace) report in
     # their own section and NEVER enter a scale-claimed total (r13 verdict
     # item 1): value / spark_comparable / duckdb_total are headline-only
@@ -314,6 +383,12 @@ def main() -> None:
         # queries isolated against the same data (VERDICT r15 item 6)
         "sf_dir": sf_dir,
     }
+    if calib > 0:
+        env["calib_sec"] = calib
+    if env:
+        # drift self-adjudication (VERDICT r16 item 3): load/uptime/steal
+        # and the pinned-JVM calibration row travel with every artifact
+        result["env"] = env
     if baseline_times:
         result["baselines"] = baseline_times
         result["baselines_total"] = round(sum(baseline_times.values()), 3)

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nexgap_spark.operators.text import tokenize
-from nexgap_spark.session import materialize
+from nexgap_spark.session import MaterializeGen, materialize
 
 # Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
 # offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
@@ -599,6 +599,14 @@ def dup_groups(
     prev_sum = object()  # sentinel: never equal to a first-round sum
     converged = False
     rounds_used = 0
+    # Reliable mode: per-round label materializations are LINEAR (round N
+    # reads only round N-1; the fallback compare reads N-1 and N; the
+    # returned frame reads only the final round), so a generation handle
+    # bounds live checkpoint-store directories to 2 instead of ~diameter
+    # (VERDICT r16 item 4 / ADVICE: the CC loop otherwise leaves one dead
+    # edge-sized parquet dir per round until job end). The edge list is
+    # NOT on the handle — every round reads it.
+    gen = MaterializeGen(keep=2)
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
@@ -618,7 +626,7 @@ def dup_groups(
         rounds_used += 1
         if numeric:
             new_labels = materialize(
-                neigh.select("n", F.col("new_label").alias("label"))
+                neigh.select("n", F.col("new_label").alias("label")), gen=gen
             )
             cur_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -646,7 +654,7 @@ def dup_groups(
                 break
             prev_sum = cur_sum
         else:
-            merged = materialize(labels.join(neigh, "n"))
+            merged = materialize(labels.join(neigh, "n"), gen=gen)
             changed = (
                 merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
             )

@@ -32,8 +32,10 @@ Codebooks come in two flavors, mirroring the IVF centroid convention:
 `pq_codebooks_from_rows` (codeword (j, i) = subspace-j slice of the row
 with id i — deterministic and SQL-replayable, the catalog/oracle variant,
 exactly q35's ``vec_id < 8`` centroid trick) and `pq_train_codebooks`
-(seeded per-subspace Lloyd on a bounded, hash-sampled driver collect — the
-recall-bearing variant recall_bench measures).
+(seeded per-subspace Lloyd on a bounded scan-PREFIX sample — a driver
+collect of ``limit(sample_rows)``; on a corpus stored sorted/clustered
+the prefix can cover few clusters and bias the codebooks, see the
+function docstring — the recall-bearing variant recall_bench measures).
 """
 
 from __future__ import annotations
@@ -125,7 +127,13 @@ def pq_train_codebooks(
     """Recall-bearing codebooks: seeded per-subspace Lloyd k-means on a
     BOUNDED driver sample (`limit(sample_rows)` — training reads one scan
     prefix, never the corpus; PQ training is sample-statistics work, the
-    standard practice at any corpus size). Training uses BLAS argmin — no
+    standard practice at any corpus size). CAVEAT: a scan-prefix sample is
+    only representative when the storage order is uncorrelated with the
+    embedding distribution — on a corpus written sorted/clustered (e.g. a
+    centroid-partitioned index re-used as training input) the prefix can
+    cover a few clusters only and silently bias the codebooks; shuffle the
+    input or pre-sample by hash (``filter(pmod(xxhash64(id), k) == 0)``)
+    in that case. Training uses BLAS argmin — no
     oracle replays a trained codebook, so the parity fold is not needed
     here; ENCODING against the result still runs the ordered-fold kernel.
     Empty clusters keep their previous centroid (deterministic under the
@@ -202,22 +210,18 @@ def _validate_geometry(m: int, ksub: int, dim: int) -> None:
         raise ValueError(f"ksub must be in [2, {MAX_KSUB}] (one uint8 per code), got {ksub}")
 
 
-def _codebook_residual(codebooks: DataFrame) -> bool:
-    """Whether these codebooks quantize residuals (x − centroid). Codebooks
-    from before the residual flag existed (and the data-rows oracle
+def _collect_codebook(codebooks: DataFrame) -> tuple[np.ndarray, bool]:
+    """ONE driver collect of a codebook DataFrame → (dense (m, ksub, sub)
+    array, residual flag). Validates the (subspace, code) grid is dense
+    and — when the flag column exists — that it is UNIFORM across rows: a
+    frame mixing residual and raw codebook rows (e.g. a bad union of two
+    indexes' codebooks) must fail loudly, not silently classify as
+    whatever row the old limit(1) probe happened to read (ADVICE r16).
+    Codebooks from before the flag existed (and the data-rows oracle
     variant) are raw-vector codebooks."""
-    if "residual" not in codebooks.columns:
-        return False
-    row = codebooks.select("residual").limit(1).collect()
-    return bool(row and row[0][0])
-
-
-def _codebook_matrix(codebooks: DataFrame) -> np.ndarray:
-    """Collect a codebook DataFrame into the dense (m, ksub, sub) array the
-    kernels gather from; validates the (subspace, code) grid is dense."""
-    pdf = _collect_small_side(
-        codebooks, ["subspace", "code", "codeword"], "PQ codebook"
-    )
+    has_flag = "residual" in codebooks.columns
+    cols = ["subspace", "code", "codeword"] + (["residual"] if has_flag else [])
+    pdf = _collect_small_side(codebooks, cols, "PQ codebook")
     m = int(pdf["subspace"].max()) + 1
     ksub = int(pdf["code"].max()) + 1
     if len(pdf) != m * ksub:
@@ -225,10 +229,35 @@ def _codebook_matrix(codebooks: DataFrame) -> np.ndarray:
             f"PQ codebook is not a dense {m}x{ksub} (subspace, code) grid: "
             f"{len(pdf)} rows"
         )
+    residual = False
+    if has_flag:
+        flags = set(bool(v) for v in pdf["residual"].fillna(False))
+        if len(flags) > 1:
+            raise ValueError(
+                "PQ codebook mixes residual and raw rows — one codebook "
+                "frame must come from ONE training call; rebuild it instead "
+                "of unioning codebooks"
+            )
+        residual = flags.pop()
     pdf = pdf.sort_values(["subspace", "code"])
     sub = len(pdf["codeword"].iloc[0])
     cb = np.stack(pdf["codeword"].to_numpy()).astype(np.float64)
-    return cb.reshape(m, ksub, sub)
+    return cb.reshape(m, ksub, sub), residual
+
+
+def _codebook_residual(codebooks: DataFrame) -> bool:
+    """Whether these codebooks quantize residuals (x − centroid); validates
+    flag uniformity. Thin wrapper over :func:`_collect_codebook` for
+    callers that only need the flag."""
+    if "residual" not in codebooks.columns:
+        return False
+    return _collect_codebook(codebooks)[1]
+
+
+def _codebook_matrix(codebooks: DataFrame) -> np.ndarray:
+    """Collect a codebook DataFrame into the dense (m, ksub, sub) array the
+    kernels gather from; validates the (subspace, code) grid is dense."""
+    return _collect_codebook(codebooks)[0]
 
 
 def pq_encode_stage(
@@ -251,8 +280,7 @@ def pq_encode_stage(
     x − centroid: ``df`` must carry ``centroid_id`` (it does at every
     index-build/append call site — encode runs after assign_clusters) and
     ``centroids`` supplies the vectors to subtract."""
-    cb = _codebook_matrix(codebooks)
-    residual = _codebook_residual(codebooks)
+    cb, residual = _collect_codebook(codebooks)
     m, _, sub = cb.shape
     dim = m * sub
     sc = df.sparkSession.sparkContext
@@ -300,9 +328,20 @@ def pq_encode_stage(
                     f"embedding dim {x.shape[1]} != codebook dim {dim}"
                 )
             if cmap is not None:
-                x = x - np.stack(
-                    [cmap[c] for c in pdf["centroid_id"].to_numpy()]
-                )
+                cids = pdf["centroid_id"].to_numpy()
+                missing = [c for c in dict.fromkeys(cids) if c not in cmap]
+                if missing:
+                    # a stale/mismatched coarse quantizer must surface as a
+                    # descriptive error, not a bare KeyError deep in the
+                    # Arrow stage (ADVICE r16)
+                    raise ValueError(
+                        "residual PQ encode: centroid_id value(s) "
+                        f"{missing[:5]} are not covered by the supplied "
+                        "centroids DataFrame — the coarse quantizer passed "
+                        "to pq_encode_stage must be the one the rows were "
+                        "assigned with"
+                    )
+                x = x - np.stack([cmap[c] for c in cids])
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
                 d2 = _seq_sqdist_block(x[:, j * sub : (j + 1) * sub], cbm[j])
@@ -365,8 +404,7 @@ def ivf_topk_indexed_pq(
         )
     root = index_path.rstrip("/")
     cb_df = spark.read.parquet(f"{root}/pq_codebooks")
-    cb = _codebook_matrix(cb_df)
-    residual = _codebook_residual(cb_df)
+    cb, residual = _collect_codebook(cb_df)
     m = cb.shape[0]
     cent_pd = _collect_small_side(
         centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"

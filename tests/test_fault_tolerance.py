@@ -157,6 +157,96 @@ def test_materialize_reliable_checkpoint_mode(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_materialize_generation_reaping(spark, tmp_path):
+    """VERDICT r16 item 4 / ADVICE: in reliable mode, iterative loops must
+    not leak one dead nexgap_mat_* directory per round. A MaterializeGen
+    bounds live generations to ``keep`` (current + previous), and the CC
+    loop over a CHAIN graph (diameter forces ~5 label rounds) finishes
+    with a bounded directory count — not one per round — while the result
+    stays correct and the returned frame stays readable."""
+    import pyspark.sql.functions as F
+
+    from nexgap_spark.operators.dedup import dup_groups
+    from nexgap_spark.session import MaterializeGen, materialize
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck_reap")
+    sc.setCheckpointDir(ckdir)
+
+    def mat_dirs() -> list[str]:
+        # setCheckpointDir nests a per-context UUID subdir — walk the tree
+        return sorted(
+            d
+            for root, dirs, _ in os.walk(ckdir)
+            for d in dirs
+            if d.startswith("nexgap_mat_")
+        )
+
+    try:
+        # direct handle contract: 5 materializations, ≤2 live dirs, the
+        # live ones are exactly the handle's newest generations, the
+        # newest frame still reads
+        gen = MaterializeGen(keep=2)
+        df = None
+        for i in range(5):
+            df = materialize(
+                spark.range(10).withColumn("v", F.col("id") + i), gen=gen
+            )
+            assert len(mat_dirs()) <= 2, f"round {i}: {mat_dirs()}"
+        assert len(gen.live_paths) == 2
+        assert {os.path.basename(p) for p in gen.live_paths} == set(mat_dirs())
+        assert df.count() == 10  # newest generation readable after reaping
+
+        # CC loop end-to-end: chain 0-1-2-3-4-5-6-7 (hash-min needs ~6
+        # rounds to pull label 0 to the far end) — dir count stays bounded
+        # at edges(1) + 2 label generations, and groups are correct
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(7)], "a long, b long"
+        )
+        before = len(mat_dirs())
+        got = {(r.n, r.group_id) for r in dup_groups(chain).collect()}
+        assert got == {(i, 0) for i in range(8)}
+        assert len(mat_dirs()) <= before + 3, (
+            f"CC loop leaked materialize dirs: {mat_dirs()}"
+        )
+    finally:
+        jsc = sc._jsc.sc()
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(jsc, "checkpointDir_$eq")(scala_none)
+        assert sc.getCheckpointDir() is None
+
+
+def test_materialize_nested_void_falls_back(spark, tmp_path):
+    """ADVICE r16: the VOID guard must catch NESTED NullType (struct<x:void>,
+    array<void>) — parquet rejects those mid-write; materialize falls back
+    to the eager checkpoint instead."""
+    import pyspark.sql.functions as F
+
+    from nexgap_spark.session import _parquet_unsafe_schema, materialize
+
+    sc = spark.sparkContext
+    df = spark.range(3).withColumn(
+        "s", F.struct(F.lit(None).alias("x"), F.col("id").alias("y"))
+    )
+    assert _parquet_unsafe_schema(df) is True
+    flat = spark.range(3).withColumn("v", F.col("id") * 2)
+    assert _parquet_unsafe_schema(flat) is False
+    # duplicate names within one struct level are parquet-illegal too
+    dup = spark.range(3).select(F.col("id").alias("a"), (F.col("id") + 1).alias("A"))
+    assert _parquet_unsafe_schema(dup) is True
+
+    ckdir = str(tmp_path / "ck_void")
+    sc.setCheckpointDir(ckdir)
+    try:
+        out = materialize(df)  # would die in the parquet writer pre-fix
+        assert out.count() == 3
+    finally:
+        jsc = sc._jsc.sc()
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(jsc, "checkpointDir_$eq")(scala_none)
+
+
 def test_cluster_artifact_green():
     """The committed standalone-cluster measurement (tools_cluster.py,
     round 15) must stay green and complete: wire-shuffle hash equality on

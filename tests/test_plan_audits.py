@@ -241,9 +241,14 @@ def test_no_unbounded_nested_loops_anywhere(spark):
         "q75_column_profile",        # 1-row scalar-agg broadcast × k distinct rows
         "q75b_column_profile_approx",  # same scalar-row shape (audit side)
         "q117_expectations",         # 1-row metrics agg × k rule rows + 1-row totals
-        # r16 window-free CDF (keyed_running_sum): the probability total /
-        # packed-CDF one-row aggregate broadcasts against the histogram
-        # rows — same 1-row-broadcast shape as q62/q79, never rows-scale
+        # r16 window-free CDF rewrite (commit 76c29a3, keyed_running_sum +
+        # normalize_weights in operators/sampling.py): BOTH nested-loop
+        # sides verified 1-row by construction — normalize_weights cross-
+        # joins a broadcast ONE-ROW sum total (sampling.py:52), and
+        # keyed_running_sum's packed CDF is a groupBy().agg() ONE-ROW
+        # collect_list fold (sampling.py:83) whose posexplode output is
+        # histogram-sized; same 1-row-broadcast shape as q62/q79, never
+        # rows-scale (plan re-read r17 against the shipped rewrite)
         "q19_sampling_weights",
         "q20_inverse_cdf_pick",
     }

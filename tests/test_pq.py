@@ -92,6 +92,44 @@ def test_pq_encode_matches_numpy_reference(spark):
             assert got[j] == int(np.argmin(acc))
 
 
+def test_pq_codebook_mixed_residual_flags_rejected(spark):
+    """ADVICE r16: a codebook frame mixing residual and raw rows (a bad
+    union of two trainings) must fail loudly — the old limit(1) probe
+    silently classified it as whatever row it happened to read."""
+    emb = _emb(spark)
+    raw = pq.pq_codebooks_from_rows(emb, m=4, ksub=8).withColumn(
+        "residual", F.lit(False)
+    )
+    mixed = raw.unionByName(
+        raw.filter((F.col("subspace") == 0) & (F.col("code") == 0)).withColumn(
+            "residual", F.lit(True)
+        )
+    ).filter(  # keep the grid dense: replace, don't duplicate, (0,0)
+        ~((F.col("subspace") == 0) & (F.col("code") == 0) & ~F.col("residual"))
+    )
+    with pytest.raises(ValueError, match="mixes residual and raw"):
+        pq._collect_codebook(mixed)
+    # uniform flags still classify correctly through both thin wrappers
+    assert pq._codebook_residual(raw) is False
+    assert pq._codebook_residual(raw.withColumn("residual", F.lit(True))) is True
+
+
+def test_pq_residual_encode_uncovered_centroid_is_descriptive(spark):
+    """ADVICE r16: a stale/mismatched coarse quantizer must surface as a
+    descriptive ValueError naming the uncovered centroid_id, not a bare
+    KeyError inside the Arrow stage."""
+    emb = _emb(spark)
+    cents = _cents(emb)
+    cb = pq.pq_train_codebooks(
+        emb, m=4, ksub=4, sample_rows=200, iters=2, centroids=cents
+    )
+    assigned = emb.filter(F.col("vec_id") < 16).withColumn(
+        "centroid_id", F.lit(999)  # not in cents
+    )
+    with pytest.raises(Exception, match="not covered by the supplied centroids"):
+        pq.pq_encode_stage(assigned, cb, centroids=cents).collect()
+
+
 def test_pq_encode_rejects_null_embeddings(spark):
     emb = _emb(spark)
     cb = pq.pq_codebooks_from_rows(emb, m=4, ksub=8)
