@@ -134,6 +134,7 @@ def shingle_table(
     shingle_n: int = 3,
     normalize: bool = False,
     distinct: bool = True,
+    fixed_width: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows — word n-grams per document, distinct by default.
 
@@ -147,7 +148,19 @@ def shingle_table(
     sf0.1, the single most expensive stage of the signature path) for
     consumers whose aggregate is duplicate-insensitive — MIN-based MinHash
     signatures give the identical result on the multiset. Jaccard/count
-    consumers (verify_jaccard, ngram_jaccard_pairs) need the default."""
+    consumers (verify_jaccard, ngram_jaccard_pairs) need the default.
+
+    ``fixed_width=True`` (r17) replaces the distinct's coalescible
+    ENSURE_REQUIREMENTS exchange with an explicit keyed repartition to
+    defaultParallelism — same single shuffle on (id, shingle), but its
+    REPARTITION_BY_NUM origin is exempt from AQE byte-based coalescing.
+    Callers that MATERIALIZE the distinct table must use this: AQE
+    coalesced the distinct output to ONE partition (its compressed bytes
+    look tiny), and a checkpoint pins that width — every consumer of the
+    materialized frame then ran serially (measured at sf1.0: q31-mat
+    best 10 s but 87-187 s stalls; fixed-width mat is stable). The trade
+    is losing map-side partial dedup before the exchange, which is ~7%
+    of the stream here (shingles are near-unique within a partition)."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     toks = (
@@ -167,7 +180,14 @@ def shingle_table(
     )
     parts = [F.element_at("_toks", F.col("_i") + j) for j in range(shingle_n)]
     out = idx.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
-    return out.distinct() if distinct else out
+    if not distinct:
+        return out
+    if fixed_width:
+        out = out.repartition(par, F.col(id_col), F.col("shingle"))
+        # the keyed repartition satisfies the dedup aggregate's required
+        # clustering, so no second exchange is planned
+        return out.dropDuplicates()
+    return out.distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -579,14 +599,32 @@ def dup_groups(
     Convergence detection: labels are monotone non-increasing under
     hash-min, so for numeric ids an unchanged label SUM (exact, decimal
     accumulator) ⟺ a fixpoint — one cheap aggregate over the checkpointed
-    labels instead of an old⋈new compare join per round.
+    labels instead of an old⋈new compare join per round. The sum is
+    collected via ``observe()`` DURING each round's materialize action
+    (r17): a CollectMetrics node on the materialized plan costs nothing
+    extra, where the previous separate ``.agg().first()`` was one more
+    job per round locally and one more full read of the label frame per
+    round at scale.
+
+    Round-1 shortcut (r17): with every label initialized to its own id,
+    round 1's "min over self and neighbors" is exactly
+    ``least(n, min(m))`` — ONE aggregate over the edge list. The general
+    round shape (node-set distinct → labels⋈edges join → union → groupBy)
+    spends two extra edge-sized shuffles plus a join to compute the same
+    frame, so round 1 is peeled off and computed directly. Measured
+    (isolated loop A/B, 605 synthetic pairs incl. a 6-chain, best-of-3
+    ×2 interleaved): old 2.44-2.55 s vs new 1.62-2.12 s, ~30% off the
+    loop; inside q43 at sf0.1 the loop is a minority share so the
+    end-to-end delta sits inside this sandbox's noise band, but at scale
+    the saving is one fewer full label-frame read per round plus two
+    edge-sized round-1 shuffles. Plan diff: round 1 drops from 3
+    exchanges + 1 join to 1 exchange.
     """
     edges = materialize(
         pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
         .unionByName(pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m")))
         .distinct()
     )
-    labels = edges.select("n").distinct().withColumn("label", F.col("n"))
     # hash-min labels only ever DECREASE, so for INTEGER node ids the label
     # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels
     # (the decimal(38,0) accumulator is exact for integers). That saves the
@@ -595,10 +633,9 @@ def dup_groups(
     # accumulator — a chain of labels closer than 1.0 apart could falsely
     # report convergence — so they keep the exact per-row compare, as do
     # strings.
-    numeric = dict(labels.dtypes)["label"] in ("tinyint", "smallint", "int", "bigint")
+    numeric = dict(edges.dtypes)["n"] in ("tinyint", "smallint", "int", "bigint")
     prev_sum = object()  # sentinel: never equal to a first-round sum
     converged = False
-    rounds_used = 0
     # Reliable mode: per-round label materializations are LINEAR (round N
     # reads only round N-1; the fallback compare reads N-1 and N; the
     # returned frame reads only the final round), so a generation handle
@@ -607,7 +644,54 @@ def dup_groups(
     # edge-sized parquet dir per round until job end). The edge list is
     # NOT on the handle — every round reads it.
     gen = MaterializeGen(keep=2)
-    for _ in range(max_iterations):
+
+    def _mat_with_sum(frame: DataFrame):
+        """Materialize one round's (n, label) frame; when the ids are
+        numeric, fuse the convergence sum into the SAME action via
+        observe() — zero extra jobs, zero extra reads."""
+        if not numeric:
+            return materialize(frame, gen=gen), None
+        from pyspark.sql import Observation
+
+        obs = Observation(f"dup_groups_sum_{next(_OBSERVE_SEQ)}")
+        out = materialize(
+            frame.observe(
+                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ),
+            gen=gen,
+        )
+        return out, obs.get["s"]
+
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    # round 1, peeled: every node starts labeled with itself, so the
+    # first propagation is least(own id, min neighbor id) directly off
+    # the edge list — no node-set distinct, no join, no union.
+    labels, cur_sum = _mat_with_sum(
+        edges.groupBy("n")
+        .agg(F.min("m").alias("_mm"))
+        .select("n", F.least(F.col("n"), F.col("_mm")).alias("label"))
+    )
+    rounds_used = 1
+    if numeric:
+        if cur_sum is None:
+            if labels.isEmpty():
+                # no edges at all: zero nodes is trivially a fixpoint
+                converged = True
+            else:
+                # decimal overflow on round 1: the sum is unusable — keep
+                # the never-equal sentinel so round 2 cannot falsely match
+                cur_sum = object()
+        prev_sum = cur_sum
+    else:
+        # string/decimal ids: round 1 changed nothing iff no node adopted
+        # a neighbor's smaller id
+        converged = (
+            labels.filter(F.col("label") != F.col("n")).limit(1).count() == 0
+        )
+    for _ in range(max_iterations - 1):
+        if converged:
+            break
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
             edges.join(labels.withColumnRenamed("n", "m"), "m")
@@ -625,12 +709,9 @@ def dup_groups(
         # transient footprint small.
         rounds_used += 1
         if numeric:
-            new_labels = materialize(
-                neigh.select("n", F.col("new_label").alias("label")), gen=gen
+            new_labels, cur_sum = _mat_with_sum(
+                neigh.select("n", F.col("new_label").alias("label"))
             )
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
             if cur_sum is None:
                 # decimal(38,0) overflow: non-ANSI Spark yields a NULL sum
                 # instead of raising, and two consecutive NULLs would fake
@@ -893,7 +974,15 @@ def incremental_minhash(
         new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
         distinct=False,  # MIN-agg signatures are duplicate-insensitive
     )
-    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    # materialize the batch signatures ONCE (r17): five consumers below
+    # (band rows, the estimator's sig_n, and the within-batch path's
+    # lsh_candidate_pairs + sig_a + sig_b) would each replay the
+    # shingle+hash+MIN pipeline from the scan — AQE stage reuse does not
+    # bridge them because join-pushed IsNotNull predicates split the
+    # canonical subtrees. The signature frame is k longs per doc (tiny
+    # vs the corpus at any scale), so one checkpointed copy is the right
+    # trade everywhere. Measured at sf0.1: q100 3.5 s → 2.5 s interleaved.
+    sigs = materialize(minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes))
     mh = [f"mh{j}" for j in range(num_hashes)]
 
     bb_new, _ = cap_partition_size(

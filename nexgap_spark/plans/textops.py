@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from nexgap_spark.operators import dedup, text
 from nexgap_spark.plans.registry import query
-from nexgap_spark.session import load_table as t, wide_table as tw
+from nexgap_spark.session import load_table as t, materialize, wide_table as tw
 
 # Shared SQL fragments (tokenization must match operators.text.tokenize).
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -363,7 +363,17 @@ def _lsh_oracle() -> str:
 @query("q31_minhash_lsh_pairs", oracle=_lsh_oracle())
 def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs)
+    # materialize the distinct shingle table ONCE (r17): it feeds both the
+    # signature path and verify_jaccard's three consumers, and the two
+    # subtrees stop being exchange-reusable after the optimizer eliminates
+    # the (duplicate-insensitive) distinct below the MIN signature
+    # aggregate — the final adaptive plan ran the scan+tokenize+explode
+    # pipeline TWICE (plan audit: 8 scans, 2 independent explode chains).
+    # One compute + one checkpointed copy of the DISTINCT stream is
+    # strictly less I/O than the second full scan+explode+shuffle at any
+    # scale (the pre-distinct stream already crossed the wire once for
+    # the distinct itself).
+    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     jac = dedup.verify_jaccard(cand, sh)
@@ -463,7 +473,8 @@ def _dup_groups_oracle() -> str:
 @query("q43_dup_groups", oracle=_dup_groups_oracle())
 def q43_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs)
+    # shared-shingle materialize — rationale at q31 (r17)
+    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
@@ -504,7 +515,8 @@ def _dedup_corpus_oracle() -> str:
 @query("q44_dedup_corpus", oracle=_dedup_corpus_oracle())
 def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs)
+    # shared-shingle materialize — rationale at q31 (r17)
+    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
@@ -794,7 +806,13 @@ def q100_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     archive = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    ledger = dedup.minhash_signatures(dedup.shingle_table(archive, distinct=False))
+    # materialize the synthesized ledger (r17): incremental_minhash reads
+    # its seen_sigs twice (band rows + the estimator's sig_l), and here the
+    # ledger's lineage is a full shingle+MIN pipeline — in production the
+    # ledger is a parquet table, where the second read is a cheap re-scan.
+    ledger = materialize(
+        dedup.minhash_signatures(dedup.shingle_table(archive, distinct=False))
+    )
     # cap pinned to None: the oracle models the UNCAPPED candidate set, so
     # the contract stays exact at ANY scale factor (q45's documented
     # precedent); production callers keep the scale-guard default
@@ -901,7 +919,8 @@ def q116_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.operators import curation
 
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs)
+    # shared-shingle materialize — rationale at q31 (r17)
+    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)

@@ -295,28 +295,25 @@ def test_dup_groups_null_sum_fallback(spark, monkeypatch):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "a long, b long"
     )
-    # PySpark 4: the concrete class is pyspark.sql.classic.dataframe.
-    # DataFrame — patching the dispatch base would never intercept
-    import pyspark.sql.classic.dataframe as _dfmod
+    # r17: the loop's sums are collected via observe() during the round's
+    # materialize action (Observation.get), not a separate .first() job —
+    # intercept the observation instead
+    import pyspark.sql.observation as _obsmod
 
     calls = {"n": 0}
-    orig_first = _dfmod.DataFrame.first
+    orig_get = _obsmod.Observation.get
 
-    class _NoneRow(dict):
-        def __getitem__(self, k):  # row["s"] → None, like an overflowed sum
-            return None
-
-    def fake_first(self):
-        row = orig_first(self)
-        # intercept only the loop's 1-column sum probes; fake the first two
-        # as overflow NULLs
-        if row is not None and list(row.asDict().keys()) == ["s"]:
+    def fake_get(self):
+        vals = orig_get.fget(self)
+        # intercept only the loop's 1-column sum observations; fake the
+        # first two as overflow NULLs
+        if list(vals.keys()) == ["s"]:
             calls["n"] += 1
             if calls["n"] <= 2:
-                return _NoneRow()
-        return row
+                return {"s": None}
+        return vals
 
-    monkeypatch.setattr(_dfmod.DataFrame, "first", fake_first)
+    monkeypatch.setattr(_obsmod.Observation, "get", property(fake_get))
     out = {
         r.n: r.group_id
         for r in dedup.dup_groups(edges, a_col="a", b_col="b").collect()
@@ -1218,3 +1215,39 @@ def test_append_ivf_index_layout_one_file_per_centroid(spark, tmp_path):
     for cdir in glob.glob(f"{path}/corpus/centroid_id=*"):
         files = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
         assert len(files) <= 2, (cdir, files)  # 1 from build + <=1 per append
+
+
+def test_shingle_table_fixed_width_same_rows_full_width(spark):
+    """r17: materialized shingle tables must not inherit AQE's 1-partition
+    coalesce of the distinct exchange (it serialized every downstream
+    consumer at sf1.0) — fixed_width=True pins the distinct output to
+    defaultParallelism partitions while producing the identical row set."""
+    from nexgap_spark.operators.dedup import shingle_table
+    from nexgap_spark.session import load_table, materialize
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    stock = shingle_table(docs)
+    fixed = materialize(shingle_table(docs, fixed_width=True))
+    assert fixed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert stock.exceptAll(fixed).isEmpty() and fixed.exceptAll(stock).isEmpty()
+
+
+def test_dup_groups_single_round_clique_converges(spark):
+    """r17 round-1 peel: a clique converges with labels identical to the
+    general loop's result, and the convergence metric still reports
+    converged=1 (the peeled first round must not skew detection)."""
+    from pyspark.sql import Observation
+
+    from nexgap_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(7, 8), (8, 9), (7, 9), (20, 21)], "a long, b long"
+    )
+    out = dup_groups(pairs)
+    obs_name = [
+        m for m in out._jdf.queryExecution().analyzed().toString().split("\n")
+        if "dup_groups_convergence" in m
+    ]
+    got = {r.n: r.group_id for r in out.collect()}
+    assert got == {7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+    assert obs_name  # the convergence metric is still on the returned plan
