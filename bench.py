@@ -438,23 +438,44 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    # compact separators: the query set has grown past what spaced JSON
-    # fits into the driver's 2000-char tail window (full-precision detail
-    # is in BENCH_DETAIL.json either way). Fallback ladder — the artifact
-    # degrading beats the r3/r4 total-loss mode where an assert killed the
-    # run and the driver recorded parsed:null: (1) 2-decimal times,
-    # (2) drop the per-query map entirely (BENCH_DETAIL.json keeps it).
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) >= 1800:
-        result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
-        line = json.dumps(result, separators=(",", ":"))
-    if len(line) >= 1800:
-        result["queries"] = {}
-        result["queries_note"] = "per-query map in BENCH_DETAIL.json (line too long)"
-        line = json.dumps(result, separators=(",", ":"))
+    line = _compact_stdout_line(result)
     assert len(line) < 1800, f"stdout JSON too long for driver tail: {len(line)}"
     sys.stderr.flush()
     print(line, flush=True)
+
+
+def _compact_stdout_line(result: dict) -> str:
+    """Compact separators: the query set has grown past what spaced JSON
+    fits into the driver's 2000-char tail window (full-precision detail
+    is in BENCH_DETAIL.json either way). Fallback ladder — the artifact
+    degrading beats the r3/r4 total-loss mode where an assert killed the
+    run and the driver recorded parsed:null. The per-query map is the
+    driver CONTRACT ("never remove or rename existing entries"), so every
+    optional key is shed BEFORE it: the r17 baseline run proved the env
+    fingerprint alone tips 61 full-precision queries past the guard and
+    the old ladder answered by dropping the whole queries map. Order:
+    (1) 2-decimal times, (2) env down to the calibration scalar,
+    (3) drop env, (4) drop sf_dir, (5) LAST RESORT drop the map."""
+
+    def _dumps() -> str:
+        return json.dumps(result, separators=(",", ":"))
+
+    line = _dumps()
+    if len(line) >= 1800:
+        result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+        line = _dumps()
+    if len(line) >= 1800 and "calib_sec" in result.get("env", {}):
+        result["env"] = {"calib_sec": result["env"]["calib_sec"]}
+        line = _dumps()
+    for key in ("env", "sf_dir"):
+        if len(line) >= 1800:
+            result.pop(key, None)
+            line = _dumps()
+    if len(line) >= 1800:
+        result["queries"] = {}
+        result["queries_note"] = "per-query map in BENCH_DETAIL.json (line too long)"
+        line = _dumps()
+    return line
 
 
 if __name__ == "__main__":

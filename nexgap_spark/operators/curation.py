@@ -48,7 +48,13 @@ def benchmark_ngrams(
     benchmark: DataFrame, *, text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark set → one `gram` column.
-    Distinct is cheap here (the benchmark side is small by construction)."""
+    Distinct is cheap here (the benchmark side is small by construction).
+
+    The shingle stream is taken UN-deduped and distinct'd once on the
+    gram alone (r17): the previous default-distinct call deduped on
+    (_bid, shingle) — with the constant _bid that is the same key set —
+    and then distinct'd again on gram, paying two full exchanges of the
+    benchmark gram stream for one dedup's worth of work."""
     from nexgap_spark.operators.dedup import shingle_table
 
     grams = shingle_table(
@@ -56,6 +62,7 @@ def benchmark_ngrams(
         id_col="_bid",
         text_col=text_col,
         shingle_n=n,
+        distinct=False,
     )
     return grams.select(F.col("shingle").alias("gram")).distinct()
 

@@ -1251,3 +1251,52 @@ def test_dup_groups_single_round_clique_converges(spark):
     got = {r.n: r.group_id for r in out.collect()}
     assert got == {7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
     assert obs_name  # the convergence metric is still on the returned plan
+
+
+def test_bench_stdout_ladder_sheds_env_before_queries():
+    """r17: the driver contract says per-query entries are never removed —
+    the stdout fallback ladder must shed every optional key (env, sf_dir)
+    before it ever touches the queries map. The r17 baseline run proved the
+    env fingerprint alone tips 61 full-precision queries past the 1800-char
+    guard; the old ladder answered by emptying the queries map."""
+    import json as _json
+
+    import bench
+
+    def mk_result():
+        return {
+            "metric": "headline query wall time (Spark, local)",
+            "value": 77.336,
+            "unit": "sec",
+            # the real headline names at full precision: the r17 baseline shape
+            "queries": {
+                name: round(1.234 + i / 997, 3)
+                for i, name in enumerate(bench.HEADLINE)
+            },
+            "sf": 0.1,
+            "sf_dir": "/root/testdata/sf0.1",
+            "env": {
+                "load1": 0.19,
+                "uptime_s": 6367,
+                "fresh_boot": False,
+                "steal_pct": 4.55,
+                "calib_sec": 0.417,
+            },
+            "duckdb_total": 92.664,
+            "spark_comparable": 77.336,
+        }
+
+    res = mk_result()
+    line = bench._compact_stdout_line(res)
+    assert len(line) < 1800
+    parsed = _json.loads(line)
+    # the contract map survives intact
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    # optional keys were shed instead (whichever rung it stopped at)
+    assert "queries_note" not in parsed
+
+    # last-resort rung still exists for a pathologically large map
+    huge = mk_result()
+    huge["queries"] = {f"q{i:04d}_{'x' * 40}": 1.0 for i in range(200)}
+    line2 = bench._compact_stdout_line(huge)
+    assert len(line2) < 1800 and _json.loads(line2)["queries"] == {}
