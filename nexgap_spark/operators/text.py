@@ -185,6 +185,7 @@ def tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    share_tf: bool = True,
 ) -> DataFrame:
     """Per-(doc, term) TF-IDF: tf × ln((N+1)/(df+1)), the smoothed variant.
 
@@ -198,11 +199,38 @@ def tfidf(
     runtime conversion costs one extra shuffle-write of tf, which is why
     the hint stays the default for the common case). N comes from a 1-row
     aggregate cross-joined (broadcast) rather than a driver collect, so
-    the plan stays fully lazy/distributed."""
+    the plan stays fully lazy/distributed.
+
+    ``share_tf=True`` (r17) materializes the tf frame once: the lazy plan
+    computed the ENTIRE scan→tokenize→explode→tf-aggregate chain TWICE —
+    once for the probe side, once below dfreq's broadcast (the two
+    subtrees differ by join-pushed predicates, so neither canonical
+    subtree equality nor AQE stage reuse bridges them; q62's before plan
+    shows 3 scans and 2 independent explode chains). The token stream is
+    repartitioned by ``id_col`` BEFORE the aggregate: partitioning on a
+    prefix of the grouping keys satisfies the aggregate's clustering (one
+    exchange, no second agg exchange), pins the materialized width to
+    defaultParallelism (the q31 lesson: a checkpoint otherwise freezes
+    AQE's 1-partition coalesce of a small-looking exchange), and — because
+    the broadcast joins preserve probe-side partitioning — lets a
+    downstream ``Window.partitionBy(id_col)`` (q62's rank) run with NO
+    further exchange of the tf stream. Doc-keyed partitioning is skew-safe
+    (documents are bounded; Zipf-hot TERMS never key a shuffle here —
+    dfreq still two-level-aggregates over the materialized tf)."""
     toks = df.select(
         id_col, F.explode(tokenize(text_col)).alias("term")
     ).filter(F.length("term") > 0)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if share_tf:
+        from nexgap_spark.session import materialize
+
+        par = df.sparkSession.sparkContext.defaultParallelism
+        tf = materialize(
+            toks.repartition(par, F.col(id_col))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+        )
+    else:
+        tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
