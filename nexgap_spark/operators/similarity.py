@@ -791,8 +791,21 @@ def hyperplane_lsh_pairs(
     # pair ids inherit the input id type (see brute_force_topk): hard-coded
     # bigint silently coerced string/int ids passed via id_col=
     pair_id_type = vectors.schema[id_col].dataType.simpleString()
-    return bucketed.groupBy(*group_keys).applyInPandas(
-        _pairs, schema=f"a {pair_id_type}, b {pair_id_type}, cos double"
+    # keyed repartition to defaultParallelism (r17): it satisfies the
+    # groupBy's required clustering (ONE exchange either way), but its
+    # REPARTITION_BY_NUM origin is exempt from AQE coalescing — the stock
+    # ENSURE_REQUIREMENTS exchange looks tiny in bytes and AQE folded all
+    # 2^planes groups onto ONE task, serializing the per-group Arrow/pandas
+    # overhead that dominates small buckets (measured: q45 pair stage
+    # 1.08 s → parallel across cores). At scale buckets are large, AQE
+    # would not coalesce, and the plan is byte-identical.
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    return (
+        bucketed.repartition(par, *[F.col(k) for k in group_keys])
+        .groupBy(*group_keys)
+        .applyInPandas(
+            _pairs, schema=f"a {pair_id_type}, b {pair_id_type}, cos double"
+        )
     )
 
 
@@ -1550,6 +1563,10 @@ def semantic_dedup(
                 dropped.update(ids[i0 + r + 1 + hits])
         return pd.DataFrame({id_col: sorted(dropped)})
 
+    # NOT repartition-pinned like hyperplane_lsh_pairs (r17): measured A/B
+    # showed the ~√N clusters here are few and large enough that per-group
+    # Arrow overhead already amortizes — forcing defaultParallelism width
+    # was a slight local loss (1.20 s → 1.35 s) with no scale upside.
     dropped = assigned.select(*part_keys, id_col, vec_col).groupBy(
         *part_keys
     ).applyInPandas(cluster_drops, schema=f"{id_col} {id_type}")
