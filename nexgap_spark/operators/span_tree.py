@@ -219,12 +219,17 @@ def _parent_side(
 
     The cap check is a plain count over the scan+project plan, not a
     full-table localCheckpoint: the projection's lineage IS a parquet
-    scan (callers run expensive lineage through _ensure_cheap first), and
-    within one query every hop of the iterative resolvers reuses the
-    single built broadcast via ReusedExchange anyway — the eager
-    checkpoint write+read of the WHOLE projection was q22's constant
-    factor at spans ×100. Only the post-prune remnant (10× smaller) is
-    checkpointed, see below.
+    scan (callers run expensive lineage through _ensure_cheap first) and
+    the PRE-check projection can be corpus-sized — the eager checkpoint
+    write+read of the WHOLE projection was q22's constant factor at
+    spans ×100. Once the cap check PASSES, though, the frame is ≤
+    ``max_rows`` narrow rows by definition, and it IS materialized before
+    the broadcast hint (r17): the old claim that every hop reuses the one
+    built broadcast via ReusedExchange is empirically false on Spark 4.1
+    + AQE for non-trivial lineages (q37 runtime plan: 12 builds, 4
+    reused, 18 scans; q23: 6 builds, 1 reused — each hop rebuilt the
+    build side from the scan). Hops probing a checkpointed RDD are
+    canonically equal, so the runtime builds the hash relation once.
 
     ``ref_ids``: single-column (``_p_id``) frame of every id the probe
     side can look up — the union of parent pointers. A build row whose id
@@ -254,6 +259,17 @@ def _parent_side(
             )
             n = parents.count()
         hinted = n <= max_rows
+        if hinted and "LogicalRDD" not in (
+            parents._jdf.queryExecution().optimizedPlan().toString()
+        ):
+            # bounded by the cap that just passed (≤ max_rows narrow
+            # rows): one checkpointed copy that every hop's broadcast
+            # build reads — see the reuse note in the docstring. A plain
+            # scan lineage is NOT exempt (each un-reused build re-scans
+            # the span table — 6 scans at 100 TB); only a frame that is
+            # already a checkpoint (the pruned branch above) skips the
+            # second write.
+            parents = materialize(parents)
         return (F.broadcast(parents) if hinted else parents), n, hinted
     return (
         (F.broadcast(parents) if broadcast_parents else parents),
