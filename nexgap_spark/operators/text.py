@@ -206,31 +206,30 @@ def tfidf(
     once for the probe side, once below dfreq's broadcast (the two
     subtrees differ by join-pushed predicates, so neither canonical
     subtree equality nor AQE stage reuse bridges them; q62's before plan
-    shows 3 scans and 2 independent explode chains). The token stream is
-    repartitioned by ``id_col`` BEFORE the aggregate: partitioning on a
-    prefix of the grouping keys satisfies the aggregate's clustering (one
-    exchange, no second agg exchange), pins the materialized width to
-    defaultParallelism (the q31 lesson: a checkpoint otherwise freezes
-    AQE's 1-partition coalesce of a small-looking exchange), and — because
-    the broadcast joins preserve probe-side partitioning — lets a
+    shows 3 scans and 2 independent explode chains). The aggregate keeps
+    its map-side partial (the exchange carries the partially-deduped
+    (id, term) stream, which on long repetitive documents is a large
+    compression — measured at sf1.0, where docs are 13.7× the characters
+    of sf0.1, an id-keyed pre-aggregate repartition that shuffles the RAW
+    token stream was ~25% slower end to end); the tf output is then
+    repartitioned by ``id_col`` and checkpointed, which (a) pins the
+    materialized width to defaultParallelism (the q31 lesson: a
+    checkpoint otherwise freezes AQE's 1-partition coalesce of a
+    small-looking exchange and serializes every consumer) and (b) lets a
     downstream ``Window.partitionBy(id_col)`` (q62's rank) run with NO
-    further exchange of the tf stream. Doc-keyed partitioning is skew-safe
+    further exchange of the tf stream, since the broadcast joins preserve
+    probe-side partitioning. Doc-keyed partitioning is skew-safe
     (documents are bounded; Zipf-hot TERMS never key a shuffle here —
     dfreq still two-level-aggregates over the materialized tf)."""
     toks = df.select(
         id_col, F.explode(tokenize(text_col)).alias("term")
     ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     if share_tf:
         from nexgap_spark.session import materialize
 
         par = df.sparkSession.sparkContext.defaultParallelism
-        tf = materialize(
-            toks.repartition(par, F.col(id_col))
-            .groupBy(id_col, "term")
-            .agg(F.count("*").alias("tf"))
-        )
-    else:
-        tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+        tf = materialize(tf.repartition(par, F.col(id_col)))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
