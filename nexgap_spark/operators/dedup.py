@@ -190,6 +190,65 @@ def shingle_table(
     return out.distinct()
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of ``df``'s plan — for a parquet scan this
+    is the on-disk file bytes (× ``fileCompressionFactor``), computed from
+    metadata with no job. Estimates for derived plans inherit the scan's
+    figure, so upstream-of-filter frames stay honest; RDD-backed lineages
+    (localCheckpoint) report the conservative default (huge)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def shared_shingles(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_bytes: int | None = None,
+    size_of: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct shingle table for MULTI-CONSUMER lineages (signature path +
+    verify_jaccard): one materialized fixed-width copy when the input is
+    large, plain recompute-per-consumer when it is small.
+
+    The optimizer eliminates the duplicate-insensitive distinct below the
+    MIN signature aggregate, so the signature and verify subtrees stop
+    being canonically equal and AQE stage reuse cannot bridge them — a lazy
+    plan runs the scan→tokenize→explode→distinct chain once per consumer
+    (q31 before-plan: 8 scans, 2 independent explode chains). Above the
+    size gate the shared copy is strictly less I/O (ONE scan+explode+
+    shuffle of the corpus instead of two at 100 TB); below it the
+    checkpoint's write+read+barrier costs more than the duplicated subtree
+    (interleaved A/B on r17's box: sf0.1 ≈ 0.6 MB input, materialize LOSES
+    ~20-25% on q31/q43/q118; sf1.0 ≈ 6.6 MB input, materialize WINS
+    30-40%). The gate derives from the INPUT SIZE, not the deployment:
+    default threshold 4 MB sits between the two measured regimes and any
+    production corpus is far above it. Override via
+    ``NEXGAP_SHINGLE_MAT_MIN_BYTES`` (or the ``min_bytes`` parameter).
+
+    ``size_of``: optional frame whose plan estimate stands in for ``df``'s
+    when ``df`` is checkpoint-backed (RDD lineages report the conservative
+    huge default) — callers pass the upstream scan the frame derives from,
+    which errs toward the at-scale shape since derived rows ≤ input."""
+    if min_bytes is None:
+        import os
+
+        min_bytes = int(
+            os.environ.get("NEXGAP_SHINGLE_MAT_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+    if plan_size_bytes(size_of if size_of is not None else df) < min_bytes:
+        return shingle_table(
+            df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
+    return materialize(
+        shingle_table(
+            df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+            fixed_width=True,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -894,11 +894,14 @@ def corpus_pipeline(
     s2 = io(s2, "s2_exact")
 
     # stage 3: near-dup dedup (q44's LSH chain on the survivors).
-    # The shingle table is materialized once for the same reason as q31
-    # (r17): it feeds the signature path AND verify_jaccard's three
-    # consumers, and those subtrees lose exchange reuse once the optimizer
-    # drops the distinct below the MIN signature aggregate.
-    sh = materialize(dedup.shingle_table(s2, fixed_width=True))
+    # Size-gated shared shingle pass, same rationale as q31 (r17): it
+    # feeds the signature path AND verify_jaccard's three consumers, and
+    # those subtrees lose exchange reuse once the optimizer drops the
+    # distinct below the MIN signature aggregate. The gate reads the
+    # ORIGINAL docs frame (s2 is checkpoint-backed, whose size estimate
+    # is the conservative huge default); survivors ≤ input, so gating on
+    # the input only ever errs toward the at-scale (materialize) shape.
+    sh = dedup.shared_shingles(s2, size_of=docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)

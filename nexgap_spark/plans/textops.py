@@ -363,17 +363,14 @@ def _lsh_oracle() -> str:
 @query("q31_minhash_lsh_pairs", oracle=_lsh_oracle())
 def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # materialize the distinct shingle table ONCE (r17): it feeds both the
-    # signature path and verify_jaccard's three consumers, and the two
-    # subtrees stop being exchange-reusable after the optimizer eliminates
-    # the (duplicate-insensitive) distinct below the MIN signature
-    # aggregate — the final adaptive plan ran the scan+tokenize+explode
-    # pipeline TWICE (plan audit: 8 scans, 2 independent explode chains).
-    # One compute + one checkpointed copy of the DISTINCT stream is
-    # strictly less I/O than the second full scan+explode+shuffle at any
-    # scale (the pre-distinct stream already crossed the wire once for
-    # the distinct itself).
-    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
+    # share one shingle pass across the signature path and verify_jaccard's
+    # three consumers, size-gated (r17): above the input-size gate the
+    # distinct table is materialized once (the lazy plan otherwise runs
+    # the scan+tokenize+explode pipeline once per consumer — before-plan:
+    # 8 scans, 2 independent explode chains); below it the checkpoint
+    # barrier costs more than the duplicated subtree. Rationale and the
+    # measured crossover live on dedup.shared_shingles.
+    sh = dedup.shared_shingles(docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     jac = dedup.verify_jaccard(cand, sh)
@@ -473,8 +470,8 @@ def _dup_groups_oracle() -> str:
 @query("q43_dup_groups", oracle=_dup_groups_oracle())
 def q43_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # shared-shingle materialize — rationale at q31 (r17)
-    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
+    # size-gated shared shingle pass — rationale at q31 (r17)
+    sh = dedup.shared_shingles(docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
@@ -515,8 +512,8 @@ def _dedup_corpus_oracle() -> str:
 @query("q44_dedup_corpus", oracle=_dedup_corpus_oracle())
 def q44_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # shared-shingle materialize — rationale at q31 (r17)
-    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
+    # size-gated shared shingle pass — rationale at q31 (r17)
+    sh = dedup.shared_shingles(docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)
@@ -919,8 +916,8 @@ def q116_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.operators import curation
 
     docs = t(spark, sf_dir, "documents")
-    # shared-shingle materialize — rationale at q31 (r17)
-    sh = materialize(dedup.shingle_table(docs, fixed_width=True))
+    # size-gated shared shingle pass — rationale at q31 (r17)
+    sh = dedup.shared_shingles(docs)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     near = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.2)

@@ -1232,6 +1232,40 @@ def test_shingle_table_fixed_width_same_rows_full_width(spark):
     assert stock.exceptAll(fixed).isEmpty() and fixed.exceptAll(stock).isEmpty()
 
 
+def test_shared_shingles_size_gate(spark):
+    """r17: the multi-consumer shingle pass is size-gated — below the
+    input-size threshold it stays a plain lazy distinct (recompute per
+    consumer beats the checkpoint barrier at toy scale, measured), above
+    it the fixed-width table is materialized once (one corpus scan at
+    100 TB). Both regimes must produce the identical row set."""
+    from nexgap_spark.operators.dedup import plan_size_bytes, shared_shingles
+    from nexgap_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    est = plan_size_bytes(docs)
+    assert est > 0
+
+    def is_mat(df):
+        # a materialized result IS a bare scan at the plan root (the input
+        # being checkpoint-backed must not count, so no substring search)
+        return df._jdf.queryExecution().optimizedPlan().nodeName() == "LogicalRDD"
+
+    lazy = shared_shingles(docs, min_bytes=est + 1)
+    mat = shared_shingles(docs, min_bytes=est)
+    assert not is_mat(lazy)
+    assert is_mat(mat)
+    assert lazy.exceptAll(mat).isEmpty() and mat.exceptAll(lazy).isEmpty()
+    # size_of override: callers whose frame is checkpoint-backed gate on
+    # the upstream scan it derives from (RDD lineages may report a
+    # conservative estimate; the scan's is exact) — the passed frame, not
+    # the gated one, must drive the decision
+    from nexgap_spark.session import materialize
+
+    ckpt = materialize(docs)
+    assert not is_mat(shared_shingles(ckpt, min_bytes=est + 1, size_of=docs))
+    assert is_mat(shared_shingles(ckpt, min_bytes=est, size_of=docs))
+
+
 def test_dup_groups_single_round_clique_converges(spark):
     """r17 round-1 peel: a clique converges with labels identical to the
     general loop's result, and the convergence metric still reports
