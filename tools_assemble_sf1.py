@@ -193,8 +193,9 @@ for name in sorted(b1):
 out = {
     "generated": os.environ.get(
         "SF1_GENERATED_NOTE",
-        "round 15 tree (bench.py BENCH_QUERY_SET=all; baseline_ namespace "
-        "segregated from every headline total per VERDICT r13 item 1)",
+        "UNKNOWN tree — set SF1_GENERATED_NOTE when assembling so the "
+        "artifact records which tree produced the sweep details "
+        "(VERDICT r16 item 2: a stale note misdated the r15 sweep)",
     ),
     "sf1_totals": {
         "spark": _adj(s1["value"], inline["q1"]),
