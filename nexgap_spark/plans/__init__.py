@@ -28,18 +28,18 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 16
-# rotates oldest-external-green first (VERDICT r15 item 2):
-# (a) the 20 r15-deferred queries whose last external row is r13 (the
-#     named r15 deferrals: q24-q26, q35, q38, q41, q42, q45, q68-q74,
-#     q78, q79, q103, q106, q117);
-# (b) the new round-16 queries (first external rows): q121, the no-rerank
-#     int8 probe, and q122, the PQ-ADC probe;
-# (c) r14-green rotation fill up to 50, code-touched families first
-#     (similarity: q34/q76/q102; streaming-adjacent: q16/q17).
-#     Deferred to r17 (all r14-green, re-pinned locally every round by
-#     selfcheck + the oracle test sweep): q39, q80, q81, q85, q86,
-#     q87-q95, q97, q98, q99, q104, q110, q113.
+# purely about which results get an externally-recorded row. Round 17
+# rotates oldest-external-green first (VERDICT r16 item 5):
+# (a) the 20 r16-deferred queries whose last external row is r14 (the
+#     named r16 deferrals: q39, q80, q81, q85-q95, q97-q99, q104, q110,
+#     q113);
+# (b) the r17-code-touched families, r15-green: the shared-shingle/gate
+#     set (q31, q43, q44, q100, q116, q118), the LZW rewrite (q119), and
+#     the span parent-materialize family (q21-q23, q37);
+# (c) r15-green rotation fill up to 50 in catalog order (q01-q15,
+#     q18-q20, q46). Deferred to r18 (all r15-green, re-pinned locally
+#     every round by selfcheck + the oracle test sweep): q28, q47-q56,
+#     q58, q75, q75b, q82-q84, q108, q114, q120.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
@@ -48,59 +48,59 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # off catalog position — test_baseline_namespace_segregation asserts the
 # tail ordering whenever no baseline is window-listed.
 _DRIVER_WINDOW = [
-    # (a) r15 deferrals — last external green r13
-    "q24_text_stats",
-    "q25_quality_features",
-    "q26_language_id",
-    "q35_ivf_topk",
-    "q38_validate_xml",
-    "q41_asof_join",
-    "q42_range_join",
-    "q45_hyperplane_lsh",
-    "q68_decontaminate",
-    "q69_pii_scan",
-    "q70_repetition_profile",
-    "q71_quality_gate",
-    "q72_split_assign",
-    "q73_pack_chunks",
-    "q74_cohort_retention",
-    "q78_ordered_funnel",
-    "q79_rebalance_domains",
-    "q103_ngram_logprob",
-    "q106_ivf_indexed",
-    "q117_expectations",
-    # (b) new round-16 queries (first external rows)
-    "q121_ivf_int8_norerank",
-    "q122_pq_adc_topk",
-    # (c) r14-green rotation fill (28 of 48; deferral list in the header)
-    "q30_minhash_signatures",
-    "q32_simhash",
-    "q33_binary_payloads",
-    "q34_cosine_topk",
-    "q61_centroid_outliers",
-    "q62_tfidf_top_terms",
-    "q63_approx_quantiles",
-    "q67_corr_stats",
-    "q76_quantize_digest",
-    "q77_rolling_active_users",
-    "q96_url_pipeline",
-    "q101_png_features",
-    "q102_semantic_dedup",
-    "q105_synthesis_workflow",
-    "q107_agent_execution",
-    "q109_generate_and_execute",
-    "q111_progressive_jpeg_features",
-    "q112_mp4_metadata",
-    "q16_sessionize_events",
-    "q17_tumbling_window_agg",
-    "q27_exact_dedup_stats",
-    "q40_media_features",
-    "q57_hopping_windows",
-    "q59_top_terms",
-    "q60_length_zscore",
-    "q64_funnel_conversions",
-    "q65_moving_average",
-    "q66_unpivot_matrix",
+    # (a) r16 deferrals — last external green r14
+    "q39_emit_qwen",
+    "q80_kmeans_step",
+    "q81_cdc_apply",
+    "q85_ivf_nprobe",
+    "q86_chunk_text",
+    "q87_fuzzifier_contract",
+    "q88_persona_suitability",
+    "q89_url_extraction",
+    "q90_url_validate",
+    "q91_url_repair_loop",
+    "q92_file_requirement",
+    "q93_file_plan",
+    "q94_url_rewrite",
+    "q95_new_tag_parse",
+    "q97_wav_features",
+    "q98_keep_best_per_group",
+    "q99_incremental_dedup",
+    "q104_url_dedup",
+    "q110_jpeg_features",
+    "q113_mjpeg_video_pixels",
+    # (b) r17 code-touched families — last external green r15
+    "q31_minhash_lsh_pairs",
+    "q43_dup_groups",
+    "q44_dedup_corpus",
+    "q100_incremental_minhash",
+    "q116_leakage_safe_split",
+    "q118_corpus_pipeline",
+    "q119_gif_animation",
+    "q21_span_last_per_group",
+    "q22_span_parent_join",
+    "q23_span_root_walk",
+    "q37_convert_pipeline",
+    # (c) r15-green rotation fill (19 of 39; deferral list in the header)
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_orders",
+    "q04_priority_semi_join",
+    "q05_customers_no_orders",
+    "q06_revenue_filter",
+    "q07_topk_parts_per_brand",
+    "q08_last_event_per_user",
+    "q09_cumulative_revenue",
+    "q10_event_type_stats",
+    "q11_rollup_sales",
+    "q12_distinct_counts",
+    "q13_string_functions",
+    "q14_monthly_orders",
+    "q15_nation_set_ops",
+    "q18_json_extraction",
+    "q19_sampling_weights",
+    "q20_inverse_cdf_pick",
+    "q46_cube_sales",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):
