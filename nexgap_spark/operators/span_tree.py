@@ -205,6 +205,7 @@ def _parent_side(
     max_rows: int = PARENT_BROADCAST_CAP,
     *,
     ref_ids: DataFrame | None = None,
+    multi_hop: bool = False,
 ) -> tuple[DataFrame, int | None, bool]:
     """Single definition of the parent-join build-side policy; returns
     (side, row_count or None, hinted) — ``hinted`` is True when the side
@@ -228,8 +229,16 @@ def _parent_side(
     built broadcast via ReusedExchange is empirically false on Spark 4.1
     + AQE for non-trivial lineages (q37 runtime plan: 12 builds, 4
     reused, 18 scans; q23: 6 builds, 1 reused — each hop rebuilt the
-    build side from the scan). Hops probing a checkpointed RDD are
-    canonically equal, so the runtime builds the hash relation once.
+    build side from the scan). The materialize is FILE-backed
+    (``prefer_file=True``), not a localCheckpoint: AQE's broadcast-stage
+    cache also never matches ``Scan ExistingRDD`` children, so a
+    checkpointed build still ran once per hop; a FileScan canonicalizes
+    by location, collapsing the hops to ONE build plus a ReusedExchange
+    each (r17, measured on q37/q23 executed plans). ``multi_hop`` gates
+    the file-backed flavor: a SINGLE-join caller (join_parent) has
+    nothing to reuse, and the parquet round-trip is pure overhead over a
+    localCheckpoint there (q22 interleaved A/B: 0.53 s → 0.71 s), so
+    only the ≥2-hop resolvers pass True.
 
     ``ref_ids``: single-column (``_p_id``) frame of every id the probe
     side can look up — the union of parent pointers. A build row whose id
@@ -245,6 +254,7 @@ def _parent_side(
     still gets the broadcast plan (measured 2× on q22 at spans ×100)."""
     if broadcast_parents is None:
         n = parents.count()
+        already_mat = False
         if ref_ids is not None and n > PRUNE_BUILD_ROWS:
             # ref_ids may be a THUNK: building the prune set can itself be
             # expensive (a window-fed probe's parent pointers), and it is
@@ -255,21 +265,35 @@ def _parent_side(
             parents = materialize(
                 parents.join(
                     refs.filter(F.col("_p_id").isNotNull()), "_p_id", "semi"
-                )
+                ),
+                prefer_file=multi_hop,
             )
             n = parents.count()
+            already_mat = True
         hinted = n <= max_rows
-        if hinted and "LogicalRDD" not in (
-            parents._jdf.queryExecution().optimizedPlan().toString()
-        ):
-            # bounded by the cap that just passed (≤ max_rows narrow
-            # rows): one checkpointed copy that every hop's broadcast
-            # build reads — see the reuse note in the docstring. A plain
-            # scan lineage is NOT exempt (each un-reused build re-scans
-            # the span table — 6 scans at 100 TB); only a frame that is
-            # already a checkpoint (the pruned branch above) skips the
-            # second write.
-            parents = materialize(parents)
+        if hinted and not already_mat:
+            if multi_hop:
+                # bounded by the cap that just passed (≤ max_rows narrow
+                # rows): one FILE-materialized copy that the first hop's
+                # broadcast build reads and every later hop REUSES — see
+                # the reuse note in the docstring. prefer_file, not
+                # localCheckpoint, because AQE's broadcast-stage cache
+                # never matches LogicalRDD children (r17, measured):
+                # checkpointed builds ran once per hop even over the
+                # identical RDD, while FileScan subtrees canonicalize by
+                # location and collapse to one build + ReusedExchange per
+                # extra hop. An input that arrives already checkpointed
+                # (callers' _ensure_cheap) still takes the file
+                # round-trip — the write is cap-bounded and buys the
+                # per-hop builds + broadcast ship-outs back.
+                parents = materialize(parents, prefer_file=True)
+            elif "LogicalRDD" not in (
+                parents._jdf.queryExecution().optimizedPlan().toString()
+            ):
+                # single-join caller: nothing reuses, so the cheaper
+                # localCheckpoint stands (skip when the input is already
+                # a checkpoint — the one build re-scans it for free)
+                parents = materialize(parents)
         return (F.broadcast(parents) if hinted else parents), n, hinted
     return (
         (F.broadcast(parents) if broadcast_parents else parents),
@@ -447,6 +471,7 @@ def resolve_agent_name(
             broadcast_parents,
             max_broadcast_parent_rows,
             ref_ids=refs,
+            multi_hop=True,
         )
         drop_cols = ("_p_id", "_p_name", "_p_parent")
 
@@ -602,6 +627,7 @@ def resolve_root(
             broadcast_parents,
             max_broadcast_parent_rows,
             ref_ids=spans.select(F.col(parent_col).alias("_p_id")),
+            multi_hop=True,
         )
         drop_cols = ("_p_id", "_p_parent")
     init = spans.withColumn(out_col, F.col(id_col)).withColumn(

@@ -247,7 +247,30 @@ def _parquet_unsafe_schema(df: DataFrame) -> bool:
     return walk(df.schema)
 
 
-def materialize(df: DataFrame, *, gen: MaterializeGen | None = None) -> DataFrame:
+_LOCAL_MAT_ROOT: list[str] = []
+
+
+def _local_mat_root() -> str:
+    """Session-scoped temp root for ``materialize(prefer_file=True)`` in
+    localCheckpoint mode (no reliable checkpoint dir configured). Created
+    lazily, reaped at interpreter exit — the frames written here are
+    bounded small sides (the parent-walk build is ≤ PARENT_BROADCAST_CAP
+    narrow rows by contract), so process-lifetime retention is the same
+    deal localCheckpoint blocks get, minus the executor memory."""
+    if not _LOCAL_MAT_ROOT:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="nexgap_local_mat_")
+        atexit.register(shutil.rmtree, root, True)
+        _LOCAL_MAT_ROOT.append(root)
+    return _LOCAL_MAT_ROOT[0]
+
+
+def materialize(
+    df: DataFrame, *, gen: MaterializeGen | None = None, prefer_file: bool = False
+) -> DataFrame:
     """Eagerly materialize ``df`` and truncate its lineage.
 
     Default (no checkpoint dir configured): ``localCheckpoint`` — blocks
@@ -294,9 +317,31 @@ def materialize(df: DataFrame, *, gen: MaterializeGen | None = None) -> DataFram
     Iterative loops additionally pass ``gen`` (a :class:`MaterializeGen`)
     so dead generations are deleted as the loop advances — see the class
     docstring for the retention rule and the linear-lineage requirement.
+
+    ``prefer_file=True`` (r17): materialize as a parquet round-trip even
+    WITHOUT a checkpoint dir (into a session temp root, reaped at exit).
+    The point is AQE exchange reuse, not durability: a ``localCheckpoint``
+    scan (LogicalRDD) is invisible to the broadcast-stage cache — N joins
+    against the same checkpointed frame build N identical hash relations
+    (measured on Spark 4.1: 3 identical ``Scan ExistingRDD`` build
+    subtrees, 0 ReusedExchange) — while a FileScan over the same rows
+    canonicalizes by location, so the same shape builds ONCE and every
+    other join reuses it (same probe: 1 build + 2 ReusedExchange).
+    Callers that join one bounded frame many times (the span resolvers'
+    per-hop parent build) pass this flag; parquet-unsafe schemas fall
+    back to localCheckpoint.
     """
     spark = df.sparkSession
     ckdir = spark.sparkContext.getCheckpointDir()
+    if ckdir is None and prefer_file and not _parquet_unsafe_schema(df):
+        import uuid
+
+        path = f"{_local_mat_root()}/nexgap_mat_{uuid.uuid4().hex}"
+        df.write.mode("error").parquet(path)
+        out = spark.read.parquet(path)
+        if gen is not None:
+            gen.record(spark, path)
+        return out
     if ckdir is not None:
         import uuid
 

