@@ -188,11 +188,11 @@ def repetition_features(
     stream carries one row per token position with a gram column per n;
     cost is one shuffle of (id, gram) keyed by id.
     """
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from nexgap_spark.session import fan_out_python_stage
+
     min_n = min(ns)
     base = (
-        df.repartition(par)
+        fan_out_python_stage(df)
         .select(F.col(id_col).alias("_rid"), tokenize(text_col).alias("_toks"))
         .filter(F.size("_toks") >= min_n)
     )

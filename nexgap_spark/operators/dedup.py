@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nexgap_spark.operators.text import tokenize
-from nexgap_spark.session import MaterializeGen, materialize
+from nexgap_spark.session import MaterializeGen, fan_out_python_stage, materialize
 
 # Fixed affine hash parameters (a, b) for MinHash — odd multipliers, distinct
 # offsets; p is the smallest prime above 2^32 so (a*h+b) % p stays in int64.
@@ -141,8 +141,11 @@ def shingle_table(
     Built with explode(sequence) + element_at instead of array-lambda HOFs:
     higher-order functions are interpreted per element (never codegen'd),
     which serializes the hottest loop of the dedup path. The input is also
-    repartitioned first — a single-file parquet scan is one partition, and
-    everything narrow downstream would inherit that serial bottleneck.
+    fanned out first (fan_out_python_stage) — a single-file parquet scan
+    is one partition, and everything narrow downstream would inherit that
+    serial bottleneck; a corpus whose scan already yields ≥ core-count
+    splits skips the shuffle (r17 — the unconditional repartition was a
+    full-text round-robin exchange at scale for no width gain).
 
     ``distinct=False`` skips the dedup shuffle (260 k-row exchange at
     sf0.1, the single most expensive stage of the signature path) for
@@ -167,7 +170,7 @@ def shingle_table(
         F.split(normalize_text(text_col), " ") if normalize else tokenize(text_col)
     )
     base = (
-        df.repartition(par)
+        fan_out_python_stage(df)
         .select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") >= shingle_n)
     )
@@ -561,10 +564,9 @@ def simhash(
     rejected (and 1<<63 would overflow signed int64 anyway)."""
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
-    par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
     exploded = (
-        df.repartition(par)
+        fan_out_python_stage(df)
         .select(F.col(id_col), F.explode(toks).alias("tok"))
         .withColumn("h", hexint(F.col("tok"), 8 if bits <= 32 else 15))
     )

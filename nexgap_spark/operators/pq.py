@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nexgap_spark.session import fan_out_python_stage
 from nexgap_spark.operators.similarity import (
     DEFAULT_DIM,
     _collect_small_side,
@@ -441,7 +442,6 @@ def ivf_topk_indexed_pq(
         else None
     )
     bcm = sc.broadcast(cent_map)
-    par = sc.defaultParallelism
 
     # ---- PQ candidate scan: float/int8 columns NEVER read -----------------
     pruned = corpus.filter(F.col("centroid_id").isin(probed_ids)).select(
@@ -485,7 +485,7 @@ def ivf_topk_indexed_pq(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     n_id_type = corpus.schema[id_col].dataType.simpleString()
-    partials = pruned.repartition(par).mapInPandas(
+    partials = fan_out_python_stage(pruned).mapInPandas(
         search_pq, schema=f"q_id {q_id_type}, n_id {n_id_type}, acos double"
     )
     wq = W.partitionBy("q_id").orderBy(F.col("acos").desc(), F.col("n_id"))

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nexgap_spark.session import fan_out_python_stage
+
 
 DEFAULT_DIM = 64
 
@@ -110,7 +112,6 @@ def brute_force_topk(
     q_norms = _seq_sqrt_norms(q_mat)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids_arr, q_mat, q_norms))
-    par = sc.defaultParallelism
 
     def score(batches):
         q_ids, qm, qn = bq.value
@@ -139,7 +140,7 @@ def brute_force_topk(
     # ids that id_col= legitimately allows
     q_id_type = queries.schema[id_col].dataType.simpleString()
     n_id_type = corpus.schema[id_col].dataType.simpleString()
-    partials = corpus.repartition(par).mapInPandas(
+    partials = fan_out_python_stage(corpus).mapInPandas(
         score, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -199,9 +200,8 @@ def assign_clusters(
             norm(F.col(vec_col), dim).alias("_c_norm"),
         )
     )
-    par = vectors.sparkSession.sparkContext.defaultParallelism
     scored = (
-        vectors.repartition(par)
+        fan_out_python_stage(vectors)
         .withColumn("_v_norm", norm(F.col(vec_col), dim))
         .join(cent)
         .withColumn(
@@ -270,8 +270,7 @@ def _assign_clusters_arrow(
                 pdf[centroid_id_col] = pd.Series([], dtype=object)
             yield pdf[out_cols]
 
-    par = sc.defaultParallelism
-    return vectors.repartition(par).mapInPandas(fn, out_schema)
+    return fan_out_python_stage(vectors).mapInPandas(fn, out_schema)
 
 
 def _seq_sqrt_norms(m: np.ndarray) -> np.ndarray:
@@ -400,7 +399,6 @@ def ivf_topk(
 
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_by_cent, cent_ids, cent_mat))
-    par = sc.defaultParallelism
 
     def search(batches):
         q_by, c_ids_b, c_mat_b = bq.value
@@ -438,7 +436,7 @@ def ivf_topk(
     # derive id field types from the actual schemas (see brute_force_topk)
     q_id_type = queries.schema[id_col].dataType.simpleString()
     n_id_type = corpus.schema[id_col].dataType.simpleString()
-    partials = corpus.repartition(par).mapInPandas(
+    partials = fan_out_python_stage(corpus).mapInPandas(
         search, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -461,8 +459,7 @@ def blocked_near_dup(
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a coarse
     cluster or label). Blocking bounds the quadratic term to the largest
     block; pair (a < b) output with cosine ≥ threshold."""
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    vectors = vectors.repartition(par)
+    vectors = fan_out_python_stage(vectors)
     a = vectors.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("a_vec"),
@@ -1175,7 +1172,6 @@ def ivf_topk_indexed(
 
     sc = spark.sparkContext
     bq = sc.broadcast(q_by_cent)
-    par = sc.defaultParallelism
 
     def search(batches):
         q_by = bq.value
@@ -1217,7 +1213,7 @@ def ivf_topk_indexed(
     # or int ids that id_col= legitimately allows)
     q_id_type = queries.schema[id_col].dataType.simpleString()
     n_id_type = corpus.schema[id_col].dataType.simpleString()
-    partials = pruned.repartition(par).mapInPandas(
+    partials = fan_out_python_stage(pruned).mapInPandas(
         search, schema=f"q_id {q_id_type}, n_id {n_id_type}, cos double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -1309,7 +1305,6 @@ def ivf_topk_indexed_int8(
     probed_ids = sorted(q_by_cent)
     sc = spark.sparkContext
     bq = sc.broadcast(q_by_cent)
-    par = sc.defaultParallelism
     c_take = max(k, rerank_factor * k)
 
     # ---- int8 candidate scan: float column NEVER read here ----------------
@@ -1356,7 +1351,7 @@ def ivf_topk_indexed_int8(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     n_id_type = corpus.schema[id_col].dataType.simpleString()
-    partials = pruned_q.repartition(par).mapInPandas(
+    partials = fan_out_python_stage(pruned_q).mapInPandas(
         search_int8, schema=f"q_id {q_id_type}, n_id {n_id_type}, acos double"
     )
     wq = W.partitionBy("q_id").orderBy(F.col("acos").desc(), F.col("n_id"))
@@ -1469,7 +1464,6 @@ def semantic_dedup(
     # centroid table is small by contract (IVF pattern, _collect_small_side
     # enforces it), and a vectorized |batch|×k score block beats the
     # broadcast-join 64-term expression chains ~5× measured at sf0.1
-    spark = vectors.sparkSession
     cent_pd = _collect_small_side(
         centroids, [F.col("centroid_id"), F.col(vec_col)], "centroid side"
     )
@@ -1516,14 +1510,9 @@ def semantic_dedup(
             pdf["centroid_id"] = _np_assign(V, c_ids, c_mat)
             yield pdf
 
-    par = spark.sparkContext.defaultParallelism
-    assigned = (
-        vectors.select(id_col, vec_col)
-        .repartition(par)
-        .mapInPandas(
-            route,
-            schema=f"{id_col} {id_type}, {vec_col} {vec_type}, centroid_id {cid_type}",
-        )
+    assigned = fan_out_python_stage(vectors.select(id_col, vec_col)).mapInPandas(
+        route,
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, centroid_id {cid_type}",
     )
     assigned, part_keys = cap_partition_size(
         assigned,

@@ -474,11 +474,19 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     numbered repartition carries the REPARTITION_BY_NUM shuffle origin,
     which AQE never coalesces.
 
-    ONLY call this on plans without exchanges (scans + narrow projections):
-    the `df.rdd` partition probe is free there, but under AQE it EXECUTES
-    every upstream stage on a plan with exchanges — operators whose input
-    is post-shuffle (e.g. operators/converter.py) must repartition
-    unconditionally instead.
+    The partition probe is only run on exchange-free plans (scans +
+    narrow projections): the `df.rdd` probe is free there, but under AQE
+    it EXECUTES every upstream stage on a plan with exchanges. Inputs
+    whose lineage carries exchange-inducing nodes (post-shuffle frames,
+    e.g. operators/converter.py's) get the unconditional repartition —
+    since r17 the guard lives HERE (an analysis-only optimized-plan
+    probe), so any operator can call this instead of hand-writing
+    `repartition(par)`. The point of the conditional branch is the
+    at-scale exit: a corpus whose scan already yields ≥ core-count
+    splits must NOT pay a round-robin shuffle of its full payload just
+    to "parallelize" — that repartition is a local-mode aid (single-file
+    toy scans), not a plan constant (guide §2.3/§2.5: repartition(N)
+    also pays sortBeforeRepartition on every input row).
 
     Streaming DataFrames pass through untouched: `df.rdd` is illegal on a
     stream, and micro-batch width is governed by the source's own options
@@ -487,9 +495,35 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in _EXCHANGE_LINEAGE_NODES):
+        return df.repartition(par)
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+# Logical nodes whose physical plan contains exchanges / broadcast stages
+# (so an eager `df.rdd` probe under AQE would run real jobs) — the
+# fan_out_python_stage guard. Deliberately conservative: a false positive
+# only costs the pre-r17 unconditional repartition.
+_EXCHANGE_LINEAGE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "Intersect",
+    "Except",
+    "RepartitionByExpression",
+    "Repartition",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapPartitions",
+    "PythonUDF",
+)
 
 
 def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1232,6 +1232,63 @@ def test_shingle_table_fixed_width_same_rows_full_width(spark):
     assert stock.exceptAll(fixed).isEmpty() and fixed.exceptAll(stock).isEmpty()
 
 
+def test_fan_out_skips_shuffle_on_wide_inputs(spark):
+    """r17: operator fan-out is scale-adaptive — fan_out_python_stage
+    (now used by shingle_table, simhash, repetition_features and the
+    similarity/pq probe kernels in place of an unconditional
+    repartition(par)) must NOT inject a round-robin shuffle of the full
+    payload when the input already carries ≥ core-count partitions (the
+    at-scale case: a wide corpus scan), must still fan a narrow input
+    out to defaultParallelism (the local/single-file case), and must
+    produce identical rows either way. Inputs whose lineage contains
+    exchanges take the unconditional repartition (the eager df.rdd probe
+    would run real jobs under AQE)."""
+    from pyspark.sql import functions as F
+
+    from nexgap_spark.operators.dedup import simhash
+    from nexgap_spark.session import fan_out_python_stage, materialize
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta w"), (F.col("id") % 97).cast("string"),
+            F.lit(" gamma delta"),
+        ).alias("text"),
+    )
+    # cheap-lineage frames at both widths (LogicalRDD roots — no
+    # exchange tokens, so the conditional probe branch is exercised)
+    wide = materialize(docs.repartition(par + 4))
+    narrow = materialize(docs.coalesce(1))
+    assert wide.rdd.getNumPartitions() >= par
+    assert narrow.rdd.getNumPartitions() == 1
+
+    fo_wide = fan_out_python_stage(wide)
+    fo_narrow = fan_out_python_stage(narrow)
+    assert fo_wide is wide  # already wide → untouched, no shuffle
+    assert fo_narrow.rdd.getNumPartitions() == par
+
+    # end-to-end through an operator: identical rows, and the wide plan
+    # carries no injected round-robin exchange
+    sh_wide, sh_narrow = simhash(wide), simhash(narrow)
+    assert "RoundRobinPartitioning" not in (
+        sh_wide._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sh_wide.exceptAll(sh_narrow).isEmpty()
+    assert sh_narrow.exceptAll(sh_wide).isEmpty()
+
+    # exchange-bearing lineage → unconditional repartition (probe unsafe)
+    agg = docs.groupBy((F.col("doc_id") % 7).alias("g")).agg(
+        F.count("*").alias("c")
+    )
+    fo_agg = fan_out_python_stage(agg)
+    assert fo_agg is not agg
+    assert "RoundRobinPartitioning" in (
+        fo_agg._jdf.queryExecution().optimizedPlan().toString()
+        + fo_agg._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_shared_shingles_size_gate(spark):
     """r17: the multi-consumer shingle pass is size-gated — below the
     input-size threshold it stays a plain lazy distinct (recompute per
