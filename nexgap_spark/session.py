@@ -495,8 +495,17 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in plan for tok in _EXCHANGE_LINEAGE_NODES):
+    root = df._jdf.queryExecution().optimizedPlan()
+    if any(tok in root.toString() for tok in _EXCHANGE_LINEAGE_NODES):
+        # exception inside the guard: a frame whose ROOT is an explicit
+        # round-robin repartition to >= par is already wide by
+        # construction — repartitioning again would double-shuffle the
+        # payload, and the width is on the logical node (no job needed)
+        try:
+            if root.nodeName() == "Repartition" and root.numPartitions() >= par:
+                return df
+        except Exception:  # noqa: BLE001 — width probe is best-effort
+            pass
         return df.repartition(par)
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
