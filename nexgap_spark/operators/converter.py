@@ -262,8 +262,10 @@ def convert_spans(
     # filters, the Arrow stage) inherits guaranteed width with zero extra
     # exchange. (Do NOT probe partition counts via df.rdd here: under AQE
     # that executes every upstream stage just to read the number.)
+    from nexgap_spark.session import adaptive_width
+
     narrowed = span_tree.last_generation_per_group(
-        narrowed, pre_partition=spans.sparkSession.sparkContext.defaultParallelism
+        narrowed, pre_partition=adaptive_width(spans)
     )
     # parents resolve against the UNFILTERED table — ancestors are usually
     # non-generation spans that P2 just removed
@@ -321,8 +323,10 @@ def convert_spans_nexau(
     # keyed pre-window repartition: replaces the window exchange with an
     # AQE-coalesce-exempt one, guaranteeing Python-stage width with zero
     # extra shuffle (same rationale as convert_spans above)
+    from nexgap_spark.session import adaptive_width
+
     narrowed = span_tree.last_generation_per_group(
-        narrowed, pre_partition=spans.sparkSession.sparkContext.defaultParallelism
+        narrowed, pre_partition=adaptive_width(spans)
     )
     # immediate parent only, resolved against the UNFILTERED span table —
     # parents are usually the non-generation agent spans P2 removed;

@@ -163,9 +163,13 @@ def shingle_table(
     materialized frame then ran serially (measured at sf1.0: q31-mat
     best 10 s but 87-187 s stalls; fixed-width mat is stable). The trade
     is losing map-side partial dedup before the exchange, which is ~7%
-    of the stream here (shingles are near-unique within a partition)."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    of the stream here (shingles are near-unique within a partition).
+    Width (r18): adaptive_width(df) — input-size-derived, equal to core
+    count on any at-scale input (the shared_shingles gate only opens at
+    ≥ 4 MB, where the width already clamps to cores)."""
+    from nexgap_spark.session import adaptive_width
+
+    par = adaptive_width(df)
     toks = (
         F.split(normalize_text(text_col), " ") if normalize else tokenize(text_col)
     )

@@ -561,7 +561,11 @@ def blocked_near_dup_arrow(
             }
         )
 
-    par = vectors.sparkSession.sparkContext.defaultParallelism
+    from nexgap_spark.session import adaptive_width
+
+    # input-size-derived width (r18): same keyed exchange, fewer
+    # micro-tasks on toy inputs, = core count at scale
+    par = adaptive_width(vectors)
     return (
         vectors.where(F.col(block_col).isNotNull())
         .select(id_col, vec_col, block_col)
@@ -788,15 +792,19 @@ def hyperplane_lsh_pairs(
     # pair ids inherit the input id type (see brute_force_topk): hard-coded
     # bigint silently coerced string/int ids passed via id_col=
     pair_id_type = vectors.schema[id_col].dataType.simpleString()
-    # keyed repartition to defaultParallelism (r17): it satisfies the
-    # groupBy's required clustering (ONE exchange either way), but its
-    # REPARTITION_BY_NUM origin is exempt from AQE coalescing — the stock
-    # ENSURE_REQUIREMENTS exchange looks tiny in bytes and AQE folded all
-    # 2^planes groups onto ONE task, serializing the per-group Arrow/pandas
-    # overhead that dominates small buckets (measured: q45 pair stage
-    # 1.08 s → parallel across cores). At scale buckets are large, AQE
-    # would not coalesce, and the plan is byte-identical.
-    par = vectors.sparkSession.sparkContext.defaultParallelism
+    # keyed repartition (r17): it satisfies the groupBy's required
+    # clustering (ONE exchange either way), but its REPARTITION_BY_NUM
+    # origin is exempt from AQE coalescing — the stock ENSURE_REQUIREMENTS
+    # exchange looks tiny in bytes and AQE folded all 2^planes groups onto
+    # ONE task, serializing the per-group Arrow/pandas overhead that
+    # dominates small buckets (measured: q45 pair stage 1.08 s → parallel
+    # across cores). At scale buckets are large, AQE would not coalesce,
+    # and the plan is byte-identical. Width (r18): input-size-derived
+    # instead of raw core count — identical at scale, fewer micro-tasks on
+    # toy inputs.
+    from nexgap_spark.session import adaptive_width
+
+    par = adaptive_width(vectors)
     return (
         bucketed.repartition(par, *[F.col(k) for k in group_keys])
         .groupBy(*group_keys)

@@ -226,10 +226,12 @@ def tfidf(
     ).filter(F.length("term") > 0)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     if share_tf:
-        from nexgap_spark.session import materialize
+        from nexgap_spark.session import adaptive_width, materialize
 
-        par = df.sparkSession.sparkContext.defaultParallelism
-        tf = materialize(tf.repartition(par, F.col(id_col)))
+        # width from the corpus size estimate, not raw core count (r18):
+        # at scale the two agree; on toy inputs the core-wide pin was pure
+        # scheduling overhead (the 8-vs-32-core finding)
+        tf = materialize(tf.repartition(adaptive_width(df), F.col(id_col)))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
@@ -338,13 +340,17 @@ def ngram_logprob(
     the usual vocabulary ≪ corpus regime; at web-crawl vocabulary scale
     set it False and the join shuffles on the (Zipf-skewed) word keys —
     pair it with skew.salted_join if a stopword context dominates."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from nexgap_spark.session import fan_out_python_stage
+
     train = docs if train is None else train
 
     def bigram_instances(df: DataFrame, cols: list[str]) -> DataFrame:
+        # fan_out (r18) replaces the unconditional repartition(cores): an
+        # already-wide corpus scan skips the full-text round-robin shuffle
+        # outright, and narrow toy scans get an input-size-derived width
+        # instead of core-count micro-tasks
         base = (
-            df.repartition(par)
+            fan_out_python_stage(df)
             .select(*cols, tokenize(text_col).alias("_t"))
             .filter(F.size("_t") >= 2)
         )

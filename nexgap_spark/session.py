@@ -458,7 +458,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def fan_out_python_stage(df: DataFrame) -> DataFrame:
+def _plan_stats_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of ``df``'s plan (driver-side metadata, no
+    job): on-disk bytes for a parquet scan; RDD-backed lineages
+    (localCheckpoint) and anything the probe cannot read report the
+    conservative huge default, which callers must treat as "assume wide"."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — the probe is best-effort
+        return 1 << 62
+
+
+# Bytes of input one CPU-bound stage task should own. Derivation (r18, the
+# r17 verdict's 8-vs-32-core finding: local[8] beat local[32] by 24% at
+# sf0.1 because every explicit repartition-to-defaultParallelism schedules
+# core-count tasks the data cannot amortize): the two measured regimes are
+# sf0.1 (0.6 MB documents — 8-wide wins) and sf1.0 (6.6 MB — 32-wide wins);
+# 64 KB/task maps them to widths 10 and ≥104 (capped at cores).  At
+# production scale any real corpus is ≫ cores × 64 KB, so the width is
+# always the core count and at-scale plans are unchanged — the knob only
+# right-sizes toy inputs.  Env-tunable, NOT cluster-tuned: the value encodes
+# per-byte CPU cost of the text/embedding kernels, not the deployment.
+FANOUT_TARGET_BYTES_DEFAULT = 64 * 1024
+
+
+def adaptive_width(df: DataFrame, *, floor: int = 2) -> int:
+    """Fan-out width for a CPU-bound per-row stage over ``df``: the input's
+    optimizer size estimate divided by NEXGAP_FANOUT_TARGET_BYTES (default
+    64 KB/task), clamped to [floor, defaultParallelism].  Unknown sizes
+    (checkpoint-backed lineages) clamp to defaultParallelism — identical to
+    the pre-r18 behavior, so the adaptive path can only ever NARROW a
+    provably-small input, never under-parallelize an unknown one."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    target = int(
+        os.environ.get("NEXGAP_FANOUT_TARGET_BYTES", str(FANOUT_TARGET_BYTES_DEFAULT))
+    )
+    if target <= 0:
+        return par
+    width = -(-_plan_stats_bytes(df) // target)
+    return int(max(min(par, width), min(par, floor)))
+
+
+def fan_out_python_stage(df: DataFrame, *, heavy: bool = False) -> DataFrame:
     """Fan a DataFrame out to cluster parallelism before a CPU-bound
     per-row stage — a Python (mapInPandas / applyInPandas) stage, or a
     JVM-side projection whose per-row cost dwarfs the scan (multi-pass
@@ -491,24 +532,36 @@ def fan_out_python_stage(df: DataFrame) -> DataFrame:
     Streaming DataFrames pass through untouched: `df.rdd` is illegal on a
     stream, and micro-batch width is governed by the source's own options
     (maxFilesPerTrigger × file splits), not the batch fan-out heuristic.
+
+    Width (r18): :func:`adaptive_width` — input bytes / 64 KB-per-task,
+    capped at defaultParallelism — instead of the raw core count. At scale
+    (unknown or ≫ cores × 64 KB inputs) the two are identical; on toy
+    inputs the adaptive width stops a 0.6 MB corpus from scheduling 32
+    micro-tasks per stage (the r17 verdict's 8-vs-32-core finding: the
+    whole sf0.1 suite was scheduling-overhead-bound and local[8] beat
+    local[32] by 24%).  ``heavy=True`` keeps the full core-count width for
+    stages whose PER-ROW cost is orders above their byte size (subprocess
+    forks, mock network transports over id-only frames) — bytes are the
+    wrong proxy exactly there.
     """
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
+    width = par if heavy else adaptive_width(df)
     root = df._jdf.queryExecution().optimizedPlan()
     if any(tok in root.toString() for tok in _EXCHANGE_LINEAGE_NODES):
         # exception inside the guard: a frame whose ROOT is an explicit
-        # round-robin repartition to >= par is already wide by
+        # round-robin repartition to >= width is already wide by
         # construction — repartitioning again would double-shuffle the
         # payload, and the width is on the logical node (no job needed)
         try:
-            if root.nodeName() == "Repartition" and root.numPartitions() >= par:
+            if root.nodeName() == "Repartition" and root.numPartitions() >= width:
                 return df
         except Exception:  # noqa: BLE001 — width probe is best-effort
             pass
-        return df.repartition(par)
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+        return df.repartition(width)
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
     return df
 
 

@@ -1226,9 +1226,16 @@ def test_shingle_table_fixed_width_same_rows_full_width(spark):
     from nexgap_spark.session import load_table, materialize
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    from nexgap_spark.session import adaptive_width
+
     stock = shingle_table(docs)
     fixed = materialize(shingle_table(docs, fixed_width=True))
-    assert fixed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # r18: the pinned width is input-size-derived (= core count on any
+    # at-scale input); the invariant that matters is > 1 partition — the
+    # checkpoint must never freeze AQE's 1-partition coalesce
+    width = adaptive_width(docs)
+    assert width > 1
+    assert fixed.rdd.getNumPartitions() == width
     assert stock.exceptAll(fixed).isEmpty() and fixed.exceptAll(stock).isEmpty()
 
 
@@ -1263,10 +1270,15 @@ def test_fan_out_skips_shuffle_on_wide_inputs(spark):
     assert wide.rdd.getNumPartitions() >= par
     assert narrow.rdd.getNumPartitions() == 1
 
+    from nexgap_spark.session import adaptive_width
+
     fo_wide = fan_out_python_stage(wide)
     fo_narrow = fan_out_python_stage(narrow)
     assert fo_wide is wide  # already wide → untouched, no shuffle
-    assert fo_narrow.rdd.getNumPartitions() == par
+    # r18: narrow inputs fan to the input-size-derived width (capped at
+    # core count), not unconditionally to defaultParallelism
+    assert fo_narrow.rdd.getNumPartitions() == adaptive_width(narrow)
+    assert 1 < adaptive_width(narrow) <= par
 
     # end-to-end through an operator: identical rows, and the wide plan
     # carries no injected round-robin exchange
