@@ -28,6 +28,7 @@ from nexgap_spark.session import MaterializeGen, fan_out_python_stage, materiali
 # (composing their frames into one plan would fail analysis).
 import itertools
 import logging
+import os
 
 _OBSERVE_SEQ = itertools.count(1)
 _LOG = logging.getLogger(__name__)
@@ -625,6 +626,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def _bucketed_edge_store(edges: DataFrame):
+    """Write the materialized symmetric edge list ONCE as a bucketed-and-
+    sorted external table on ``m`` and return (bucketed_scan, cleanup).
+
+    Each CC round's ``edges ⋈ labels ON m`` then reads the edge side
+    pre-clustered (FileScan with bucket metadata): no per-round edge
+    exchange, and with one sorted file per bucket no per-round edge sort
+    either — only the (much smaller) label frame is exchanged. The store
+    lives under the reliable checkpoint dir when one is configured, else
+    the session temp root; one table per call, dropped by ``cleanup``.
+
+    Bucket count: NEXGAP_CC_EDGE_BUCKETS or defaultParallelism — the
+    cluster-wide core count is the natural reduce-side width for the loop
+    joins this table feeds."""
+    import uuid
+
+    from nexgap_spark.session import _local_mat_root
+    from nexgap_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    spark = edges.sparkSession
+    name = f"nexgap_cc_edges_{uuid.uuid4().hex}"
+    ckdir = spark.sparkContext.getCheckpointDir()
+    root = ckdir.rstrip("/") if ckdir else _local_mat_root()
+    path = f"{root}/{name}"
+    buckets = int(
+        os.environ.get("NEXGAP_CC_EDGE_BUCKETS", "0")
+    ) or spark.sparkContext.defaultParallelism
+    write_bucketed(
+        edges, name, path, bucket_cols=["m"], buckets=buckets, sort_cols=["m"]
+    )
+
+    def cleanup() -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:  # noqa: BLE001 — best-effort; the dir is reaped
+            # with the checkpoint/temp root either way
+            logging.getLogger(__name__).warning(
+                "[dup_groups] failed to drop edge store %s", name
+            )
+
+    return read_bucketed(spark, name), cleanup
+
+
 def dup_groups(
     pairs: DataFrame,
     *,
@@ -685,145 +733,179 @@ def dup_groups(
     edge-sized round-1 shuffles. Plan diff: round 1 drops from 3
     exchanges + 1 join to 1 exchange.
     """
-    edges = materialize(
+    from pyspark.sql import Observation
+
+    sym = (
         pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
         .unionByName(pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m")))
         .distinct()
     )
-    # hash-min labels only ever DECREASE, so for INTEGER node ids the label
-    # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels
-    # (the decimal(38,0) accumulator is exact for integers). That saves the
-    # old-vs-new compare join each round (one join + its shuffle per round,
-    # measured ~25% of q43). Float/decimal ids would round in the
-    # accumulator — a chain of labels closer than 1.0 apart could falsely
-    # report convergence — so they keep the exact per-row compare, as do
-    # strings.
-    numeric = dict(edges.dtypes)["n"] in ("tinyint", "smallint", "int", "bigint")
-    prev_sum = object()  # sentinel: never equal to a first-round sum
-    converged = False
-    # Reliable mode: per-round label materializations are LINEAR (round N
-    # reads only round N-1; the fallback compare reads N-1 and N; the
-    # returned frame reads only the final round), so a generation handle
-    # bounds live checkpoint-store directories to 2 instead of ~diameter
-    # (VERDICT r16 item 4 / ADVICE: the CC loop otherwise leaves one dead
-    # edge-sized parquet dir per round until job end). The edge list is
-    # NOT on the handle — every round reads it.
-    gen = MaterializeGen(keep=2)
-
-    def _mat_with_sum(frame: DataFrame):
-        """Materialize one round's (n, label) frame; when the ids are
-        numeric, fuse the convergence sum into the SAME action via
-        observe() — zero extra jobs, zero extra reads."""
-        if not numeric:
-            return materialize(frame, gen=gen), None
-        from pyspark.sql import Observation
-
-        obs = Observation(f"dup_groups_sum_{next(_OBSERVE_SEQ)}")
-        out = materialize(
-            frame.observe(
-                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ),
-            gen=gen,
-        )
-        return out, obs.get["s"]
-
-    if max_iterations < 1:
-        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    # round 1, peeled: every node starts labeled with itself, so the
-    # first propagation is least(own id, min neighbor id) directly off
-    # the edge list — no node-set distinct, no join, no union.
-    labels, cur_sum = _mat_with_sum(
-        edges.groupBy("n")
-        .agg(F.min("m").alias("_mm"))
-        .select("n", F.least(F.col("n"), F.col("_mm")).alias("label"))
+    # exact edge count fused into the materialize action (zero extra jobs)
+    # — it gates the bucketed edge store below
+    edge_obs = Observation(f"dup_groups_edges_{next(_OBSERVE_SEQ)}")
+    edges = materialize(sym.observe(edge_obs, F.count(F.lit(1)).alias("c")))
+    n_edges = int(edge_obs.get["c"])
+    # Bucketed edge store (r18, guide §2.4/§6; closes the r17 probe): the
+    # loop joins the STATIC edge list by ``m`` every round. While the label
+    # frame broadcasts (small graphs) the edges are never exchanged, but at
+    # scale labels outgrow the broadcast threshold, the join goes
+    # sort-merge, and each round re-exchanges (and re-sorts) the edge list
+    # — the r17 probe showed checkpoint-carried partitioning cannot remove
+    # that (LogicalRDD attribute rewrites defeat ENSURE_REQUIREMENTS).
+    # Writing the materialized edges ONCE as a bucketed-and-sorted table on
+    # ``m`` gives every round an exchange-free, sort-free edge side; the
+    # one-time cost is a keyed write of the edge list (≈ one of the
+    # per-round exchanges it removes). Size-gated on the exact edge count:
+    # below the gate labels broadcast anyway and the write would be pure
+    # overhead — the default (4M edges ≈ the 64 MB label-broadcast
+    # threshold at 16 B/row) keeps every toy/local run on the old shape.
+    edge_store_cleanup = None
+    min_bucket_edges = int(
+        os.environ.get("NEXGAP_CC_BUCKET_MIN_EDGES", str(4_000_000))
     )
-    rounds_used = 1
-    if numeric:
-        if cur_sum is None:
-            if labels.isEmpty():
-                # no edges at all: zero nodes is trivially a fixpoint
-                converged = True
-            else:
-                # decimal overflow on round 1: the sum is unusable — keep
-                # the never-equal sentinel so round 2 cannot falsely match
-                cur_sum = object()
-        prev_sum = cur_sum
-    else:
-        # string/decimal ids: round 1 changed nothing iff no node adopted
-        # a neighbor's smaller id
-        converged = (
-            labels.filter(F.col("label") != F.col("n")).limit(1).count() == 0
-        )
-    for _ in range(max_iterations - 1):
-        if converged:
-            break
-        # candidate label per node: min over neighbors' labels and its own
-        neigh = (
-            edges.join(labels.withColumnRenamed("n", "m"), "m")
-            .select("n", "label")
-            .unionByName(labels)
-            .groupBy("n")
-            .agg(F.min("label").alias("new_label"))
-        )
-        # previous round's checkpoint blocks are dead once the new one
-        # exists. DataFrame.unpersist() would NOT free them (it only
-        # uncaches CacheManager entries; checkpoint blocks belong to the
-        # underlying RDD) — the ContextCleaner releases them once the
-        # previous round's frame is garbage-collected, which the loop's
-        # rebinding of `labels` enables. Bounded rounds keep the
-        # transient footprint small.
-        rounds_used += 1
-        if numeric:
-            new_labels, cur_sum = _mat_with_sum(
-                neigh.select("n", F.col("new_label").alias("label"))
+    if n_edges >= min_bucket_edges:
+        edges, edge_store_cleanup = _bucketed_edge_store(edges)
+    try:
+        # hash-min labels only ever DECREASE, so for INTEGER node ids the label
+        # SUM is an exact fixpoint detector: unchanged sum ⟺ unchanged labels
+        # (the decimal(38,0) accumulator is exact for integers). That saves the
+        # old-vs-new compare join each round (one join + its shuffle per round,
+        # measured ~25% of q43). Float/decimal ids would round in the
+        # accumulator — a chain of labels closer than 1.0 apart could falsely
+        # report convergence — so they keep the exact per-row compare, as do
+        # strings.
+        numeric = dict(edges.dtypes)["n"] in ("tinyint", "smallint", "int", "bigint")
+        prev_sum = object()  # sentinel: never equal to a first-round sum
+        converged = False
+        # Reliable mode: per-round label materializations are LINEAR (round N
+        # reads only round N-1; the fallback compare reads N-1 and N; the
+        # returned frame reads only the final round), so a generation handle
+        # bounds live checkpoint-store directories to 2 instead of ~diameter
+        # (VERDICT r16 item 4 / ADVICE: the CC loop otherwise leaves one dead
+        # edge-sized parquet dir per round until job end). The edge list is
+        # NOT on the handle — every round reads it.
+        gen = MaterializeGen(keep=2)
+
+        def _mat_with_sum(frame: DataFrame):
+            """Materialize one round's (n, label) frame; when the ids are
+            numeric, fuse the convergence sum into the SAME action via
+            observe() — zero extra jobs, zero extra reads."""
+            if not numeric:
+                return materialize(frame, gen=gen), None
+            from pyspark.sql import Observation
+
+            obs = Observation(f"dup_groups_sum_{next(_OBSERVE_SEQ)}")
+            out = materialize(
+                frame.observe(
+                    obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+                ),
+                gen=gen,
             )
+            return out, obs.get["s"]
+
+        if max_iterations < 1:
+            raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+        # round 1, peeled: every node starts labeled with itself, so the
+        # first propagation is least(own id, min neighbor id) directly off
+        # the edge list — no node-set distinct, no join, no union.
+        labels, cur_sum = _mat_with_sum(
+            edges.groupBy("n")
+            .agg(F.min("m").alias("_mm"))
+            .select("n", F.least(F.col("n"), F.col("_mm")).alias("label"))
+        )
+        rounds_used = 1
+        if numeric:
             if cur_sum is None:
-                # decimal(38,0) overflow: non-ANSI Spark yields a NULL sum
-                # instead of raising, and two consecutive NULLs would fake
-                # convergence (None == None) with non-final labels. Fall
-                # back to the per-row compare join for this round.
-                changed = (
-                    new_labels.withColumnRenamed("label", "new_label")
-                    .join(labels, "n")
-                    .filter(F.col("new_label") != F.col("label"))
-                    .limit(1)
-                    .count()
+                if labels.isEmpty():
+                    # no edges at all: zero nodes is trivially a fixpoint
+                    converged = True
+                else:
+                    # decimal overflow on round 1: the sum is unusable — keep
+                    # the never-equal sentinel so round 2 cannot falsely match
+                    cur_sum = object()
+            prev_sum = cur_sum
+        else:
+            # string/decimal ids: round 1 changed nothing iff no node adopted
+            # a neighbor's smaller id
+            converged = (
+                labels.filter(F.col("label") != F.col("n")).limit(1).count() == 0
+            )
+        for _ in range(max_iterations - 1):
+            if converged:
+                break
+            # candidate label per node: min over neighbors' labels and its own
+            neigh = (
+                edges.join(labels.withColumnRenamed("n", "m"), "m")
+                .select("n", "label")
+                .unionByName(labels)
+                .groupBy("n")
+                .agg(F.min("label").alias("new_label"))
+            )
+            # previous round's checkpoint blocks are dead once the new one
+            # exists. DataFrame.unpersist() would NOT free them (it only
+            # uncaches CacheManager entries; checkpoint blocks belong to the
+            # underlying RDD) — the ContextCleaner releases them once the
+            # previous round's frame is garbage-collected, which the loop's
+            # rebinding of `labels` enables. Bounded rounds keep the
+            # transient footprint small.
+            rounds_used += 1
+            if numeric:
+                new_labels, cur_sum = _mat_with_sum(
+                    neigh.select("n", F.col("new_label").alias("label"))
                 )
+                if cur_sum is None:
+                    # decimal(38,0) overflow: non-ANSI Spark yields a NULL sum
+                    # instead of raising, and two consecutive NULLs would fake
+                    # convergence (None == None) with non-final labels. Fall
+                    # back to the per-row compare join for this round.
+                    changed = (
+                        new_labels.withColumnRenamed("label", "new_label")
+                        .join(labels, "n")
+                        .filter(F.col("new_label") != F.col("label"))
+                        .limit(1)
+                        .count()
+                    )
+                    labels = new_labels
+                    if changed == 0:
+                        converged = True
+                        break
+                    continue
                 labels = new_labels
+                if cur_sum == prev_sum:
+                    converged = True
+                    break
+                prev_sum = cur_sum
+            else:
+                merged = materialize(labels.join(neigh, "n"), gen=gen)
+                changed = (
+                    merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
+                )
+                labels = merged.select("n", F.col("new_label").alias("label"))
                 if changed == 0:
                     converged = True
                     break
-                continue
-            labels = new_labels
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
-        else:
-            merged = materialize(labels.join(neigh, "n"), gen=gen)
-            changed = (
-                merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
-            )
-            labels = merged.select("n", F.col("new_label").alias("label"))
-            if changed == 0:
-                converged = True
-                break
-    if not converged:
-        # no silent caps: an unconverged run means some chain-shaped
-        # component is longer than max_iterations and its labels are NOT
-        # final — near-dup graphs should converge in a handful of rounds,
-        # so this firing at all is a data-shape signal worth surfacing. A
-        # driver print is invisible on a cluster; warn AND carry the status
-        # as an observed metric on the returned plan (below) so whoever
-        # runs the consuming action sees it in listener/CollectMetrics.
-        import warnings
+        if not converged:
+            # no silent caps: an unconverged run means some chain-shaped
+            # component is longer than max_iterations and its labels are NOT
+            # final — near-dup graphs should converge in a handful of rounds,
+            # so this firing at all is a data-shape signal worth surfacing. A
+            # driver print is invisible on a cluster; warn AND carry the status
+            # as an observed metric on the returned plan (below) so whoever
+            # runs the consuming action sees it in listener/CollectMetrics.
+            import warnings
 
-        warnings.warn(
-            f"[dup_groups] label propagation did not converge in "
-            f"{max_iterations} rounds; group ids for long-chain components "
-            "are unstable — raise max_iterations",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"[dup_groups] label propagation did not converge in "
+                f"{max_iterations} rounds; group ids for long-chain components "
+                "are unstable — raise max_iterations",
+                stacklevel=2,
+            )
+    finally:
+        # the returned frame reads only the final round's materialized
+        # labels, never the edge table — safe to drop it here (and on
+        # any mid-loop failure)
+        if edge_store_cleanup is not None:
+            edge_store_cleanup()
     out = labels.select(F.col("n"), F.col("label").alias("group_id"))
     # convergence is decided driver-side (the loop above ran eagerly via
     # localCheckpoint), so the metric carries literals — zero extra compute

@@ -1539,12 +1539,14 @@ def semantic_dedup(
     # block matrix tops out at 512·cap·8 B ≈ 40 MB at the 10k default cap
     # and the flop count is the triangle, not the square.
 
-    def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({id_col: []})
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        V = _mat(pdf[vec_col].to_numpy()[order])
+    def cluster_drops(ids: np.ndarray, vecs: np.ndarray) -> list:
+        # one cluster's triangular scan: identical math/order to the r17
+        # per-group kernel (sorted ids, 512-row blocks, upper triangle)
+        if len(ids) < 2:
+            return []
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = _mat(vecs[order])
         norms = _seq_sqrt_norms(V)
         dropped: set = set()
         for i0 in range(0, len(ids), 512):
@@ -1558,13 +1560,60 @@ def semantic_dedup(
                 # engines' `isnan(cos) = false AND cos >= t` — match it
                 hits = np.nonzero(~np.isnan(row) & (row >= threshold))[0]
                 dropped.update(ids[i0 + r + 1 + hits])
-        return pd.DataFrame({id_col: sorted(dropped)})
+        return sorted(dropped)
 
-    # NOT repartition-pinned like hyperplane_lsh_pairs (r17): measured A/B
-    # showed the ~√N clusters here are few and large enough that per-group
-    # Arrow overhead already amortizes — forcing defaultParallelism width
-    # was a slight local loss (1.20 s → 1.35 s) with no scale upside.
-    dropped = assigned.select(*part_keys, id_col, vec_col).groupBy(
-        *part_keys
-    ).applyInPandas(cluster_drops, schema=f"{id_col} {id_type}")
+    # Partition-level batched kernel (r18, guide §4.1): the r17 shape was
+    # groupBy(part_keys).applyInPandas — ONE Arrow batch + Python call per
+    # CLUSTER, so at k ≫ cores the per-group Arrow round-trip dominated
+    # (the r17 verdict's named open item). Clusters are now hash-clustered
+    # and sorted within partitions, and ONE mapInPandas kernel walks each
+    # partition's clusters off contiguous runs — same per-cluster
+    # triangular scan, but the Arrow boundary is paid per ~10k-row batch
+    # instead of per cluster. A cluster can span Arrow batches, so the
+    # trailing (possibly incomplete) run is carried into the next batch;
+    # the cluster-size cap bounds the carry. Same exchange count as
+    # before (one keyed shuffle); width is input-size-derived.
+    from nexgap_spark.session import adaptive_width
+
+    packed = (
+        assigned.select(*part_keys, id_col, vec_col)
+        .repartition(adaptive_width(vectors), *[F.col(k) for k in part_keys])
+        .sortWithinPartitions(*part_keys)
+    )
+
+    def partition_drops(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # sorted input → the last cluster is the contiguous tail whose
+            # keys equal the last row's; it may continue in the next batch
+            tail = np.ones(len(pdf), dtype=bool)
+            for k in part_keys:
+                col = pdf[k].to_numpy()
+                tail &= col == col[-1]
+            carry = pdf.iloc[len(pdf) - int(tail[::-1].cumprod().sum()) :]
+            head = pdf.iloc[: len(pdf) - len(carry)]
+            if len(head) == 0:
+                continue
+            out: list = []
+            for _, grp in head.groupby(list(part_keys), sort=False):
+                out.extend(
+                    cluster_drops(
+                        grp[id_col].to_numpy(), grp[vec_col].to_numpy()
+                    )
+                )
+            if out:
+                yield pd.DataFrame({id_col: out})
+        if carry is not None and len(carry):
+            out = cluster_drops(
+                carry[id_col].to_numpy(), carry[vec_col].to_numpy()
+            )
+            if out:
+                yield pd.DataFrame({id_col: out})
+
+    dropped = packed.mapInPandas(partition_drops, schema=f"{id_col} {id_type}")
     return vectors.join(dropped.distinct(), id_col, "left_anti")

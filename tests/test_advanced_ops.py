@@ -308,6 +308,43 @@ def test_semantic_dedup(spark):
     assert 1 <= kept_salted <= 6  # one survivor per hash sub-cluster
 
 
+def test_semantic_dedup_batched_kernel_spanning_batches(spark):
+    """r18: the within-cluster scan is one partition-level mapInPandas
+    kernel (clusters grouped off contiguous sorted runs) instead of one
+    applyInPandas call per cluster. A cluster that spans Arrow batch
+    boundaries must be reassembled by the carry logic — force 16-row
+    batches so every cluster spans several."""
+    from nexgap_spark.operators.similarity import semantic_dedup
+
+    def v(base, eps, dim=4):
+        out = [0.0] * dim
+        out[base] = 1.0
+        out[(base + 1) % dim] = eps
+        return out
+
+    # 3 clusters of 100 near-identical rows each; min id per cluster wins
+    rows = []
+    for c, base in enumerate((0, 1, 2)):
+        rows += [(c * 1000 + i, v(base, 0.0001 * (i % 5))) for i in range(100)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(100, v(0, 0.0)), (200, v(1, 0.0)), (300, v(2, 0.0))],
+        "centroid_id long, embedding array<double>",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(
+                vecs, cents, threshold=0.99, dim=4, max_cluster_size=None
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert kept == {0, 1000, 2000}
+
+
 def test_semantic_dedup_degraded_inputs(spark):
     # NULL/short embeddings and empty centroid tables must be KEPT rows /
     # no-op dedup, never a job crash in the Arrow stages

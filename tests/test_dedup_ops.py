@@ -368,3 +368,35 @@ def test_blocked_near_dup_arrow_anchor_chunking(spark):
         for r in sim.blocked_near_dup_arrow(df, threshold=-1.0, anchor_chunk=4).collect()
     )
     assert full == chunked and len(full) == 25 * 24 // 2
+
+
+def test_dup_groups_bucketed_edge_store(spark, monkeypatch):
+    """r18: above the edge-count gate the CC loop reads its static edge
+    list from a bucketed-and-sorted table on m (no per-round edge exchange
+    in the sort-merge regime) — identical groups to the checkpoint shape,
+    and the per-call table/files are dropped when the loop returns."""
+    from nexgap_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a long, b long",
+    )
+
+    def groups(df):
+        return sorted((r.n, r.group_id) for r in df.collect())
+
+    baseline = groups(dup_groups(pairs))
+    before_tables = {t.name for t in spark.catalog.listTables()}
+    monkeypatch.setenv("NEXGAP_CC_BUCKET_MIN_EDGES", "1")
+    bucketed = groups(dup_groups(pairs))
+    assert bucketed == baseline
+    # the per-call edge table was dropped on the way out
+    after_tables = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after_tables - before_tables if "nexgap_cc_edges" in t}
+    # multi-round convergence through the bucketed store: a 6-chain needs
+    # > 2 rounds, exercising repeated reads of the table
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 36)], "a long, b long"
+    )
+    out = dup_groups(chain)
+    assert {r.group_id for r in out.collect()} == {30}
