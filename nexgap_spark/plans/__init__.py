@@ -28,18 +28,19 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # first 50 keys in registration order). Every oracle is equally checked
 # locally (tests/test_oracle_queries.py, and selfcheck.py writes the full
 # CORRECTNESS_LOCAL.json artifact each round), so the driver window is
-# purely about which results get an externally-recorded row. Round 17
-# rotates oldest-external-green first (VERDICT r16 item 5):
-# (a) the 20 r16-deferred queries whose last external row is r14 (the
-#     named r16 deferrals: q39, q80, q81, q85-q95, q97-q99, q104, q110,
-#     q113);
-# (b) the r17-code-touched families, r15-green: the shared-shingle/gate
-#     set (q31, q43, q44, q100, q116, q118), the LZW rewrite (q119), and
-#     the span parent-materialize family (q21-q23, q37);
-# (c) r15-green rotation fill up to 50 in catalog order (q01-q15,
-#     q18-q20, q46). Deferred to r18 (all r15-green, re-pinned locally
-#     every round by selfcheck + the oracle test sweep): q28, q47-q56,
-#     q58, q75, q75b, q82-q84, q108, q114, q120.
+# purely about which results get an externally-recorded row. Round 18
+# rotates oldest-external-green first (VERDICT r17 item 7):
+# (a) the 20 r17-named deferrals whose last external row is r15: q28,
+#     q47-q56, q58, q75, q75b, q82-q84, q108, q114, q120;
+# (b) the r18-code-touched families, r15-green (fresh rows under the new
+#     plans): the adaptive-width fan-out set (q24-q27, q30, q32, q34,
+#     q35, q45, q59, q62, q68-q71, q103) and the batched semantic-dedup
+#     kernel (q102);
+# (c) r15-green rotation fill up to 50 in catalog order (q16, q17, q33,
+#     q38, q40-q42, q57, q60, q63, q106, q121, q122). Deferred to r19
+#     (all r15-green, re-pinned locally every round by selfcheck + the
+#     oracle test sweep): q64-q67, q72-q74, q76-q79, q96, q101, q105,
+#     q107, q109, q111, q112, q117.
 # NOTE on baseline_ ordering: the two declared-quadratic `baseline_`
 # queries sort last in the catalog ONLY while they are outside this
 # window (r14 deliberately put them in the window for external rows under
@@ -48,59 +49,59 @@ from nexgap_spark.plans import agents  # noqa: F401, E402
 # off catalog position — test_baseline_namespace_segregation asserts the
 # tail ordering whenever no baseline is window-listed.
 _DRIVER_WINDOW = [
-    # (a) r16 deferrals — last external green r14
-    "q39_emit_qwen",
-    "q80_kmeans_step",
-    "q81_cdc_apply",
-    "q85_ivf_nprobe",
-    "q86_chunk_text",
-    "q87_fuzzifier_contract",
-    "q88_persona_suitability",
-    "q89_url_extraction",
-    "q90_url_validate",
-    "q91_url_repair_loop",
-    "q92_file_requirement",
-    "q93_file_plan",
-    "q94_url_rewrite",
-    "q95_new_tag_parse",
-    "q97_wav_features",
-    "q98_keep_best_per_group",
-    "q99_incremental_dedup",
-    "q104_url_dedup",
-    "q110_jpeg_features",
-    "q113_mjpeg_video_pixels",
-    # (b) r17 code-touched families — last external green r15
-    "q31_minhash_lsh_pairs",
-    "q43_dup_groups",
-    "q44_dedup_corpus",
-    "q100_incremental_minhash",
-    "q116_leakage_safe_split",
-    "q118_corpus_pipeline",
-    "q119_gif_animation",
-    "q21_span_last_per_group",
-    "q22_span_parent_join",
-    "q23_span_root_walk",
-    "q37_convert_pipeline",
-    # (c) r15-green rotation fill (19 of 39; deferral list in the header)
-    "q01_pricing_summary",
-    "q02_regional_revenue",
-    "q03_top_orders",
-    "q04_priority_semi_join",
-    "q05_customers_no_orders",
-    "q06_revenue_filter",
-    "q07_topk_parts_per_brand",
-    "q08_last_event_per_user",
-    "q09_cumulative_revenue",
-    "q10_event_type_stats",
-    "q11_rollup_sales",
-    "q12_distinct_counts",
-    "q13_string_functions",
-    "q14_monthly_orders",
-    "q15_nation_set_ops",
-    "q18_json_extraction",
-    "q19_sampling_weights",
-    "q20_inverse_cdf_pick",
-    "q46_cube_sales",
+    # (a) r17-named deferrals — last external green r15
+    "q28_doc_fingerprints",
+    "q47_approx_distinct",
+    "q48_pivot_event_matrix",
+    "q49_price_quantiles",
+    "q50_grouping_sets",
+    "q51_interarrival_stats",
+    "q52_ntile_quartiles",
+    "q53_hash_sample",
+    "q54_stratified_sample",
+    "q55_exists_subquery",
+    "q56_monthly_gap_fill",
+    "q58_value_histogram",
+    "q75_column_profile",
+    "q75b_column_profile_approx",
+    "q82_run_summary",
+    "q83_query_guard",
+    "q84_url_parse",
+    "q108_repeated_spans",
+    "q114_zorder_curve",
+    "q120_ivf_int8_probe",
+    # (b) r18 code-touched families — last external green r15
+    "q24_text_stats",
+    "q25_quality_features",
+    "q26_language_id",
+    "q27_exact_dedup_stats",
+    "q30_minhash_signatures",
+    "q32_simhash",
+    "q34_cosine_topk",
+    "q35_ivf_topk",
+    "q45_hyperplane_lsh",
+    "q59_top_terms",
+    "q62_tfidf_top_terms",
+    "q68_decontaminate",
+    "q69_pii_scan",
+    "q70_repetition_profile",
+    "q71_quality_gate",
+    "q102_semantic_dedup",
+    "q103_ngram_logprob",
+    # (c) r15-green rotation fill (13 of 32; deferral list in the header)
+    "q16_sessionize_events",
+    "q17_tumbling_window_agg",
+    "q33_binary_payloads",
+    "q38_validate_xml",
+    "q40_media_features",
+    "q41_asof_join",
+    "q42_range_join",
+    "q57_hopping_windows",
+    "q60_length_zscore",
+    "q63_approx_quantiles",
+    "q106_ivf_indexed",
+    "q121_ivf_int8_norerank",
+    "q122_pq_adc_topk",
 ]
 _ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW if n in QUERIES}
 for _n, _f in list(QUERIES.items()):
