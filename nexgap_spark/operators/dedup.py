@@ -167,7 +167,7 @@ def shingle_table(
     of the stream here (shingles are near-unique within a partition).
     Width (r18): adaptive_width(df) — input-size-derived, equal to core
     count on any at-scale input (the shared_shingles gate only opens at
-    ≥ 4 MB, where the width already clamps to cores)."""
+    ≥ 1 MB, where the width is already a healthy fraction of cores)."""
     from nexgap_spark.session import adaptive_width
 
     par = adaptive_width(df)
@@ -227,13 +227,15 @@ def shared_shingles(
     (q31 before-plan: 8 scans, 2 independent explode chains). Above the
     size gate the shared copy is strictly less I/O (ONE scan+explode+
     shuffle of the corpus instead of two at 100 TB); below it the
-    checkpoint's write+read+barrier costs more than the duplicated subtree
-    (interleaved A/B on r17's box: sf0.1 ≈ 0.6 MB input, materialize LOSES
-    ~20-25% on q31/q43/q118; sf1.0 ≈ 6.6 MB input, materialize WINS
-    30-40%). The gate derives from the INPUT SIZE, not the deployment:
-    default threshold 4 MB sits between the two measured regimes and any
-    production corpus is far above it. Override via
-    ``NEXGAP_SHINGLE_MAT_MIN_BYTES`` (or the ``min_bytes`` parameter).
+    checkpoint's write+read+barrier costs more than the duplicated subtree.
+    Three measured points (interleaved A/B, best-of-3): sf0.1 ≈ 0.6 MB
+    input, materialize LOSES ~20-25% on q31/q43/q118 (r17 box); ×3 ≈
+    2.0 MB, materialize WINS 20-30% (r18 box, bench_r18 sweep); sf1.0 ≈
+    6.6 MB, materialize WINS 30-40% (r17 box). The crossover therefore
+    sits between 0.6 and 2.0 MB; the default threshold is their geometric
+    midpoint ≈ 1 MB (r18 — the old 4 MB two-point default was ~2-4×
+    conservative), and any production corpus is far above it either way.
+    Override via ``NEXGAP_SHINGLE_MAT_MIN_BYTES`` (or ``min_bytes``).
 
     ``size_of``: optional frame whose plan estimate stands in for ``df``'s
     when ``df`` is checkpoint-backed (RDD lineages report the conservative
@@ -243,7 +245,7 @@ def shared_shingles(
         import os
 
         min_bytes = int(
-            os.environ.get("NEXGAP_SHINGLE_MAT_MIN_BYTES", str(4 * 1024 * 1024))
+            os.environ.get("NEXGAP_SHINGLE_MAT_MIN_BYTES", str(1024 * 1024))
         )
     if plan_size_bytes(size_of if size_of is not None else df) < min_bytes:
         return shingle_table(
