@@ -1536,8 +1536,16 @@ def q113_mjpeg_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q119_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexgap_spark.operators.gif import decode_gif_frames, encode_gif
+    from nexgap_spark.session import FANOUT_CODEC_TARGET_BYTES
 
-    docs = fan_out_python_stage(t(spark, sf_dir, "documents").select("doc_id"), heavy=True)
+    # codec-weight per-row stage (~ms/row over an id-only frame): the 8 KB
+    # per-task target hits the measured width sweet spot (session.py sweep:
+    # 16-wide 1.10 s vs 32-wide 1.69 s at 32 cores) and still clamps to
+    # core count on any at-scale frame
+    docs = fan_out_python_stage(
+        t(spark, sf_dir, "documents").select("doc_id"),
+        target_bytes=FANOUT_CODEC_TARGET_BYTES,
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -480,17 +480,29 @@ def _plan_stats_bytes(df: DataFrame) -> int:
 # right-sizes toy inputs.  Env-tunable, NOT cluster-tuned: the value encodes
 # per-byte CPU cost of the text/embedding kernels, not the deployment.
 FANOUT_TARGET_BYTES_DEFAULT = 64 * 1024
+# Mid-weight per-row stages (codec synthesis over id-only frames:
+# milliseconds per row, a few bytes per row) want a finer target than the
+# text/embedding kernels but NOT full core width. Measured on the q119
+# codec stage at 32 cores (width sweep, best-of-3 noop): width 32 → 1.69 s,
+# 16 → 1.10 s, 8 → 1.18 s, 2 → 2.12 s — 8 KB/task lands its 113 KB input
+# at width 15, the measured sweet spot; any at-scale id frame still clamps
+# to the core count. Call sites with this profile pass
+# ``target_bytes=FANOUT_CODEC_TARGET_BYTES``.
+FANOUT_CODEC_TARGET_BYTES = 8 * 1024
 
 
-def adaptive_width(df: DataFrame, *, floor: int = 2) -> int:
+def adaptive_width(
+    df: DataFrame, *, floor: int = 2, target_bytes: int | None = None
+) -> int:
     """Fan-out width for a CPU-bound per-row stage over ``df``: the input's
-    optimizer size estimate divided by NEXGAP_FANOUT_TARGET_BYTES (default
+    optimizer size estimate divided by the bytes/task target
+    (``target_bytes`` when given, else NEXGAP_FANOUT_TARGET_BYTES, default
     64 KB/task), clamped to [floor, defaultParallelism].  Unknown sizes
     (checkpoint-backed lineages) clamp to defaultParallelism — identical to
     the pre-r18 behavior, so the adaptive path can only ever NARROW a
     provably-small input, never under-parallelize an unknown one."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    target = int(
+    target = target_bytes if target_bytes is not None else int(
         os.environ.get("NEXGAP_FANOUT_TARGET_BYTES", str(FANOUT_TARGET_BYTES_DEFAULT))
     )
     if target <= 0:
@@ -499,7 +511,9 @@ def adaptive_width(df: DataFrame, *, floor: int = 2) -> int:
     return int(max(min(par, width), min(par, floor)))
 
 
-def fan_out_python_stage(df: DataFrame, *, heavy: bool = False) -> DataFrame:
+def fan_out_python_stage(
+    df: DataFrame, *, heavy: bool = False, target_bytes: int | None = None
+) -> DataFrame:
     """Fan a DataFrame out to cluster parallelism before a CPU-bound
     per-row stage — a Python (mapInPandas / applyInPandas) stage, or a
     JVM-side projection whose per-row cost dwarfs the scan (multi-pass
@@ -542,12 +556,15 @@ def fan_out_python_stage(df: DataFrame, *, heavy: bool = False) -> DataFrame:
     local[32] by 24%).  ``heavy=True`` keeps the full core-count width for
     stages whose PER-ROW cost is orders above their byte size (subprocess
     forks, mock network transports over id-only frames) — bytes are the
-    wrong proxy exactly there.
+    wrong proxy exactly there, and narrowing them measurably loses (q96's
+    pipeline transport: 0.72 → 0.89 s at width 14). Mid-weight per-row
+    stages (codec synthesis) pass ``target_bytes`` instead — see
+    FANOUT_CODEC_TARGET_BYTES.
     """
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    width = par if heavy else adaptive_width(df)
+    width = par if heavy else adaptive_width(df, target_bytes=target_bytes)
     root = df._jdf.queryExecution().optimizedPlan()
     if any(tok in root.toString() for tok in _EXCHANGE_LINEAGE_NODES):
         # exception inside the guard: a frame whose ROOT is an explicit

@@ -55,3 +55,13 @@ def test_adaptive_width_contracts(spark, monkeypatch):
         fan_out_python_stage(narrow_ids, heavy=True).rdd.getNumPartitions()
         == par
     )
+    # an explicit finer target (codec-weight stages) widens relative to
+    # the 64 KB default, still capped at core count
+    w_codec = adaptive_width(narrow_ids, target_bytes=8 * 1024)
+    assert adaptive_width(narrow_ids) <= w_codec <= par
+    assert (
+        fan_out_python_stage(
+            narrow_ids, target_bytes=8 * 1024
+        ).rdd.getNumPartitions()
+        == w_codec
+    )
